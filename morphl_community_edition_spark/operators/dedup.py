@@ -1,0 +1,148 @@
+"""Deduplication family (K1/K2 + north-star extensions): exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design (100 TB):
+- exact: hash-groupBy — one shuffle on a 128-bit content hash, no
+  payload comparison; `min(id)` keeper is deterministic (never
+  dropDuplicates, whose survivor depends on partition order).
+- MinHash LSH: candidates come from equi-joins on band buckets
+  (approxSimilarityJoin), so cost is ~n·bucket-occupancy, not n².
+- exact Jaccard: the shingle-inverted-index join (explode → join on
+  shingle → count) — quadratic only in documents *sharing a shingle*;
+  it is the verification oracle for the LSH path.
+- SimHash: fully linear — per-word hash → per-bit majority → 60-bit
+  signature; near-dups then cluster by signature (or by hamming-ball
+  probing on signature bands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from morphl_community_edition_spark.functions.hashing import md5_long60
+from morphl_community_edition_spark.functions.rounding import crnd
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Keep one deterministic representative per distinct content.
+
+    Representative = row with min(id) per content group, selected via
+    row_number over a total order (SURVEY.md §5.3 rule: dropDuplicates
+    is banned — nondeterministic survivor)."""
+    h = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]).cast("binary"))
+    w = Window.partitionBy(h).orderBy(F.col(id_col))
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3, out: str = "shingles") -> DataFrame:
+    """Distinct n-word shingles per document (JVM-side, no UDF)."""
+    words = F.split(F.col(text_col), " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+    # guard: docs shorter than n words have no shingles (sequence(0, <0)
+    # would count DOWN in Spark, not return empty)
+    empty = F.array().cast("array<string>")
+    return df.withColumn(out, F.array_distinct(F.when(F.size(words) >= n, sh).otherwise(empty)))
+
+
+def exact_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Exact pairwise Jaccard over n-word shingles via inverted index.
+
+    Returns (a_doc, b_doc, jaccard) for pairs with J >= threshold.
+    """
+    sh = word_shingles(docs.select(id_col, text_col), text_col, n).select(
+        F.col(id_col).alias("doc"), F.explode("shingles").alias("s")
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc").alias("a_doc"), "s")
+    b = sh.select(F.col("doc").alias("b_doc"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("a_doc") < F.col("b_doc"))
+        .groupBy("a_doc", "b_doc")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    raw_j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(sizes.select(F.col("doc").alias("a_doc"), F.col("n_sh").alias("na")), "a_doc")
+        .join(sizes.select(F.col("doc").alias("b_doc"), F.col("n_sh").alias("nb")), "b_doc")
+        # filter on the RAW ratio (int/int division — identical doubles
+        # on any engine), round only for output
+        .filter(raw_j >= threshold)
+        .select("a_doc", "b_doc", crnd(raw_j, 6).alias("jaccard"))
+    )
+
+
+def minhash_neardup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hash_tables: int = 32,
+    max_jaccard_distance: float = 0.95,
+    num_features: int = 1 << 18,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate candidates (K2, the 100 TB path).
+
+    shingle → HashingTF sparse vector → MinHash signatures → banded
+    LSH bucket join. distCol is the exact Jaccard distance *of the
+    hashed-feature sets* on surviving candidates, so recall vs
+    exact_jaccard_pairs is the quality metric (tested ≥0.9).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = word_shingles(docs.select(id_col, text_col), text_col, n)
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=num_features, binary=True)
+    feats = tf.transform(sh).filter(F.expr("size(shingles) > 0"))
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, threshold=max_jaccard_distance, distCol="jdist")
+    return (
+        pairs.select(
+            F.col(f"datasetA.{id_col}").alias("a_doc"),
+            F.col(f"datasetB.{id_col}").alias("b_doc"),
+            crnd(1 - F.col("jdist"), 6).alias("jaccard"),
+        )
+        .filter(F.col("a_doc") < F.col("b_doc"))
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60
+) -> DataFrame:
+    """SimHash: 60-bit per-document signature by per-bit majority vote
+    over word hashes (frequency-weighted — duplicates kept).
+
+    Linear in corpus size: explode(words) × bits rows, two hash
+    aggregations, all JVM-side. Near-dup = small hamming distance.
+    """
+    words = docs.select(F.col(id_col).alias("doc"), F.explode(F.split(F.col(text_col), " ")).alias("word"))
+    hashed = words.withColumn("hv", md5_long60(F.col("word")))
+    bit_votes = (
+        hashed.select("doc", "hv", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"))
+        .withColumn("vote", F.when(F.expr("(hv >> bit) & 1") == 1, 1).otherwise(-1))
+        .groupBy("doc", "bit")
+        .agg(F.sum("vote").alias("s"))
+    )
+    return (
+        bit_votes.groupBy("doc")
+        .agg(F.sum(F.when(F.col("s") > 0, F.expr("CAST(1 AS BIGINT) << bit")).otherwise(0)).alias("simhash"))
+        .select(F.col("doc").alias(id_col), "simhash")
+    )
+
+
+def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact; LSH path in
+    operators/similarity.lsh_cosine_topk for scale)."""
+    from morphl_community_edition_spark.operators.similarity import cosine_pairs
+
+    return cosine_pairs(emb).filter(F.col("sim") >= threshold)

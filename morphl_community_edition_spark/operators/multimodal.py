@@ -1,0 +1,100 @@
+"""Multimodal columns (K5): opaque binary payloads + typed metadata.
+
+Design for 100 TB (SURVEY.md §3 K5): media NEVER travels inline
+through shuffles at scale — rows carry a *pointer struct*
+(path, offset, length) plus small typed metadata; payload bytes are
+materialized only inside the final mapInPandas stage that decodes
+them. The fixture has no media files, so the payload here is the
+document text encoded as bytes — the Spark-side plumbing (schema,
+batching, UDF signature, partition shape) is identical to the real
+thing, and decode is a deterministic stub.
+
+Real decoders (PIL/librosa/av) are not in this container; see
+decode_image_stub — the import seam is marked and the fake features
+are deterministic so tests and oracles can check the plumbing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("path", T.StringType()),
+                    T.StructField("offset", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("first_byte", T.IntegerType()),
+        T.StructField("fake_mean_pixel", T.DoubleType()),
+    ]
+)
+
+
+def attach_media(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Build the multimodal frame: binary payload + metadata struct."""
+    payload = F.col(text_col).cast("binary")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.lit("inline").alias("path"),
+            F.lit(0).cast("long").alias("offset"),
+        ).alias("meta"),
+    )
+
+
+def decode_image_stub(payload: bytes) -> dict:
+    """Deterministic stand-in for a real image decode.
+
+    Replace with e.g. PIL.Image.open(io.BytesIO(payload)) when the
+    decode libraries are available:
+
+        raise NotImplementedError("image decode requires PIL")
+
+    The fake features below are pure functions of the bytes so the
+    whole pipeline stays oracle-checkable.
+    """
+    n = len(payload)
+    return {
+        "n_bytes": n,
+        "first_byte": payload[0] if n else -1,
+        "fake_mean_pixel": float(sum(payload[:64]) % 256),
+    }
+
+
+def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """mapInPandas decode stage: Arrow-batched, one Python worker per
+    partition, emits fixed-schema features. This is the shape a real
+    image/audio feature extractor runs in at scale."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_image_stub(p) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)

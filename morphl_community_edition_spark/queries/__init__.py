@@ -1,0 +1,56 @@
+"""The declared query contract (SURVEY.md §3, FIXTURES.md §3).
+
+Each query is registered twice:
+
+- ``QUERIES[name]``: a ``(spark, sf_dir) -> DataFrame`` callable built
+  with the DataFrame API (the engine's operator library in action);
+- ``ORACLE_SQL[name]``: the equivalent ANSI SQL that DuckDB runs on
+  the same parquet tables. The driver hash-compares the two at sf0.01.
+
+Column names are aliased identically on both sides (the comparator
+sorts columns by name before hashing). Integer aggregates on the
+DuckDB side are CAST to BIGINT (DuckDB's sum(int) is HUGEINT, which
+pandas renders as float64 and would hash-mismatch Spark's long).
+
+Queries registered without oracle SQL (approx sketches, LSH, ML,
+streaming) get the driver's weaker rows-only check; their accuracy is
+asserted by the pytest suites instead (tolerance / batch-vs-stream /
+ARI — SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a contract query (and optionally its DuckDB oracle)."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        fn.query_name = name
+        return fn
+
+    return deco
+
+
+def _load_modules() -> None:
+    # Import for side effect: each module registers its queries.
+    from morphl_community_edition_spark.queries import (  # noqa: F401
+        relational,
+        windows,
+        scalars,
+        joins_hard,
+        llm,
+        workload,
+    )
+
+
+_load_modules()

@@ -1,0 +1,97 @@
+"""Hard joins: Q12 (theta/cosine self-join), Q13 (equi+range join),
+Q14 (as-of join). Covers SURVEY.md §3 C6-C9 and K3-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from morphl_community_edition_spark.catalog import load_table
+from morphl_community_edition_spark.functions.rounding import crnd, sql_crnd
+from morphl_community_edition_spark.operators.asof import asof_join
+from morphl_community_edition_spark.operators.similarity import cosine_pairs
+from morphl_community_edition_spark.queries import query
+
+
+@query(
+    "q12_cosine_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+    SELECT a.vec_id AS a_vec, b.vec_id AS b_vec,
+           {sql_crnd('''list_dot_product(a.emb, b.emb)
+                 / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))''', 6)} AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ORDER BY sim DESC, a_vec, b_vec
+    LIMIT 20
+    """,
+)
+def q12_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb).orderBy(F.col("sim").desc(), "a_vec", "b_vec").limit(20)
+
+
+@query(
+    "q13_range_join",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS cnt
+    FROM orders JOIN lineitem
+      ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q13_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range join (C7). The equi key (orderkey) drives the
+    shuffle/join strategy; the range predicate is a residual filter
+    evaluated inside the join — no nested loop. A pure range join
+    (no equi key) would instead go through bucketized expansion
+    (join on time-bucket, then refine)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+    )
+    return (
+        orders.join(li, cond)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q14_asof_join",
+    oracle=f"""
+    WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events),
+         p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+         v AS (SELECT * FROM e WHERE event_type = 'view')
+    SELECT p.event_id AS event_id, p.user_id AS user_id,
+           {sql_crnd("p.value", 2)} AS pval, {sql_crnd("v.value", 2)} AS vval
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts < p.ts
+    ORDER BY event_id
+    LIMIT 500
+    """,
+)
+def q14_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (C8): for each purchase, the same user's most recent
+    strictly-earlier view. Union+window re-expression — see
+    operators/asof.py for why this beats a nested-loop theta join."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts", "value")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    joined = asof_join(purchases, views, key="user_id", ts="ts", right_payload=["value"], strict=True)
+    return (
+        joined.select(
+            "event_id",
+            "user_id",
+            crnd(F.col("value"), 2).alias("pval"),
+            crnd(F.col("asof_value"), 2).alias("vval"),
+        )
+        .orderBy("event_id")
+        .limit(500)
+    )

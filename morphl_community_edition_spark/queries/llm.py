@@ -1,0 +1,299 @@
+"""LLM-training-data pipeline queries (SURVEY.md §3 group K + north
+star): dedup family, similarity search, text analysis, multimodal
+plumbing, plus the batch twin of the streaming tumbling window.
+
+Q18/Q28 register without oracle SQL (approx sketch / LSH — the driver
+records a rows-only check; accuracy is asserted by tests/test_dedup.py
+and tests/test_approx.py tolerance suites instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from morphl_community_edition_spark.catalog import load_table
+from morphl_community_edition_spark.operators.dedup import (
+    cosine_neardup_pairs,
+    exact_jaccard_pairs,
+    minhash_neardup_pairs,
+    simhash_signatures,
+)
+from morphl_community_edition_spark.operators.multimodal import attach_media, extract_features
+from morphl_community_edition_spark.operators.similarity import cosine_topk_per_query
+from morphl_community_edition_spark.operators.textstats import (
+    LANG_PRIORITY,
+    LANG_STOPWORDS,
+    lang_scores,
+    quality_features,
+    token_stats,
+)
+from morphl_community_edition_spark.functions.rounding import crnd, sql_crnd, sql_dsum, dsum
+from morphl_community_edition_spark.queries import query
+from morphl_community_edition_spark.queries.windows import EVENTS_US
+
+
+@query("q18_approx_count_distinct")  # no oracle: HLL++ sketch differs from DuckDB's by design
+def q18_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: approx_count_distinct (HLL++). Tolerance-tested (<5% err)
+    against exact countDistinct in tests/test_approx.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+@query("q28_minhash_neardup")  # no oracle: LSH candidate set; recall ≥0.9 tested vs exact Jaccard
+def q28_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_neardup_pairs(docs).orderBy("a_doc", "b_doc")
+
+
+@query(
+    "q29_top_terms",
+    oracle="""
+    SELECT lang, w, count(*) AS c FROM
+      (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents) t
+    GROUP BY lang, w
+    HAVING count(*) > 5
+    ORDER BY lang, c DESC, w
+    LIMIT 300
+    """,
+)
+def q29_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 5)
+        .orderBy("lang", F.col("c").desc(), "w")
+        .limit(300)
+    )
+
+
+@query(
+    "q30_embedding_centroids",
+    oracle="""
+    SELECT label, CAST(dim AS INTEGER) AS dim, floor((CAST(sum(CAST(x AS DOUBLE)) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS avg_x FROM
+      (SELECT label, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS x FROM embeddings) t
+    GROUP BY label, dim
+    ORDER BY label, dim
+    LIMIT 1000
+    """,
+)
+def q30_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6: per-label centroid via posexplode — the shuffle key is
+    (label, dim): 640 evenly-sized groups, not 10 giant ones."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"))
+        .select("label", (F.col("pos") + 1).alias("dim"), "x")
+        .groupBy("label", "dim")
+        .agg(crnd(F.sum("x").cast("double") / F.count(F.lit(1)).cast("double"), 6).alias("avg_x"))
+        .orderBy("label", "dim")
+        .limit(1000)
+    )
+
+
+def _lang_id_oracle() -> str:
+    score_cols = ",\n           ".join(
+        "CAST(len(list_filter(ws, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        + f"], x))) AS INTEGER) AS score_{lang}"
+        for lang in LANG_PRIORITY
+    )
+    cases = []
+    for lang in LANG_PRIORITY[:-1]:
+        conds = " AND ".join(
+            f"score_{lang} >= score_{other}" for other in LANG_PRIORITY if other != lang
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_expr = "CASE " + " ".join(cases) + f" ELSE '{LANG_PRIORITY[-1]}' END"
+    return f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+    s AS (SELECT doc_id, lang,
+           {score_cols}
+          FROM t)
+    SELECT doc_id, lang, score_en, score_de, score_es, score_fr, score_zh,
+           {case_expr} AS lang_pred
+    FROM s ORDER BY doc_id
+    """
+
+
+@query("q33_lang_id", oracle=_lang_id_oracle())
+def q33_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return lang_scores(docs).drop("text").orderBy("doc_id")
+
+
+@query(
+    "q34_quality_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+    r AS (SELECT doc_id,
+           CAST(len(ws) AS INTEGER) AS n_words,
+           (length(text) - (len(ws) - 1)) / CAST(len(ws) AS DOUBLE) AS mean_wlen_raw,
+           len(list_filter(ws, x -> list_contains(['the','a','and','of','to','in','is','it'], x))) / CAST(len(ws) AS DOUBLE) AS stop_ratio_raw,
+           length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / CAST(length(text) AS DOUBLE) AS alpha_ratio_raw
+          FROM t)
+    SELECT doc_id, n_words,
+           {sql_crnd("mean_wlen_raw", 6)} AS mean_wlen,
+           {sql_crnd("stop_ratio_raw", 6)} AS stop_ratio,
+           {sql_crnd("alpha_ratio_raw", 6)} AS alpha_ratio,
+           {sql_crnd("least(n_words / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE)) * CAST(0.5 AS DOUBLE) + stop_ratio_raw * CAST(0.3 AS DOUBLE) + alpha_ratio_raw * CAST(0.2 AS DOUBLE)", 6)} AS quality
+    FROM r ORDER BY doc_id
+    """,
+)
+def q34_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_features(docs).drop("text").orderBy("doc_id")
+
+
+@query(
+    "q35_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INTEGER) AS n_re_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q35_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return token_stats(docs).drop("text").orderBy("doc_id")
+
+
+@query(
+    "q36_fingerprint",
+    oracle="""
+    WITH w AS (SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS pos
+               FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t)
+    SELECT doc_id,
+           CAST(sum((CAST('0x' || substring(md5(word), 1, 15) AS BIGINT) % 1099511627776) * pos) AS BIGINT) AS fp
+    FROM w GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q36_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from morphl_community_edition_spark.operators.textstats import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return fingerprint(docs).drop("text").orderBy("doc_id")
+
+
+@query(
+    "q37_ngram_jaccard",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(ws[gs:gs+2], ' ') AS s
+           FROM w, LATERAL unnest(generate_series(1, len(ws) - 2)) AS t(gs)),
+    sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    i AS (SELECT a.doc_id AS a_doc, b.doc_id AS b_doc, count(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+    SELECT a_doc, b_doc, floor((inter / (sa.n_sh + sb.n_sh - inter)) * 1e6 + 0.5) / 1e6 AS jaccard
+    FROM i JOIN sz sa ON sa.doc_id = a_doc JOIN sz sb ON sb.doc_id = b_doc
+    WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.02
+    ORDER BY a_doc, b_doc
+    """,
+)
+def q37_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs — the verification oracle
+    for the MinHash path, and itself oracle-checked vs DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_jaccard_pairs(docs, threshold=0.02).orderBy("a_doc", "b_doc")
+
+
+@query(
+    "q38_cosine_neardup",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+    SELECT a.vec_id AS a_vec, b.vec_id AS b_vec,
+           floor((list_dot_product(a.emb, b.emb)
+                 / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))) * 1e6 + 0.5) / 1e6 AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.emb, b.emb)
+          / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.9
+    ORDER BY a_vec, b_vec
+    """,
+)
+def q38_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, threshold=0.9).orderBy("a_vec", "b_vec")
+
+
+@query(
+    "q39_ann_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 10),
+    p AS (SELECT q.vec_id AS q_vec, c.vec_id AS n_vec,
+           floor((list_dot_product(q.emb, c.emb)
+                 / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(c.emb, c.emb)))) * 1e6 + 0.5) / 1e6 AS sim
+          FROM q JOIN e c ON c.vec_id != q.vec_id)
+    SELECT q_vec, n_vec, sim, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_vec ORDER BY sim DESC, n_vec) AS rnk FROM p) t
+    WHERE rnk <= 5
+    ORDER BY q_vec, rnk
+    """,
+)
+def q39_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact KNN baseline (K3). The approximate scale path
+    is operators/similarity.lsh_cosine_topk (LSH-bucketed candidates),
+    recall-tested against this in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk_per_query(emb, probes, k=5).orderBy("q_vec", "rnk")
+
+
+@query("q41_simhash")  # oracle below would be 64 correlated bit-aggs in SQL; checked by dedicated test
+def q41_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_signatures(docs).orderBy("doc_id")
+
+
+@query(
+    "q40_tumbling_window",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS wstart, event_type,
+           count(*) AS cnt, floor((CAST(sum(CAST(floor(value * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2) * 1e2 + 0.5) / 1e2 AS sum_value
+    FROM {EVENTS_US} e
+    GROUP BY wstart, event_type
+    ORDER BY wstart, event_type
+    """,
+)
+def q40_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming tumbling window (I1) — the S-suite
+    replays the same rows through readStream and must agree."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), crnd(dsum(F.col("value")), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "cnt", "sum_value")
+        .orderBy("wstart", "event_type")
+    )
+
+
+@query(
+    "q42_multimodal_bytes",
+    oracle="""
+    WITH c AS (SELECT doc_id, text FROM documents),
+    s AS (SELECT doc_id, CAST(sum(ord(substring(text, i, 1))) AS BIGINT) % 256 AS mp
+          FROM c, LATERAL unnest(generate_series(1, least(octet_length(CAST(text AS BLOB)), 64))) AS t(i)
+          GROUP BY doc_id)
+    SELECT c.doc_id AS doc_id,
+           CAST(octet_length(CAST(c.text AS BLOB)) AS BIGINT) AS n_bytes,
+           CAST(ord(substring(c.text, 1, 1)) AS INTEGER) AS first_byte,
+           CAST(s.mp AS DOUBLE) AS fake_mean_pixel
+    FROM c JOIN s USING (doc_id) ORDER BY doc_id
+    """,
+)
+def q42_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 plumbing end-to-end: binary payload column → metadata struct
+    → Arrow-batched mapInPandas feature extraction (stubbed decode,
+    deterministic features → fully oracle-checkable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(attach_media(docs)).orderBy("doc_id")

@@ -1,0 +1,216 @@
+"""Scalar-function breadth + JSON + stats + pandas-UDF parity:
+Q17, Q19, Q20, Q25, Q26, Q27.
+
+Covers SURVEY.md §3 groups H (H1-H7), D3/D6/D7 and J1.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+from morphl_community_edition_spark.catalog import load_table
+from morphl_community_edition_spark.functions.rounding import crnd, dsum, sql_crnd, sql_dsum, to_scaled_long
+from morphl_community_edition_spark.queries import query
+from morphl_community_edition_spark.queries.windows import EVENTS_US
+
+
+@query(
+    "q17_json_agg",
+    oracle=f"""
+    SELECT event_type, count(*) AS cnt, {sql_crnd(sql_dsum("value"), 2)} AS sum_value,
+           count(DISTINCT user_id) AS users,
+           {sql_crnd("CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS avg_k
+    FROM {EVENTS_US} e
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q17_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            crnd(dsum(F.col("value")), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("users"),
+            crnd(F.sum(k).cast("double") / F.count(F.lit(1)).cast("double"), 6).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q19_sorted_list_agg",
+    oracle="""
+    SELECT l_orderkey, array_to_string(list(l_linenumber ORDER BY l_linenumber), ',') AS lines
+    FROM lineitem
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey
+    LIMIT 500
+    """,
+)
+def q19_sorted_list_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list is order-nondeterministic → always array_sort before
+    exposing (SURVEY.md §5.3 rule 5); string-joined so the comparator
+    sees a scalar column on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = F.array_join(
+        F.transform(F.array_sort(F.collect_list("l_linenumber")), lambda x: x.cast("string")), ","
+    )
+    return (
+        li.groupBy("l_orderkey")
+        .agg(lines.alias("lines"))
+        .orderBy("l_orderkey")
+        .limit(500)
+    )
+
+
+# Exact-moment formulations of stddev/var/corr (D7): per-group integer
+# sums of scaled values (exact, order-independent), combined with the
+# SAME double expression on both engines — so the usual cross-engine
+# drift of streaming variance algorithms cannot appear. Scales cancel:
+# var(x) = var(x_scaled)/10^(2k), corr is scale-invariant.
+_SQL_Q20 = f"""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(floor(l_quantity * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) AS sq,
+             CAST(sum(CAST(floor(l_quantity * 1e2 + 0.5) AS BIGINT) * CAST(floor(l_quantity * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) AS sq2,
+             CAST(sum(CAST(floor(l_discount * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) AS sd,
+             CAST(sum(CAST(floor(l_discount * 1e2 + 0.5) AS BIGINT) * CAST(floor(l_discount * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) AS sd2,
+             CAST(sum(CAST(floor(l_extendedprice * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) AS sp,
+             CAST(sum(CAST(floor(l_extendedprice * 1e2 + 0.5) AS BIGINT) * CAST(floor(l_extendedprice * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) AS sp2,
+             CAST(sum(CAST(floor(l_quantity * 1e2 + 0.5) AS BIGINT) * CAST(floor(l_extendedprice * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) AS sqp,
+             {sql_crnd("quantile_cont(l_extendedprice, 0.5)", 6)} AS median_price
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           {sql_crnd("sqrt((n * sq2 - sq * sq) / (n * (n - 1))) / 1e2", 6)} AS sd_qty,
+           {sql_crnd("((n * sd2 - sd * sd) / (n * (n - 1))) / 1e4", 6)} AS var_disc,
+           {sql_crnd("(n * sqp - sq * sp) / (sqrt(n * sq2 - sq * sq) * sqrt(n * sp2 - sp * sp))", 6)} AS corr_qp,
+           median_price
+    FROM m ORDER BY l_returnflag
+"""
+
+
+@query("q20_stats", oracle=_SQL_Q20)
+def q20_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = to_scaled_long(F.col("l_quantity"))
+    ds = to_scaled_long(F.col("l_discount"))
+    ps = to_scaled_long(F.col("l_extendedprice"))
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(qs).cast("double").alias("sq"),
+        F.sum(qs * qs).cast("double").alias("sq2"),
+        F.sum(ds).cast("double").alias("sd"),
+        F.sum(ds * ds).cast("double").alias("sd2"),
+        F.sum(ps).cast("double").alias("sp"),
+        F.sum(ps * ps).cast("double").alias("sp2"),
+        F.sum(qs * ps).cast("double").alias("sqp"),
+        crnd(F.percentile("l_extendedprice", 0.5), 6).alias("median_price"),
+    )
+    n, sq, sq2, sd, sd2, sp, sp2, sqp = (F.col(c) for c in ("n", "sq", "sq2", "sd", "sd2", "sp", "sp2", "sqp"))
+    return m.select(
+        "l_returnflag",
+        crnd(F.sqrt((n * sq2 - sq * sq) / (n * (n - 1))) / F.lit(1e2), 6).alias("sd_qty"),
+        crnd(((n * sd2 - sd * sd) / (n * (n - 1))) / F.lit(1e4), 6).alias("var_disc"),
+        crnd((n * sqp - sq * sp) / (F.sqrt(n * sq2 - sq * sq) * F.sqrt(n * sp2 - sp * sp)), 6).alias("corr_qp"),
+        "median_price",
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "q25_string_gauntlet",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name)                            AS up_name,
+           substring(p_name, 1, 4)                  AS sub4,
+           CAST(length(p_name) AS INTEGER)          AS name_len,
+           regexp_extract(p_type, '^([A-Z]+)', 1)   AS type_word,
+           split_part(p_name, ' ', 1)               AS w0,
+           concat(p_brand, '/', p_type)             AS brand_type,
+           replace(p_name, ' ', '_')                AS underscored
+    FROM part
+    ORDER BY p_partkey
+    LIMIT 500
+    """,
+)
+def q25_string_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.upper("p_name").alias("up_name"),
+            F.substring("p_name", 1, 4).alias("sub4"),
+            F.length("p_name").alias("name_len"),
+            F.regexp_extract("p_type", "^([A-Z]+)", 1).alias("type_word"),
+            F.split(F.col("p_name"), " ").getItem(0).alias("w0"),
+            F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
+            F.regexp_replace("p_name", " ", "_").alias("underscored"),
+        )
+        .orderBy("p_partkey")
+        .limit(500)
+    )
+
+
+@query(
+    "q26_date_gauntlet",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER)  AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mth,
+           CAST(day(o_orderdate) AS INTEGER)   AS dy,
+           date_trunc('month', o_orderdate)    AS mon_start,
+           CAST(datediff('day', o_orderdate, TIMESTAMP '2002-01-01') AS INTEGER) AS days_to_2002
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 1000
+    """,
+)
+def q26_date_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mth"),
+            F.dayofmonth("o_orderdate").alias("dy"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("mon_start"),
+            F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+                "days_to_2002"
+            ),
+        )
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+@pandas_udf(DoubleType())
+def _f_engagement(v: pd.Series) -> pd.Series:
+    # Arrow-vectorized (J1): numpy runs over whole batches; a
+    # row-at-a-time Python UDF here would be ~50× slower at scale.
+    return v * 2 + np.log(v + 1)
+
+
+@query(
+    "q27_pandas_udf",
+    oracle=f"""
+    SELECT event_id, {sql_crnd("value * 2 + ln(value + 1)", 6)} AS fval
+    FROM {EVENTS_US} e
+    ORDER BY event_id
+    LIMIT 2000
+    """,
+)
+def q27_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", crnd(_f_engagement(F.col("value")), 6).alias("fval"))
+        .orderBy("event_id")
+        .limit(2000)
+    )

@@ -1,0 +1,92 @@
+"""The reference's actual workload, re-expressed (SURVEY.md §3 group
+L): per-user engagement features, recency, churn label (Q31) and the
+shopping-stage funnel (Q32).
+
+These mirror what MorphL's GA churn / shopping-stage PySpark
+preprocessing computes per user before model training [PUBLIC,
+SURVEY.md §1]: session counts, value sums/averages, conditional event
+counts, days-since-last-activity, and a threshold churn label.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from morphl_community_edition_spark.catalog import load_table
+from morphl_community_edition_spark.functions.rounding import crnd, davg, dsum, sql_crnd, sql_davg, sql_dsum
+from morphl_community_edition_spark.queries import query
+from morphl_community_edition_spark.queries.windows import EVENTS_US
+
+ASOF_DATE = "2024-03-01"
+SQL_SUM_VALUE = sql_crnd(sql_dsum("value"), 2)
+SQL_AVG_VALUE = sql_crnd(sql_davg("value"), 6)
+CHURN_DAYS = 14
+
+
+def engagement_features(events: DataFrame, asof: str = ASOF_DATE, churn_days: int = CHURN_DAYS) -> DataFrame:
+    """L1-L3: per-user engagement features + recency + churn label.
+
+    One hash aggregation on user_id (high cardinality, even) — the
+    whole reference feature job is a single shuffle.
+    """
+    recency = F.datediff(F.lit(asof).cast("date"), F.max("ts").cast("date"))
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        crnd(dsum(F.col("value")), 2).alias("sum_value"),
+        crnd(davg(F.col("value")), 6).alias("avg_value"),
+        F.countDistinct("event_type").alias("types"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("purchases"),
+        recency.alias("recency_days"),
+        F.when(recency >= churn_days, 1).otherwise(0).alias("churned"),
+    )
+
+
+@query(
+    "q31_engagement_churn",
+    oracle=f"""
+    SELECT user_id, count(*) AS n_events,
+           {SQL_SUM_VALUE} AS sum_value,
+           {SQL_AVG_VALUE} AS avg_value,
+           count(DISTINCT event_type) AS types,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+           CAST(datediff('day', max(ts), TIMESTAMP '{ASOF_DATE}') AS INTEGER) AS recency_days,
+           CASE WHEN datediff('day', max(ts), TIMESTAMP '{ASOF_DATE}') >= {CHURN_DAYS} THEN 1 ELSE 0 END AS churned
+    FROM {EVENTS_US} e
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q31_engagement_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return engagement_features(ev).orderBy("user_id")
+
+
+@query(
+    "q32_funnel",
+    oracle=f"""
+    WITH m AS (SELECT user_id,
+                 min(CASE WHEN event_type = 'view' THEN ts END) AS v,
+                 min(CASE WHEN event_type = 'click' THEN ts END) AS c,
+                 min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+               FROM {EVENTS_US} e GROUP BY user_id)
+    SELECT count(*) FILTER (WHERE v IS NOT NULL) AS viewed,
+           count(*) FILTER (WHERE v < c) AS clicked_after_view,
+           count(*) FILTER (WHERE v < c AND c < p) AS full_funnel
+    FROM m
+    """,
+)
+def q32_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: strictly-ordered view→click→purchase funnel via conditional
+    min-timestamps — no self-joins, one aggregation + one reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("c"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p"),
+    )
+    return m.agg(
+        F.count(F.when(F.col("v").isNotNull(), 1)).alias("viewed"),
+        F.count(F.when(F.col("v") < F.col("c"), 1)).alias("clicked_after_view"),
+        F.count(F.when((F.col("v") < F.col("c")) & (F.col("c") < F.col("p")), 1)).alias("full_funnel"),
+    )

@@ -1,0 +1,78 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Every knob here is load-bearing:
+
+- ``spark.sql.adaptive.enabled``: AQE re-plans at runtime (shuffle
+  coalescing, skew-join splitting, dynamic join strategy). At 100 TB
+  this is what turns a static 32-partition plan into a right-sized one.
+- ``spark.sql.execution.arrow.pyspark.enabled``: Arrow batch transfer
+  for pandas UDFs / toPandas — the only acceptable Python exchange path.
+- ``spark.sql.session.timeZone=UTC``: fixture timestamps are naive
+  (parquet isAdjustedToUTC=false); pinning UTC makes year()/datediff()
+  and toPandas() deterministic and identical to DuckDB's naive reads.
+- ``spark.sql.legacy.parquet.nanosAsLong``: events.parquet carries
+  INT64 TIMESTAMP(NANOS) which pyspark 4.x refuses to read by default
+  (PARQUET_TYPE_ILLEGAL). With this flag the column arrives as a long
+  and catalog.load_table() rebuilds a proper microsecond timestamp.
+- ``spark.sql.shuffle.partitions``: sized for the local test harness
+  (32 cores); on a real cluster this is set per-job to ~2-3× total
+  cores, and AQE coalesces down after each shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+APP_NAME = "morphl-community-edition-spark"
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 8)
+
+
+def get_spark(app_name: str = APP_NAME, shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Idempotent: if a session already exists it is reused and the
+    runtime-settable confs are (re)applied, so the engine works even
+    when a harness hands us a session it created itself.
+    """
+    cpus = default_parallelism()
+    shuffle = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    apply_runtime_conf(spark)
+    return spark
+
+
+def apply_runtime_conf(spark: SparkSession) -> None:
+    """(Re)apply the confs that are safe to set on a live session.
+
+    Called defensively from catalog.load_table too, because the driver
+    harness may construct its own SparkSession without our builder —
+    most critically the nanosAsLong flag, without which events.parquet
+    is unreadable.
+    """
+    for key, value in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - read-only conf on some builds
+            pass
