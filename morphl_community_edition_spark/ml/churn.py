@@ -1,0 +1,83 @@
+"""Churn model (M1-M4): the reference's flagship pipeline re-expressed.
+
+MorphL's GA-churning-users pipeline computes per-user engagement
+features in PySpark, labels churn by an inactivity threshold, trains a
+classifier and batch-scores all users back into storage [PUBLIC,
+SURVEY.md §1, §3 L1-L3/M1-M4]. Here:
+
+    events → engagement_features (queries/workload.py, the SAME
+    oracle-checked Q31 aggregation) → VectorAssembler → StandardScaler
+    → LogisticRegression (seeded) → batch scoring
+
+Fixture note: the synthetic events table has users uniformly active
+through the whole window (per-user recency is 1-3 days at every SF),
+so the reference's inactivity label is constant=1 here. The pipeline
+is therefore label-parametric: the contract churn label exercises the
+plumbing; ``label_high_purchaser`` (above-median purchase count,
+predicted from the NON-purchase features) provides a label with
+variation for a real learning check.
+
+Scale: training data is one row per user (≪ raw events); the heavy
+lifting is the feature aggregation, which is a single shuffle. Batch
+scoring is embarrassingly parallel (model broadcast by
+``model.transform``; at extreme scale export + mapInPandas scoring
+avoids JVM<->Python churn per stage).
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.classification import LogisticRegression
+from pyspark.ml.evaluation import BinaryClassificationEvaluator
+from pyspark.ml.feature import StandardScaler, VectorAssembler
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_COLS = ["n_events", "sum_value", "avg_value", "types", "purchases"]
+BEHAVIOR_COLS = ["n_events", "sum_value", "avg_value", "types"]  # excludes purchases
+SEED = 42
+
+
+def label_high_purchaser(features: DataFrame, label_col: str = "label") -> DataFrame:
+    """1 if the user's purchase count is >= the dataset median —
+    balanced by construction, learnable from engagement volume."""
+    median = features.agg(F.percentile("purchases", 0.5)).collect()[0][0]
+    return features.withColumn(label_col, (F.col("purchases") >= median).cast("int"))
+
+
+def build_pipeline(feature_cols: list[str] | None = None, label_col: str = "churned") -> Pipeline:
+    return Pipeline(
+        stages=[
+            VectorAssembler(inputCols=feature_cols or FEATURE_COLS, outputCol="raw_features"),
+            StandardScaler(inputCol="raw_features", outputCol="features", withMean=True, withStd=True),
+            LogisticRegression(featuresCol="features", labelCol=label_col, maxIter=50, regParam=0.01),
+        ]
+    )
+
+
+def train_churn_model(
+    features: DataFrame,
+    train_frac: float = 0.8,
+    feature_cols: list[str] | None = None,
+    label_col: str = "churned",
+) -> tuple[PipelineModel, DataFrame, float]:
+    """Seeded train/test split (M4 — split is seeded but never
+    oracle-checked: RNG differs across engines by design), fit, and
+    AUC on the held-out fraction."""
+    train, test = features.randomSplit([train_frac, 1 - train_frac], seed=SEED)
+    model = build_pipeline(feature_cols, label_col).fit(train)
+    scored = model.transform(test if test.count() > 0 else train)
+    auc = BinaryClassificationEvaluator(labelCol=label_col, rawPredictionCol="rawPrediction").evaluate(scored)
+    return model, scored, auc
+
+
+def score_users(model: PipelineModel, features: DataFrame) -> DataFrame:
+    """M3 batch scoring: user_id → probability (the row shape the
+    reference upserts into Cassandra daily; our sink is
+    sources.batch.write_parquet_partitioned)."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(features)
+    return scored.select(
+        "user_id", vector_to_array("probability").getItem(1).alias("churn_probability")
+    )

@@ -1,0 +1,46 @@
+"""Batch sources/sinks (A1-A5).
+
+The reference lands GA API JSON into Cassandra and writes predictions
+back daily [PUBLIC, SURVEY.md §1]. Our equivalents: schema-declared
+CSV/JSON/Parquet readers (never inferSchema — a 100 TB inference pass
+is a bug) and a partitioned, overwrite-by-partition parquet sink
+(the idempotent daily-upsert pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType, header: bool = True) -> DataFrame:
+    return spark.read.schema(schema).option("header", str(header).lower()).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    return reader.parquet(path)
+
+
+def write_parquet_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    dynamic: bool = True,
+) -> None:
+    """Partitioned parquet sink. With dynamic partition overwrite only
+    the partitions present in ``df`` are replaced — the scalable form
+    of the reference's daily prediction upsert (L6): re-running a day
+    replaces that day, never truncates the table."""
+    spark = df.sparkSession
+    if dynamic:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

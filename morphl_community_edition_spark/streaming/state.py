@@ -1,0 +1,54 @@
+"""Arbitrary stateful processing (I6): applyInPandasWithState.
+
+The canonical reference-shaped use: a per-user running event counter
+maintained across micro-batches (the streaming form of the
+engagement-feature aggregation, SURVEY.md §3 L1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("running_count", T.LongType()),
+        T.StructField("running_value", T.DoubleType()),
+    ]
+)
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("cnt", T.LongType()),
+        T.StructField("val_cents", T.LongType()),
+    ]
+)
+
+
+def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    cnt, val_cents = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        cnt += len(pdf)
+        # integer cents: exact accumulation across micro-batches
+        val_cents += int((pdf["value"] * 100).round().astype("int64").sum())
+    state.update((cnt, val_cents))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "running_count": [cnt], "running_value": [val_cents / 100.0]}
+    )
+
+
+def running_user_counts(events: DataFrame) -> DataFrame:
+    """Per-user running (count, value-sum) across micro-batches; emits
+    the cumulative state every batch (update mode)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,86 @@
+"""Tolerance suite (SURVEY.md §5.4): approx sketches and LSH paths
+checked against their exact twins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from morphl_community_edition_spark.catalog import load_table
+from morphl_community_edition_spark.operators.dedup import (
+    exact_jaccard_pairs,
+    minhash_neardup_pairs,
+    simhash_signatures,
+)
+from morphl_community_edition_spark.operators.similarity import cosine_topk_per_query, lsh_cosine_topk
+from morphl_community_edition_spark.queries import QUERIES
+from tests.conftest import SF_DIR
+
+
+def test_q18_approx_count_distinct_tolerance(spark):
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["q18_approx_count_distinct"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r["event_type"]: r["users"]
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("users"))
+        .collect()
+    }
+    for et, ex in exact.items():
+        assert abs(approx[et] - ex) / ex < 0.05, f"{et}: approx {approx[et]} vs exact {ex}"
+
+
+def test_q28_minhash_recall_vs_exact_jaccard(spark):
+    """K2 quality gate: LSH candidates must recover ≥90% of truly
+    similar pairs (exact 3-shingle Jaccard ≥ 0.2)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    truth = {
+        (r["a_doc"], r["b_doc"])
+        for r in exact_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    if not truth:
+        pytest.skip("fixture has no pairs above Jaccard 0.2 — nothing to recall")
+    found = {
+        (r["a_doc"], r["b_doc"])
+        for r in minhash_neardup_pairs(docs, max_jaccard_distance=0.9).collect()
+    }
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.9, f"MinHash recall {recall:.3f} over {len(truth)} true pairs"
+
+
+def test_q41_simhash_properties(spark):
+    """SimHash sanity: deterministic across runs; identical docs get
+    identical signatures (self-consistency of the linear pipeline)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    a = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    assert a == b
+    assert all(0 <= v < (1 << 60) for v in a.values())
+    # a doc's signature equals the signature of an identical copy
+    dup = docs.limit(1).withColumn("doc_id", F.lit(999_999).cast("long"))
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_signatures(docs.limit(1).unionByName(dup)).collect()
+    }
+    assert len(set(sigs.values())) == 1
+
+
+def test_lsh_cosine_recall_vs_exact(spark):
+    """K3 approximate path: LSH top-5 must overlap exact top-5 ≥ 60%
+    on average (random-projection recall at fixture scale)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk_per_query(emb, probes, k=5).collect()
+    approx = lsh_cosine_topk(emb, probes, k=5, num_hash_tables=6).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r["q_vec"], set()).add(r["n_vec"])
+    ap = {}
+    for r in approx:
+        ap.setdefault(r["q_vec"], set()).add(r["n_vec"])
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.6, f"LSH KNN recall {avg:.2f}"

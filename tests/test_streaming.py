@@ -1,0 +1,157 @@
+"""S-suite: batch-vs-stream equivalence (SURVEY.md §5.4).
+
+The events fixture is replayed through a real file micro-batch stream
+and each streaming operator's final result must equal its batch twin
+exactly.
+
+State-store note: each micro-batch materializes one state store per
+shuffle partition; tests pin spark.sql.shuffle.partitions=8 before
+building streaming plans so 5-9 micro-batches complete in seconds
+(32 partitions × 9 batches of checkpoint fsyncs is pure overhead at
+fixture scale — the same knob a real job sizes to its cluster).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from morphl_community_edition_spark.catalog import load_table
+from morphl_community_edition_spark.sources.stream import read_stream_dir, stage_stream_input
+from morphl_community_edition_spark.streaming.sinks import to_memory
+from morphl_community_edition_spark.streaming.state import running_user_counts
+from morphl_community_edition_spark.streaming.windows import session_counts, sliding_counts, tumbling_counts
+from tests.conftest import SF_DIR_SMOKE, canonicalize
+
+N_CHUNKS = 4
+
+
+@pytest.fixture(scope="module", autouse=True)
+def small_shuffle(spark):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    yield
+    spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+@pytest.fixture(scope="module")
+def staged(spark):
+    return stage_stream_input(spark, SF_DIR_SMOKE, "events", n_chunks=N_CHUNKS)
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    return load_table(spark, SF_DIR_SMOKE, "events")
+
+
+def run_stream(spark, df, name, mode="complete", timeout_s=600):
+    q = to_memory(df, name, mode)
+    deadline = time.time() + timeout_s
+    while q.isActive and time.time() < deadline:
+        q.awaitTermination(5)
+    assert not q.isActive, f"stream {name} still running after {timeout_s}s"
+    if q.exception() is not None:
+        raise AssertionError(f"stream {name} failed: {q.exception()}")
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def assert_frames_equal(got, want):
+    g, w = canonicalize(got.toPandas()), canonicalize(want.toPandas())
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_s1_tumbling_stream_equals_batch(spark, staged, events_batch):
+    stream = read_stream_dir(spark, staged)
+    got = run_stream(spark, tumbling_counts(stream, watermark="1 hour"), "s1_tumbling")
+    assert_frames_equal(got, tumbling_counts(events_batch))
+
+
+def test_s1_sliding_stream_equals_batch(spark, staged, events_batch):
+    stream = read_stream_dir(spark, staged)
+    got = run_stream(spark, sliding_counts(stream, watermark="1 hour"), "s1_sliding")
+    assert_frames_equal(got, sliding_counts(events_batch))
+
+
+def test_s2_session_window_stream_equals_batch_and_sessionize(spark, events_batch):
+    # Session state evicts+emits only when the watermark passes a
+    # session's end → APPEND mode, with a flush event per user staged
+    # as the LAST file so every real session finalizes. The flush rows
+    # must flow THROUGH the watermark operator (that's what advances
+    # it); their own sessions end beyond the final watermark and never
+    # emit, so no output filter is needed.
+    staged_flush = stage_stream_input(
+        spark, SF_DIR_SMOKE, "events", n_chunks=N_CHUNKS, flush_horizon_hours=2
+    )
+    stream = read_stream_dir(spark, staged_flush)
+    got = run_stream(spark, session_counts(stream, watermark="30 minutes"), "s2_session", mode="append")
+    want = session_counts(events_batch)
+    assert_frames_equal(got, want)
+    # and the lag+cumsum batch sessionizer agrees on session count + sizes
+    from morphl_community_edition_spark.operators.sessionize import sessionize
+
+    lag_sessions = sessionize(events_batch).groupBy("user_id", "sess").agg(F.count(F.lit(1)).alias("n"))
+    a = got.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n").alias("n_events"))
+    b = lag_sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"), F.sum("n").alias("n_events")
+    )
+    assert_frames_equal(a, b)
+
+
+def test_s3_dedup_within_watermark(spark, staged, events_batch, tmp_path):
+    # Stage every chunk TWICE: the copy gets a later mtime, so it
+    # arrives in a later micro-batch while its keys are still inside
+    # the watermark → exercises cross-batch stateful dedup (I5).
+    dup_dir = str(tmp_path / "dup_events")
+    shutil.copytree(staged, dup_dir)
+    now = time.time()
+    parts = sorted(f for f in os.listdir(dup_dir) if f.endswith(".parquet"))
+    for i, f in enumerate(parts):
+        src = os.path.join(dup_dir, f)
+        os.utime(src, (now + 2 * i, now + 2 * i))
+        dup = os.path.join(dup_dir, f"dup-{f}")
+        shutil.copy(src, dup)
+        os.utime(dup, (now + 2 * i + 1, now + 2 * i + 1))
+    stream = read_stream_dir(spark, dup_dir)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
+    got = run_stream(spark, deduped.select("event_id"), "s3_dedup", mode="append")
+    n = events_batch.count()
+    assert got.count() == n
+    assert got.select("event_id").distinct().count() == n
+
+
+def test_s4_stream_static_join(spark, staged, events_batch):
+    customer = load_table(spark, SF_DIR_SMOKE, "customer").withColumn("uid", F.col("c_custkey") % 150)
+    stream = read_stream_dir(spark, staged)
+    joined = (
+        stream.join(F.broadcast(customer), stream.user_id == customer.uid)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    got = run_stream(spark, joined, "s4_join")
+    want = (
+        events_batch.join(F.broadcast(customer), events_batch.user_id == customer.uid)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    assert_frames_equal(got, want)
+
+
+def test_s4_stateful_running_counts(spark, staged, events_batch):
+    stream = read_stream_dir(spark, staged)
+    got = run_stream(spark, running_user_counts(stream), "s4_state", mode="update")
+    # final state per user (cumulative counters are monotone → max) == batch aggregate
+    final = got.groupBy("user_id").agg(
+        F.max("running_count").alias("running_count"), F.max("running_value").alias("running_value")
+    )
+    want = events_batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("running_count"),
+        (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).cast("double") / 100.0).alias(
+            "running_value"
+        ),
+    )
+    assert_frames_equal(final, want)
