@@ -52,6 +52,13 @@ def get_spark(app_name: str = APP_NAME, shuffle_partitions: int | None = None) -
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # Fixture files are single ~5-20MB parquets; the 128MB default
+        # split puts a whole table in ONE scan task and serializes the
+        # partial aggregation. 2MB splits fan the scan out across the
+        # local cores. On a real cluster with TB-scale inputs leave
+        # this at the default — there the files outnumber the cores.
+        .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_GRAFT_SPLIT", "2m"))
+        .config("spark.sql.files.openCostInBytes", "524288")
     )
     spark = builder.getOrCreate()
     apply_runtime_conf(spark)
