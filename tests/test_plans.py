@@ -1,0 +1,76 @@
+"""Plan-shape gates: the properties that make queries survive a 100×
+scale-up, asserted on the actual Catalyst physical plans.
+
+A query that is value-correct but reads all 11 lineitem columns for a
+2-column projection, or shuffles a fact table against a 25-row dim,
+would pass the oracle and still be wrong at 100 TB — these tests are
+the scale contract.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from morphl_community_edition_spark.plans import (
+    has_broadcast_join,
+    has_partial_aggregate,
+    pushed_filters,
+    read_schema_columns,
+)
+from morphl_community_edition_spark.queries import QUERIES
+from tests.conftest import SF_DIR
+
+
+def test_q01_filter_pushdown_and_pruning(spark):
+    df = QUERIES["q01_pricing_summary"](spark, SF_DIR)
+    pushed = pushed_filters(df)
+    assert any("l_shipdate" in f for f in pushed), f"shipdate filter not pushed: {pushed}"
+    cols = read_schema_columns(df)
+    assert "l_orderkey" not in cols and "l_partkey" not in cols, (
+        f"column pruning failed — scan reads {cols}"
+    )
+    assert has_partial_aggregate(df), "no map-side partial aggregation"
+
+
+def test_q02_multi_predicate_pushdown(spark):
+    df = QUERIES["q02_predicates"](spark, SF_DIR)
+    pushed = pushed_filters(df)
+    assert any("p_size" in f for f in pushed)
+    cols = read_schema_columns(df)
+    assert cols <= {"p_partkey", "p_name", "p_brand", "p_size", "p_type"}
+
+
+def test_q05_star_join_broadcasts_dims(spark):
+    df = QUERIES["q05_six_table_join"](spark, SF_DIR)
+    assert has_broadcast_join(df), "star join must broadcast dimension side"
+    cols = read_schema_columns(df)
+    # lineitem scan must not read the unused money columns
+    assert "l_tax" not in cols and "l_quantity" not in cols
+
+
+def test_q09_fact_fact_prunes_columns(spark):
+    df = QUERIES["q09_fact_fact_join"](spark, SF_DIR)
+    cols = read_schema_columns(df)
+    assert "l_extendedprice" not in cols and "o_totalprice" not in cols
+
+
+def test_q31_single_aggregation_no_join(spark):
+    from morphl_community_edition_spark.plans import count_exchanges, formatted_plan
+
+    df = QUERIES["q31_engagement_churn"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, "engagement features must be a pure aggregation"
+    # distinct-agg rewrite costs 2 shuffles + 1 for the presentation sort
+    assert count_exchanges(df) <= 3, f"too many shuffles:\n{plan}"
+
+
+def test_q22_topk_no_global_sort_before_filter(spark):
+    # row_number windows sort within partitions; the only global sort
+    # allowed is the final presentation ORDER BY (TakeOrdered or after rn<=3)
+    from morphl_community_edition_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["q22_topk_per_group"](spark, SF_DIR))
+    assert "Window" in plan
+    assert "Exchange rangepartitioning" not in plan.split("Filter")[0], (
+        "global range sort before the rank filter would shuffle the full table twice"
+    )

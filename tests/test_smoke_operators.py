@@ -1,0 +1,149 @@
+"""t1 smoke (SURVEY.md §5.4): operator families not already covered by
+the oracle contract instantiate end-to-end at sf0.001 — sources/sinks,
+UDTF, generic as-of, dedup keepers, multimodal write path — plus the
+property-based consistency checks.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from morphl_community_edition_spark.catalog import load_table
+from morphl_community_edition_spark.operators.asof import asof_join
+from morphl_community_edition_spark.operators.dedup import exact_dedup
+from morphl_community_edition_spark.operators.multimodal import attach_media, extract_features
+from morphl_community_edition_spark.queries import QUERIES
+from morphl_community_edition_spark.sources.batch import (
+    read_csv,
+    read_json,
+    write_parquet_partitioned,
+)
+from tests.conftest import SF_DIR, SF_DIR_SMOKE
+
+
+def test_a2_csv_json_roundtrip(spark, tmp_path):
+    docs = load_table(spark, SF_DIR_SMOKE, "documents").select("doc_id", "lang", "n_chars")
+    csv_dir, json_dir = str(tmp_path / "csv"), str(tmp_path / "json")
+    docs.write.mode("overwrite").option("header", "true").csv(csv_dir)
+    docs.write.mode("overwrite").json(json_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    assert read_csv(spark, csv_dir, schema).count() == docs.count()
+    assert read_json(spark, json_dir, schema).count() == docs.count()
+
+
+def test_a5_partitioned_sink_dynamic_overwrite(spark, tmp_path):
+    out = str(tmp_path / "preds")
+    ev = load_table(spark, SF_DIR_SMOKE, "events").withColumn("day", F.to_date("ts"))
+    write_parquet_partitioned(ev, out, partition_by=["day"])
+    n_days = ev.select("day").distinct().count()
+    assert len([d for d in os.listdir(out) if d.startswith("day=")]) == n_days
+    # dynamic overwrite: rewriting ONE day must leave the others intact
+    one_day = ev.filter(F.col("day") == ev.agg(F.min("day")).collect()[0][0])
+    write_parquet_partitioned(one_day.withColumn("value", F.lit(0.0)), out, partition_by=["day"])
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    assert back.filter(F.col("value") == 0.0).count() == one_day.count()
+
+
+def test_j4_udtf_matches_builtin_shingles(spark):
+    from morphl_community_edition_spark.functions.udtfs import ShingleUDTF
+    from morphl_community_edition_spark.operators.dedup import word_shingles
+
+    spark.udtf.register("shingles", ShingleUDTF)
+    docs = load_table(spark, SF_DIR_SMOKE, "documents").limit(20)
+    docs.createOrReplaceTempView("smoke_docs")
+    via_udtf = spark.sql(
+        "SELECT doc_id, s.shingle FROM smoke_docs, LATERAL shingles(text, 3) s"
+    )
+    via_builtin = word_shingles(docs, n=3).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    # UDTF keeps duplicates; builtin dedups per doc — compare distinct sets
+    assert via_udtf.distinct().exceptAll(via_builtin.distinct()).count() == 0
+    assert via_builtin.distinct().exceptAll(via_udtf.distinct()).count() == 0
+
+
+def test_c8_generic_asof_non_strict(spark):
+    ev = load_table(spark, SF_DIR_SMOKE, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    right = ev.select("user_id", "ts", "value")
+    strict = asof_join(left, right, key="user_id", ts="ts", right_payload=["value"], strict=True)
+    loose = asof_join(left, right, key="user_id", ts="ts", right_payload=["value"], strict=False)
+    # non-strict may match the same-instant row (the purchase itself is
+    # in `right` here) → never fewer matches than strict
+    assert loose.filter(F.col("asof_value").isNotNull()).count() >= strict.filter(
+        F.col("asof_value").isNotNull()
+    ).count()
+    assert strict.count() == left.count()
+
+
+def test_k1_exact_dedup_operator(spark):
+    docs = load_table(spark, SF_DIR_SMOKE, "documents")
+    doubled = docs.unionByName(docs)
+    kept = exact_dedup(doubled, content_cols=["text"], id_col="doc_id")
+    assert kept.count() == docs.select("text").distinct().count()
+
+
+def test_k5_multimodal_write_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "media")
+    media = attach_media(load_table(spark, SF_DIR_SMOKE, "documents"))
+    media.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    assert back.schema["payload"].dataType.typeName() == "binary"
+    feats = extract_features(back)
+    assert feats.count() == media.count()
+
+
+# ---- property-based consistency checks (SURVEY.md §5.4) ----
+
+
+def test_prop_semi_plus_anti_partitions_table(spark):
+    cust = load_table(spark, SF_DIR, "customer")
+    orders = load_table(spark, SF_DIR, "orders").filter(F.col("o_totalprice") > 150000)
+    semi = cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi").count()
+    anti = cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti").count()
+    assert semi + anti == cust.count()
+
+
+def test_prop_rollup_margins(spark):
+    rows = {(r["rflag"], r["lstatus"]): r for r in QUERIES["q06_rollup"](spark, SF_DIR).collect()}
+    leaf_cnt = sum(r["cnt"] for (f, s), r in rows.items() if f != "ALL" and s != "ALL")
+    grand = rows[("ALL", "ALL")]
+    assert grand["cnt"] == leaf_cnt
+    leaf_sum = sum(r["sum_price"] for (f, s), r in rows.items() if f != "ALL" and s != "ALL")
+    assert abs(grand["sum_price"] - leaf_sum) < 1.0  # rounded leaves
+
+
+def test_prop_funnel_monotone(spark):
+    r = QUERIES["q32_funnel"](spark, SF_DIR).collect()[0]
+    assert r["viewed"] >= r["clicked_after_view"] >= r["full_funnel"] >= 0
+
+
+def test_prop_sessionize_conserves_events(spark):
+    # the contract query LIMITs its output; conservation holds on the
+    # raw operator: every event lands in exactly one session
+    from morphl_community_edition_spark.operators.sessionize import sessionize
+
+    ev = load_table(spark, SF_DIR, "events")
+    sessions = sessionize(ev).groupBy("user_id", "sess").agg(F.count(F.lit(1)).alias("n"))
+    assert sessions.agg(F.sum("n")).collect()[0][0] == ev.count()
+    # session ids are 1..k contiguous per user
+    mx = sessions.groupBy("user_id").agg(F.max("sess").alias("mx"), F.count(F.lit(1)).alias("k"))
+    assert mx.filter(F.col("mx") != F.col("k")).count() == 0
+
+
+def test_prop_topk_subset_of_ranking(spark):
+    top = QUERIES["q22_topk_per_group"](spark, SF_DIR)
+    assert top.filter(F.col("rn") > 3).count() == 0
+    per_cust = top.groupBy("o_custkey").count()
+    assert per_cust.filter(F.col("count") > 3).count() == 0
