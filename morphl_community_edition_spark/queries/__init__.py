@@ -46,7 +46,9 @@ def _load_modules() -> None:
     from morphl_community_edition_spark.queries import (  # noqa: F401
         relational,
         windows,
+        windows_extra,
         scalars,
+        pandas_udfs,
         joins_hard,
         llm,
         workload,

@@ -26,6 +26,27 @@ def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = N
     return reader.parquet(path)
 
 
+def read_cassandra(spark: SparkSession, keyspace: str, table: str) -> DataFrame:
+    """A4 parity shim: the reference's store is Cassandra (wide rows
+    keyed by client_id [PUBLIC, SURVEY.md §1]); this engine's canonical
+    store is partitioned parquet. If a deployment really needs the
+    Cassandra path, the spark-cassandra-connector package provides it —
+    not bundled here, so this raises with the exact recipe instead of
+    failing obscurely."""
+    try:
+        return (
+            spark.read.format("org.apache.spark.sql.cassandra")
+            .options(keyspace=keyspace, table=table)
+            .load()
+        )
+    except Exception as exc:  # connector jar absent in this environment
+        raise NotImplementedError(
+            "Cassandra source requires --packages com.datastax.spark:"
+            "spark-cassandra-connector_2.13 and spark.cassandra.connection.host; "
+            "the engine's native store is partitioned parquet (see write_parquet_partitioned)"
+        ) from exc
+
+
 def write_parquet_partitioned(
     df: DataFrame,
     path: str,

@@ -68,6 +68,25 @@ def test_q41_simhash_properties(spark):
     assert len(set(sigs.values())) == 1
 
 
+def test_ivf_cosine_recall_vs_exact(spark):
+    """IVF path: data-adaptive cells, n_probe/n_cells = 1/4 of the
+    corpus searched → recall well above the scan fraction."""
+    from morphl_community_edition_spark.operators.similarity import ivf_cosine_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk_per_query(emb, probes, k=5).collect()
+    approx = ivf_cosine_topk(emb, probes, k=5, n_cells=16, n_probe=4).collect()
+    ex, ap = {}, {}
+    for r in exact:
+        ex.setdefault(r["q_vec"], set()).add(r["n_vec"])
+    for r in approx:
+        ap.setdefault(r["q_vec"], set()).add(r["n_vec"])
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.5, f"IVF KNN recall {avg:.2f}"
+
+
 def test_lsh_cosine_recall_vs_exact(spark):
     """K3 approximate path: LSH top-5 must overlap exact top-5 ≥ 60%
     on average (random-projection recall at fixture scale)."""

@@ -16,7 +16,12 @@ from tests.conftest import SF_DIR
 
 @pytest.fixture(scope="module")
 def features(spark):
-    return engagement_features(load_table(spark, SF_DIR, "events")).cache()
+    df = engagement_features(load_table(spark, SF_DIR, "events")).cache()
+    yield df
+    # the cache manager substitutes cached subtrees into ANY later
+    # query with a matching fragment (changes plan shape for the
+    # plan-gate tests) — drop it when this module is done
+    df.unpersist()
 
 
 def test_m1_m4_churn_pipeline_plumbing(spark, features):

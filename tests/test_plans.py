@@ -21,6 +21,14 @@ from morphl_community_edition_spark.queries import QUERIES
 from tests.conftest import SF_DIR
 
 
+@pytest.fixture(autouse=True)
+def no_cached_fragments(spark):
+    # plan-shape assertions must see the raw plan, not one rewritten
+    # around another test's cached subtree
+    spark.catalog.clearCache()
+    yield
+
+
 def test_q01_filter_pushdown_and_pruning(spark):
     df = QUERIES["q01_pricing_summary"](spark, SF_DIR)
     pushed = pushed_filters(df)
