@@ -53,14 +53,22 @@ def write_parquet_partitioned(
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
     dynamic: bool = True,
+    sort_within: list[str] | None = None,
 ) -> None:
     """Partitioned parquet sink. With dynamic partition overwrite only
     the partitions present in ``df`` are replaced — the scalable form
     of the reference's daily prediction upsert (L6): re-running a day
-    replaces that day, never truncates the table."""
+    replaces that day, never truncates the table.
+
+    ``sort_within`` (F3) sorts rows inside each task before writing —
+    no extra shuffle, but parquet min/max row-group stats become
+    selective on those columns, so later range filters skip row groups
+    at scan time (the cheap half of a Z-order)."""
     spark = df.sparkSession
     if dynamic:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    if sort_within:
+        df = df.sortWithinPartitions(*sort_within)
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

@@ -1,0 +1,91 @@
+"""Hypothesis differential fuzz: randomly generated predicates +
+aggregations run through BOTH engines must agree — the property-based
+generalization of the fixed oracle contract (SURVEY.md §5.4).
+
+Example counts are small (Spark's per-query latency, not coverage,
+is the binding constraint); the generator space still covers the
+predicate/aggregation grammar the fixed queries exercise.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from morphl_community_edition_spark.catalog import load_table
+from morphl_community_edition_spark.session import get_spark
+from tests.conftest import SF_DIR_SMOKE
+
+_ENGINES: dict = {}
+
+
+@pytest.fixture(scope="module", autouse=True)
+def engines(spark):
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR_SMOKE}/{t}.parquet')")
+    _ENGINES["spark"] = spark
+    _ENGINES["duck"] = con
+    # cache the small table once: 25 hypothesis examples otherwise
+    # re-scan the file per example
+    _ENGINES["lineitem"] = load_table(spark, SF_DIR_SMOKE, "lineitem").cache()
+    _ENGINES["lineitem"].count()
+    yield
+    _ENGINES["lineitem"].unpersist()
+    _ENGINES.clear()
+
+
+# predicate grammar over lineitem
+num_cols = st.sampled_from(["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+cmp_ops = st.sampled_from(["<", "<=", ">", ">=", "="])
+flags = st.sampled_from(["A", "N", "R"])
+
+
+@st.composite
+def lineitem_predicate(draw):
+    clauses = []
+    for _ in range(draw(st.integers(1, 3))):
+        kind = draw(st.integers(0, 2))
+        if kind == 0:
+            col = draw(num_cols)
+            op = draw(cmp_ops)
+            val = round(draw(st.floats(0.0, 100.0, allow_nan=False)), 2)
+            clauses.append(f"{col} {op} {val}")
+        elif kind == 1:
+            clauses.append(f"l_returnflag = '{draw(flags)}'")
+        else:
+            lo = draw(st.integers(1, 5))
+            hi = lo + draw(st.integers(0, 4))
+            clauses.append(f"l_linenumber BETWEEN {lo} AND {hi}")
+    joiner = draw(st.sampled_from([" AND ", " OR "]))
+    return joiner.join(clauses)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pred=lineitem_predicate())
+def test_fuzz_filter_count_agree(pred):
+    spark_n = _ENGINES["lineitem"].filter(F.expr(pred)).count()
+    duck_n = _ENGINES["duck"].execute(f"SELECT count(*) FROM lineitem WHERE {pred}").fetchall()[0][0]
+    assert spark_n == duck_n, f"predicate {pred!r}: spark {spark_n} vs duckdb {duck_n}"
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pred=lineitem_predicate(),
+    group=st.sampled_from(["l_returnflag", "l_linestatus", "l_linenumber"]),
+)
+def test_fuzz_group_counts_agree(pred, group):
+    got = {
+        tuple(r)
+        for r in _ENGINES["lineitem"].filter(F.expr(pred)).groupBy(group).count().collect()
+    }
+    want = {
+        tuple(r)
+        for r in _ENGINES["duck"]
+        .execute(f"SELECT {group}, count(*) FROM lineitem WHERE {pred} GROUP BY 1")
+        .fetchall()
+    }
+    assert got == want, f"predicate {pred!r} group {group}"

@@ -44,7 +44,7 @@ def test_a2_csv_json_roundtrip(spark, tmp_path):
 def test_a5_partitioned_sink_dynamic_overwrite(spark, tmp_path):
     out = str(tmp_path / "preds")
     ev = load_table(spark, SF_DIR_SMOKE, "events").withColumn("day", F.to_date("ts"))
-    write_parquet_partitioned(ev, out, partition_by=["day"])
+    write_parquet_partitioned(ev, out, partition_by=["day"], sort_within=["ts"])
     n_days = ev.select("day").distinct().count()
     assert len([d for d in os.listdir(out) if d.startswith("day=")]) == n_days
     # dynamic overwrite: rewriting ONE day must leave the others intact
