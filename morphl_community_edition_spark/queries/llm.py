@@ -14,13 +14,12 @@ from pyspark.sql import functions as F
 
 from morphl_community_edition_spark.catalog import load_table
 from morphl_community_edition_spark.operators.dedup import (
-    cosine_neardup_pairs,
     exact_jaccard_pairs,
     minhash_neardup_pairs,
     simhash_signatures,
 )
 from morphl_community_edition_spark.operators.multimodal import attach_media, extract_features
-from morphl_community_edition_spark.operators.similarity import cosine_topk_per_query
+from morphl_community_edition_spark.operators.similarity import cosine_pairs_threshold_gemm, cosine_topk_per_query
 from morphl_community_edition_spark.operators.textstats import (
     LANG_PRIORITY,
     LANG_STOPWORDS,
@@ -226,7 +225,7 @@ def q38_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     not label-clustered); at production thresholds (0.9+) swap in the
     LSH path, same contract."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_neardup_pairs(emb, threshold=0.4).orderBy("a_vec", "b_vec")
+    return cosine_pairs_threshold_gemm(emb, threshold=0.4).orderBy("a_vec", "b_vec")
 
 
 @query(
