@@ -144,6 +144,12 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+# (session-id, sf_dir, name) -> DataFrame. A DataFrame is an immutable
+# logical plan, so reuse is safe; this skips the repeated file-listing/
+# footer read when a 46-query sweep loads the same table dozens of times.
+_TABLE_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table with its declared schema.
 
@@ -152,10 +158,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    memo_key = (id(spark), sf_dir, name)
+    cached = _TABLE_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
     apply_runtime_conf(spark)
     df = spark.read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
     if name == "events":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _TABLE_MEMO[memo_key] = df
     return df
 
 

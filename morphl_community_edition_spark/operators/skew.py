@@ -1,0 +1,71 @@
+"""Skew mitigation (SURVEY.md §5.1 / SCALE.md): salted joins and
+salted aggregation for keys whose frequency breaks hash partitioning.
+
+AQE's skew-join handling covers sort-merge joins automatically; these
+operators are for the cases AQE can't see — e.g. a hot key in a
+broadcast-ineligible join, or a groupBy where one key holds 30% of
+all rows (two-phase salted aggregation keeps every task bounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join resilient to hot keys on the LEFT (large/skewed) side.
+
+    Left rows get a random salt in [0, n_salts); the right side is
+    replicated n_salts times with every salt value, and the join key
+    becomes (key, salt) — a hot key now spreads over n_salts tasks.
+    Cost: right side inflates n_salts× (use for small-to-medium right
+    sides that just miss the broadcast threshold, or cap replication
+    to the known-hot keys only).
+    """
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
+    right_rep = right.select("*", salts)
+    left_salted = left.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
+    out = left_salted.join(right_rep, on=[key, "__salt"], how=how)
+    return out.drop("__salt")
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    aggs: list[tuple[str, str, str]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys.
+
+    ``aggs`` is a list of (input_col, fn, out_col) with fn ∈
+    {sum, count, min, max}: phase 1 aggregates on (key, salt) — hot
+    keys split across n_salts tasks — phase 2 merges the partials on
+    key alone (n_salts rows per key, trivially cheap). Algebraic
+    aggregates only; avg = sum/count composed by the caller.
+    """
+    partial_exprs, merge_exprs = [], []
+    for col, fn, out in aggs:
+        if fn == "count":
+            partial_exprs.append(F.count(col).alias(out))
+            merge_exprs.append(F.sum(out).alias(out))
+        elif fn == "sum":
+            partial_exprs.append(F.sum(col).alias(out))
+            merge_exprs.append(F.sum(out).alias(out))
+        elif fn == "min":
+            partial_exprs.append(F.min(col).alias(out))
+            merge_exprs.append(F.min(out).alias(out))
+        elif fn == "max":
+            partial_exprs.append(F.max(col).alias(out))
+            merge_exprs.append(F.max(out).alias(out))
+        else:
+            raise ValueError(f"non-algebraic aggregate {fn!r}; use the base groupBy")
+    salted = df.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
+    partial = salted.groupBy(key, "__salt").agg(*partial_exprs)
+    return partial.groupBy(key).agg(*merge_exprs)

@@ -72,6 +72,50 @@ def test_q31_single_aggregation_no_join(spark):
     assert count_exchanges(df) <= 3, f"too many shuffles:\n{plan}"
 
 
+def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
+    """A5/layout claim from SCALE.md: a date filter over the
+    partitioned sink must prune directories at plan time (PartitionFilters),
+    not scan-and-discard."""
+    import pyspark.sql.functions as F
+
+    from morphl_community_edition_spark.catalog import load_table
+    from morphl_community_edition_spark.plans import formatted_plan
+    from morphl_community_edition_spark.sources.batch import write_parquet_partitioned
+    from tests.conftest import SF_DIR_SMOKE
+
+    out = str(tmp_path / "events_by_day")
+    ev = load_table(spark, SF_DIR_SMOKE, "events").withColumn("day", F.to_date("ts"))
+    write_parquet_partitioned(ev, out, partition_by=["day"])
+    one_day = ev.agg(F.min("day")).collect()[0][0]
+    scan = spark.read.parquet(out).filter(F.col("day") == F.lit(one_day))
+    plan = formatted_plan(scan)
+    assert "PartitionFilters: [" in plan and "day" in plan.split("PartitionFilters:")[1].split("]")[0]
+    assert scan.count() == ev.filter(F.col("day") == F.lit(one_day)).count()
+
+
+def test_salted_join_and_agg_match_plain(spark):
+    """Skew operators are rewrites — same results, bounded tasks."""
+    import pyspark.sql.functions as F
+
+    from morphl_community_edition_spark.catalog import load_table
+    from morphl_community_edition_spark.operators.skew import salted_agg, salted_join
+    from tests.conftest import SF_DIR_SMOKE
+
+    ev = load_table(spark, SF_DIR_SMOKE, "events")
+    cust = load_table(spark, SF_DIR_SMOKE, "customer").withColumn(
+        "user_id", F.col("c_custkey") % 150
+    )
+    plain = ev.join(cust, "user_id").groupBy("c_mktsegment").count()
+    salted = salted_join(ev, cust, "user_id").groupBy("c_mktsegment").count()
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+    plain_agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("value").alias("mx")
+    )
+    two_phase = salted_agg(ev, "user_id", [("value", "count", "n"), ("value", "max", "mx")])
+    assert {tuple(r) for r in plain_agg.collect()} == {tuple(r) for r in two_phase.collect()}
+
+
 def test_q22_topk_no_global_sort_before_filter(spark):
     # row_number windows sort within partitions; the only global sort
     # allowed is the final presentation ORDER BY (TakeOrdered or after rn<=3)
