@@ -30,6 +30,18 @@ HEADLINE = {
     "cosine_selfjoin": "q12_cosine_topk",
 }
 
+# breadth rows (not in BASELINE.md → kept out of the headline metric,
+# reported alongside for visibility)
+EXTRA = {
+    "asof_join": "q14_asof_join",
+    "topk_per_group": "q22_topk_per_group",
+    "rollup": "q06_rollup",
+    "funnel": "q32_funnel",
+    "engagement_churn": "q31_engagement_churn",
+    "embedding_centroids": "q30_embedding_centroids",
+    "exact_dedup": "q24_exact_dedup",
+}
+
 RUNS = 3  # warm = best re-execution of the planned query
 
 
@@ -58,6 +70,17 @@ def main() -> None:
         warm[name] = round(best, 4)
         print(f"# {name}: warm {warm[name]:.3f}s cold {cold[name]:.3f}s", file=sys.stderr)
 
+    extra: dict[str, float] = {}
+    for name, key in EXTRA.items():
+        df = QUERIES[key](spark, SF_DIR)
+        df.collect()
+        best = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.collect()
+            best = min(best, time.perf_counter() - t0)
+        extra[name] = round(best, 4)
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     out = {
         "metric": "headline_suite_warm_total",
@@ -66,6 +89,7 @@ def main() -> None:
         "queries": warm,
         "queries_cold_first_run": cold,
         "cold_total": round(sum(cold.values()), 4),
+        "extra_queries_warm": extra,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

@@ -67,5 +67,11 @@ def salted_agg(
         else:
             raise ValueError(f"non-algebraic aggregate {fn!r}; use the base groupBy")
     salted = df.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
+    # NOTE on float sums: the two-phase shape reassociates the
+    # addition, so sum(double) can differ from the single-phase result
+    # in the last ulp — exactly as any repartitioning (or AQE re-plan)
+    # does. count/min/max and integer sums are bit-exact; for
+    # deterministic money sums feed scaled longs (functions/rounding
+    # .to_scaled_long), which this rewrite preserves exactly.
     partial = salted.groupBy(key, "__salt").agg(*partial_exprs)
     return partial.groupBy(key).agg(*merge_exprs)

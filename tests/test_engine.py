@@ -1,0 +1,49 @@
+"""Engine facade: the three entry points (SURVEY.md §4.2) — DataFrame
+DSL, Spark SQL front end over registered views, and streaming."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from morphl_community_edition_spark import Engine
+from tests.conftest import SF_DIR_SMOKE, canonicalize
+
+import pandas as pd
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return Engine(spark, sf_dir=SF_DIR_SMOKE)
+
+
+def test_sql_and_dsl_agree(engine):
+    sql = engine.sql(
+        """
+        SELECT c_mktsegment, count(*) AS cnt
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """
+    )
+    dsl = (
+        engine.table("customer")
+        .join(engine.table("orders"), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("c_mktsegment")
+    )
+    pd.testing.assert_frame_equal(
+        canonicalize(sql.toPandas()), canonicalize(dsl.toPandas()), check_dtype=False
+    )
+
+
+def test_sql_sees_repaired_events_ts(engine):
+    # the registered events view must carry the µs-repaired timestamp
+    row = engine.sql("SELECT min(ts) AS lo, max(ts) AS hi FROM events").collect()[0]
+    assert row["lo"].year == 2024 and row["hi"].year == 2024
+
+
+def test_stream_entry_is_streaming(engine):
+    df = engine.stream("events")
+    assert df.isStreaming
+    assert "ts" in df.columns
