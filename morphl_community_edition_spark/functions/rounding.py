@@ -29,7 +29,12 @@ from pyspark.sql import functions as F
 
 
 def crnd(col: Column, n: int) -> Column:
-    """Canonical round-half-up(-toward-+inf): floor(x·10ⁿ + 0.5)/10ⁿ."""
+    """Canonical round-half-up(-toward-+inf): floor(x·10ⁿ + 0.5)/10ⁿ.
+
+    Domain: |x|·10ⁿ < 2⁶³ (Spark's floor(double) yields BIGINT; DuckDB's
+    stays DOUBLE). Every engine output is ≤ ~10¹⁷ after scaling —
+    money sums at 100 TB included — so the bound never binds in
+    contract queries; verified by tests/test_rounding.py."""
     p = F.lit(float(10**n))
     return F.floor(col * p + F.lit(0.5)) / p
 

