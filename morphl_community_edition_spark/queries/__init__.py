@@ -50,6 +50,7 @@ def _load_modules() -> None:
         scalars,
         pandas_udfs,
         joins_hard,
+        subqueries,
         llm,
         workload,
     )

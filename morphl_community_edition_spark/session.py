@@ -59,6 +59,9 @@ def get_spark(app_name: str = APP_NAME, shuffle_partitions: int | None = None) -
         # this at the default — there the files outnumber the cores.
         .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_GRAFT_SPLIT", "2m"))
         .config("spark.sql.files.openCostInBytes", "524288")
+        # static conf: managed-table location for the bucketing path
+        # (bucketBy requires saveAsTable); keep it out of the repo tree
+        .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/morphl_spark_warehouse"))
     )
     spark = builder.getOrCreate()
     apply_runtime_conf(spark)

@@ -116,6 +116,36 @@ def test_salted_join_and_agg_match_plain(spark):
     assert {tuple(r) for r in plain_agg.collect()} == {tuple(r) for r in two_phase.collect()}
 
 
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """SCALE.md's C3 claim made executable: pre-bucketing both fact
+    tables on the join key removes the join shuffle entirely."""
+    import pyspark.sql.functions as F
+
+    from morphl_community_edition_spark.catalog import load_table
+    from morphl_community_edition_spark.plans import count_exchanges
+    from tests.conftest import SF_DIR_SMOKE
+
+    # warehouse dir is a static conf — session.py points it at /tmp
+    orders = load_table(spark, SF_DIR_SMOKE, "orders").select("o_orderkey", "o_orderstatus")
+    li = load_table(spark, SF_DIR_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("orders_b")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable("lineitem_b")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        joined = spark.table("orders_b").join(
+            spark.table("lineitem_b"), F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        assert count_exchanges(joined) == 0, "bucketed join must not shuffle"
+        plain = orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        assert count_exchanges(plain) >= 2, "unbucketed SMJ shuffles both sides"
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
 def test_q22_topk_no_global_sort_before_filter(spark):
     # row_number windows sort within partitions; the only global sort
     # allowed is the final presentation ORDER BY (TakeOrdered or after rn<=3)
