@@ -51,6 +51,7 @@ def _load_modules() -> None:
         pandas_udfs,
         joins_hard,
         subqueries,
+        reshape,
         llm,
         workload,
     )

@@ -51,6 +51,17 @@ def test_q28_minhash_recall_vs_exact_jaccard(spark):
     assert recall >= 0.9, f"MinHash recall {recall:.3f} over {len(truth)} true pairs"
 
 
+def test_percentile_approx_tolerance(spark):
+    """D7's approx quantile (never in oracle queries — sketch-based)
+    must land within 1% relative of the exact percentile."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    row = li.agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx"),
+        F.percentile("l_extendedprice", 0.5).alias("exact"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.01
+
+
 def test_q41_simhash_properties(spark):
     """SimHash sanity: deterministic across runs; identical docs get
     identical signatures (self-consistency of the linear pipeline)."""
