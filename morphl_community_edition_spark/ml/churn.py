@@ -45,14 +45,53 @@ def label_high_purchaser(features: DataFrame, label_col: str = "label") -> DataF
     return features.withColumn(label_col, (F.col("purchases") >= median).cast("int"))
 
 
-def build_pipeline(feature_cols: list[str] | None = None, label_col: str = "churned") -> Pipeline:
+def build_pipeline(
+    feature_cols: list[str] | None = None,
+    label_col: str = "churned",
+    algorithm: str = "lr",
+) -> Pipeline:
+    """M2: LogisticRegression (GLM-first per SURVEY.md §3 M2) or
+    GBTClassifier — both behind the same assemble→scale→fit shape."""
+    if algorithm == "lr":
+        clf = LogisticRegression(featuresCol="features", labelCol=label_col, maxIter=50, regParam=0.01)
+    elif algorithm == "gbt":
+        from pyspark.ml.classification import GBTClassifier
+
+        clf = GBTClassifier(featuresCol="features", labelCol=label_col, maxIter=20, maxDepth=3, seed=SEED)
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}; expected 'lr' or 'gbt'")
     return Pipeline(
         stages=[
             VectorAssembler(inputCols=feature_cols or FEATURE_COLS, outputCol="raw_features"),
             StandardScaler(inputCol="raw_features", outputCol="features", withMean=True, withStd=True),
-            LogisticRegression(featuresCol="features", labelCol=label_col, maxIter=50, regParam=0.01),
+            clf,
         ]
     )
+
+
+def cross_validated_lr(
+    features: DataFrame,
+    feature_cols: list[str] | None = None,
+    label_col: str = "churned",
+    n_folds: int = 3,
+):
+    """M2's CrossValidator path: small seeded grid over LR
+    regularization. Training data is one row per user (tiny next to
+    the raw events), so k-fold CV is cheap even at 100 TB of events."""
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    pipeline = build_pipeline(feature_cols, label_col, "lr")
+    lr = pipeline.getStages()[-1]
+    grid = ParamGridBuilder().addGrid(lr.regParam, [0.001, 0.01, 0.1]).build()
+    cv = CrossValidator(
+        estimator=pipeline,
+        estimatorParamMaps=grid,
+        evaluator=BinaryClassificationEvaluator(labelCol=label_col, rawPredictionCol="rawPrediction"),
+        numFolds=n_folds,
+        seed=SEED,
+        parallelism=4,
+    )
+    return cv.fit(features)
 
 
 def train_churn_model(
@@ -60,12 +99,13 @@ def train_churn_model(
     train_frac: float = 0.8,
     feature_cols: list[str] | None = None,
     label_col: str = "churned",
+    algorithm: str = "lr",
 ) -> tuple[PipelineModel, DataFrame, float]:
     """Seeded train/test split (M4 — split is seeded but never
     oracle-checked: RNG differs across engines by design), fit, and
     AUC on the held-out fraction."""
     train, test = features.randomSplit([train_frac, 1 - train_frac], seed=SEED)
-    model = build_pipeline(feature_cols, label_col).fit(train)
+    model = build_pipeline(feature_cols, label_col, algorithm).fit(train)
     scored = model.transform(test if test.count() > 0 else train)
     auc = BinaryClassificationEvaluator(labelCol=label_col, rawPredictionCol="rawPrediction").evaluate(scored)
     return model, scored, auc

@@ -31,7 +31,6 @@ from morphl_community_edition_spark.functions.rounding import (
     sql_crnd,
     sql_davg,
     sql_dsum,
-    sql_scaled_long,
     to_scaled_long,
 )
 from morphl_community_edition_spark.queries import query

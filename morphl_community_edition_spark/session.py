@@ -48,6 +48,11 @@ def get_spark(app_name: str = APP_NAME, shuffle_partitions: int | None = None) -
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # CBO + join reordering pick up table/column stats when the
+        # deployment runs ANALYZE TABLE on its managed tables
+        # (SURVEY.md §5.1); no-ops without stats, so always-on is safe.
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -52,6 +52,23 @@ def test_m4_split_seed_stable(spark, features):
     assert a == b
 
 
+def test_m2_gbt_and_crossvalidator(spark, features):
+    from morphl_community_edition_spark.ml.churn import (
+        BEHAVIOR_COLS,
+        cross_validated_lr,
+        label_high_purchaser,
+    )
+
+    labeled = label_high_purchaser(features)
+    _, _, auc_gbt = train_churn_model(
+        labeled, feature_cols=BEHAVIOR_COLS, label_col="label", algorithm="gbt"
+    )
+    assert auc_gbt >= 0.5
+    cv_model = cross_validated_lr(labeled, feature_cols=BEHAVIOR_COLS, label_col="label")
+    assert max(cv_model.avgMetrics) >= 0.55
+    assert cv_model.bestModel is not None
+
+
 def test_m5_kmeans_deterministic_and_balanced(spark):
     """M5. Note: the fixture's embeddings carry NO label structure
     (measured: same-label mean cosine 0.0016 vs cross-label 0.0003,
