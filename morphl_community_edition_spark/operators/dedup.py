@@ -54,14 +54,26 @@ def exact_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.05,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact pairwise Jaccard over n-word shingles via inverted index.
 
     Returns (a_doc, b_doc, jaccard) for pairs with J >= threshold.
+
+    ``max_doc_freq`` is the scale valve (SCALE.md, dedup family): the
+    candidate join's cost is Σ_shingle df², dominated by stop-shingles
+    shared by everything. Dropping shingles with document frequency >
+    max_doc_freq bounds the worst term; intersection AND union counts
+    both use the pruned shingle sets, so the ratio stays a true
+    Jaccard over the reduced feature space (slightly conservative for
+    boilerplate-heavy pairs — exactly the pairs MinHash still catches).
     """
     sh = word_shingles(docs.select(id_col, text_col), text_col, n).select(
         F.col(id_col).alias("doc"), F.explode("shingles").alias("s")
     )
+    if max_doc_freq is not None:
+        df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+        sh = sh.join(F.broadcast(df_counts.filter(F.col("__df") <= max_doc_freq).select("s")), "s")
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc").alias("a_doc"), "s")
     b = sh.select(F.col("doc").alias("b_doc"), "s")

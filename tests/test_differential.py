@@ -68,8 +68,29 @@ def lineitem_predicate(draw):
 @given(pred=lineitem_predicate())
 def test_fuzz_filter_count_agree(pred):
     spark_n = _ENGINES["lineitem"].filter(F.expr(pred)).count()
-    duck_n = _ENGINES["duck"].execute(f"SELECT count(*) FROM lineitem WHERE {pred}").fetchall()[0][0]
+    duck_n = _ENGINES["duck"].execute(f"SELECT count(*) FROM lineitem WHERE ({pred})").fetchall()[0][0]
     assert spark_n == duck_n, f"predicate {pred!r}: spark {spark_n} vs duckdb {duck_n}"
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pred=lineitem_predicate(),
+    join_kind=st.sampled_from(["inner", "left", "left_semi", "left_anti"]),
+)
+def test_fuzz_join_counts_agree(pred, join_kind):
+    """Random predicate under each join flavor: Spark join count ==
+    DuckDB's equivalent SQL form."""
+    li = _ENGINES["lineitem"].filter(F.expr(pred))
+    orders = load_table(_ENGINES["spark"], SF_DIR_SMOKE, "orders")
+    spark_n = orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"), join_kind).count()
+    sql = {
+        "inner": f"SELECT count(*) FROM orders JOIN (SELECT * FROM lineitem WHERE ({pred})) l ON o_orderkey = l_orderkey",
+        "left": f"SELECT count(*) FROM orders LEFT JOIN (SELECT * FROM lineitem WHERE ({pred})) l ON o_orderkey = l_orderkey",
+        "left_semi": f"SELECT count(*) FROM orders WHERE EXISTS (SELECT 1 FROM lineitem WHERE ({pred}) AND l_orderkey = o_orderkey)",
+        "left_anti": f"SELECT count(*) FROM orders WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE ({pred}) AND l_orderkey = o_orderkey)",
+    }[join_kind]
+    duck_n = _ENGINES["duck"].execute(sql).fetchall()[0][0]
+    assert spark_n == duck_n, f"{join_kind} with {pred!r}: spark {spark_n} vs duckdb {duck_n}"
 
 
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
@@ -85,7 +106,7 @@ def test_fuzz_group_counts_agree(pred, group):
     want = {
         tuple(r)
         for r in _ENGINES["duck"]
-        .execute(f"SELECT {group}, count(*) FROM lineitem WHERE {pred} GROUP BY 1")
+        .execute(f"SELECT {group}, count(*) FROM lineitem WHERE ({pred}) GROUP BY 1")
         .fetchall()
     }
     assert got == want, f"predicate {pred!r} group {group}"
