@@ -93,6 +93,47 @@ def test_fuzz_join_counts_agree(pred, join_kind):
     assert spark_n == duck_n, f"{join_kind} with {pred!r}: spark {spark_n} vs duckdb {duck_n}"
 
 
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    fn=st.sampled_from(["count", "min", "max", "rank", "row_number"]),
+    lo=st.integers(0, 5),
+    hi=st.integers(0, 5),
+    desc=st.booleans(),
+)
+def test_fuzz_window_frames_agree(fn, lo, hi, desc):
+    """Random ROWS frames / rank functions over a total order must
+    match DuckDB exactly (exact aggregates only — a float sum's
+    within-frame accumulation order is engine-specific)."""
+    from pyspark.sql import Window
+
+    spark = _ENGINES["spark"]
+    orders = load_table(spark, SF_DIR_SMOKE, "orders")
+    order_col = F.col("o_totalprice").desc() if desc else F.col("o_totalprice").asc()
+    sql_ord = f"o_totalprice {'DESC' if desc else 'ASC'}, o_orderkey"
+    w = Window.partitionBy("o_custkey").orderBy(order_col, "o_orderkey")
+    if fn in ("rank", "row_number"):
+        col = (F.rank() if fn == "rank" else F.row_number()).over(w).cast("long")
+        sql_fn = f"{fn}() OVER (PARTITION BY o_custkey ORDER BY {sql_ord})"
+    else:
+        w = w.rowsBetween(-lo, hi)
+        col = getattr(F, fn)("o_orderkey").over(w).cast("long")
+        sql_fn = (
+            f"{fn}(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY {sql_ord} "
+            f"ROWS BETWEEN {lo} PRECEDING AND {hi} FOLLOWING)"
+        )
+    got = {
+        tuple(r)
+        for r in orders.select("o_orderkey", col.alias("x")).collect()
+    }
+    want = {
+        tuple(r)
+        for r in _ENGINES["duck"]
+        .execute(f"SELECT o_orderkey, CAST({sql_fn} AS BIGINT) AS x FROM orders")
+        .fetchall()
+    }
+    assert got == want, f"{fn} frame [{lo},{hi}] desc={desc}"
+
+
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     pred=lineitem_predicate(),

@@ -1,0 +1,128 @@
+"""Null-semantics differential tests. The fixtures are null-free
+(FIXTURES.md §2), so nulls only arise inside queries (outer joins) —
+but the operator library claims null-correctness (SURVEY.md §2.2).
+These tests build the SAME null-bearing tables in both engines from
+literals and compare the sharp edges: aggregate null-skipping,
+null-safe equality, NULLS FIRST/LAST ordering (the engines' ASC
+defaults differ!), and outer-join null fabrication.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import canonicalize
+
+ROWS = [
+    (1, 10.0, "a"),
+    (2, None, "b"),
+    (3, 30.0, None),
+    (4, None, None),
+    (5, 50.0, "a"),
+]
+DUCK_VALUES = ", ".join(
+    f"({k}, {v if v is not None else 'NULL'}, {repr(s) if s is not None else 'NULL'})"
+    for k, v, s in ROWS
+)
+
+
+@pytest.fixture(scope="module")
+def t(spark):
+    return spark.createDataFrame(ROWS, "k int, v double, s string")
+
+
+@pytest.fixture(scope="module")
+def duck_t():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t(k, v, s) AS SELECT * FROM (VALUES {DUCK_VALUES})")
+    return con
+
+
+def _cmp(spark_df, duck_con, sql):
+    g = canonicalize(spark_df.toPandas())
+    w = canonicalize(duck_con.execute(sql).df())
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_aggregates_skip_nulls(t, duck_t):
+    got = t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_v"),
+        F.sum("v").alias("sum_v"),
+        F.avg("v").alias("avg_v"),  # avg over NON-NULL count
+        F.count("s").alias("n_s"),
+        F.countDistinct("s").alias("d_s"),
+    )
+    _cmp(got, duck_t, """
+        SELECT count(*) AS n_rows, count(v) AS n_v, sum(v) AS sum_v,
+               avg(v) AS avg_v, count(s) AS n_s, count(DISTINCT s) AS d_s FROM t""")
+
+
+def test_null_predicates_and_coalesce(t, duck_t):
+    got = t.select(
+        "k",
+        F.col("v").isNull().alias("v_is_null"),
+        F.coalesce("v", F.lit(-1.0)).alias("v_or"),
+        F.nullif("s", F.lit("a")).alias("s_nullif"),
+    ).orderBy("k")
+    _cmp(got, duck_t, """
+        SELECT k, v IS NULL AS v_is_null, coalesce(v, -1.0) AS v_or,
+               nullif(s, 'a') AS s_nullif FROM t ORDER BY k""")
+
+
+def test_null_safe_equality(t, duck_t):
+    # <=> (Spark) vs IS NOT DISTINCT FROM (DuckDB): NULL <=> NULL is TRUE
+    a = t.select(F.col("k").alias("ka"), F.col("s").alias("sa"))
+    b = t.select(F.col("k").alias("kb"), F.col("s").alias("sb"))
+    got = (
+        a.join(b, F.col("sa").eqNullSafe(F.col("sb")))
+        .select("ka", "kb")
+        .orderBy("ka", "kb")
+    )
+    _cmp(got, duck_t, """
+        SELECT a.k AS ka, b.k AS kb FROM t a JOIN t b
+        ON a.s IS NOT DISTINCT FROM b.s ORDER BY ka, kb""")
+
+
+def test_nulls_first_ordering_must_be_explicit(t, duck_t):
+    # SURVEY.md §5.3 rule 4: Spark ASC = NULLS FIRST, DuckDB ASC =
+    # NULLS LAST — the engines only agree when the query says which.
+    got = t.select("k", "v").orderBy(F.col("v").asc_nulls_first(), "k").limit(5)
+    want_sql = "SELECT k, v FROM t ORDER BY v ASC NULLS FIRST, k LIMIT 5"
+    g = t.sparkSession.createDataFrame(got.toPandas()).collect()
+    w = duck_t.execute(want_sql).fetchall()
+    assert [tuple(r) for r in g] == [tuple(r) for r in w]
+    # and the defaults really do differ (documents the hazard)
+    duck_default = [r[0] for r in duck_t.execute("SELECT k FROM t ORDER BY v, k").fetchall()]
+    spark_default = [r[0] for r in t.orderBy("v", "k").select("k").collect()]
+    assert duck_default != spark_default, "if equal, the NULLS FIRST rule can be relaxed"
+
+
+def test_outer_join_fabricated_nulls(t, duck_t):
+    left = t.select(F.col("k").alias("lk"), F.col("s").alias("ls")).filter(F.col("lk") <= 3)
+    right = t.select(F.col("k").alias("rk"), F.col("s").alias("rs")).filter(F.col("rk") >= 3)
+    got = (
+        left.join(right, F.col("ls") == F.col("rs"), "full")
+        .select("lk", "rk")
+        .orderBy(F.col("lk").asc_nulls_first(), F.col("rk").asc_nulls_first())
+    )
+    _cmp(got, duck_t, """
+        SELECT a.lk AS lk, b.rk AS rk
+        FROM (SELECT k AS lk, s AS ls FROM t WHERE k <= 3) a
+        FULL JOIN (SELECT k AS rk, s AS rs FROM t WHERE k >= 3) b ON ls = rs
+        ORDER BY lk NULLS FIRST, rk NULLS FIRST""")
+    # NULL join keys never match anything — both 's IS NULL' rows fabricate
+    assert got.filter(F.col("lk").isNull() | F.col("rk").isNull()).count() >= 2
+
+
+def test_decimal_aggregation_smoke(spark):
+    # DecimalType path (SURVEY.md §2.2: "available if needed")
+    df = spark.createDataFrame([(1, "1.10"), (2, "2.20"), (3, "3.30")], "k int, d string").select(
+        "k", F.col("d").cast("decimal(10,2)").alias("d")
+    )
+    row = df.agg(F.sum("d").alias("s"), F.avg("d").alias("a")).collect()[0]
+    assert str(row["s"]) == "6.60"
+    assert abs(float(row["a"]) - 2.2) < 1e-9
