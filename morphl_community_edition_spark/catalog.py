@@ -20,6 +20,7 @@ CAST, so both engines see identical microsecond instants.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -144,10 +145,20 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
-# (session-id, sf_dir, name) -> DataFrame. A DataFrame is an immutable
+# session -> {(sf_dir, name) -> DataFrame}. A DataFrame is an immutable
 # logical plan, so reuse is safe; this skips the repeated file-listing/
-# footer read when a 46-query sweep loads the same table dozens of times.
-_TABLE_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+# footer read when a 56-query sweep loads the same table dozens of
+# times. Keyed WEAKLY by the live session object — an id()-based key
+# could serve a stopped session's plans to a new session allocated at
+# the recycled address, and would never evict.
+_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = None  # type: ignore[assignment]
+
+
+def _memo_for(spark: SparkSession) -> dict:
+    global _TABLE_MEMO
+    if _TABLE_MEMO is None:
+        _TABLE_MEMO = weakref.WeakKeyDictionary()
+    return _TABLE_MEMO.setdefault(spark, {})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -158,15 +169,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    memo_key = (id(spark), sf_dir, name)
-    cached = _TABLE_MEMO.get(memo_key)
+    memo = _memo_for(spark)
+    cached = memo.get((sf_dir, name))
     if cached is not None:
         return cached
     apply_runtime_conf(spark)
     df = spark.read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
     if name == "events":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    _TABLE_MEMO[memo_key] = df
+    memo[(sf_dir, name)] = df
     return df
 
 

@@ -67,13 +67,15 @@ def sql_dsum(expr: str, k: int = 2) -> str:
 
 def davg(col: Column, k: int = 2) -> Column:
     """Exact-sum average: (Σ scaled) / 10ᵏ / n — identical op order
-    on both engines."""
+    on both engines. n counts NON-NULL values of the column (sum
+    skips nulls, so dividing by count(*) would deflate the average
+    on nullable data)."""
     return (
         F.sum(to_scaled_long(col, k)).cast("double")
         / F.lit(float(10**k))
-        / F.count(F.lit(1)).cast("double")
+        / F.count(col).cast("double")
     )
 
 
 def sql_davg(expr: str, k: int = 2) -> str:
-    return f"CAST(sum({sql_scaled_long(expr, k)}) AS DOUBLE) / 1e{k} / CAST(count(*) AS DOUBLE)"
+    return f"CAST(sum({sql_scaled_long(expr, k)}) AS DOUBLE) / 1e{k} / CAST(count({expr}) AS DOUBLE)"

@@ -29,8 +29,13 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
 
     Representative = row with min(id) per content group, selected via
     row_number over a total order (SURVEY.md §5.3 rule: dropDuplicates
-    is banned — nondeterministic survivor)."""
-    h = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]).cast("binary"))
+    is banned — nondeterministic survivor).
+
+    The content hash goes through to_json(struct(...)) rather than
+    concat_ws: concat_ws silently SKIPS null fields (and their
+    separators), so (NULL,'x') and ('x',NULL) would collide; JSON
+    keeps the field names, so null placement stays distinguishing."""
+    h = F.md5(F.to_json(F.struct(*[F.col(c) for c in content_cols])).cast("binary"))
     w = Window.partitionBy(h).orderBy(F.col(id_col))
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 

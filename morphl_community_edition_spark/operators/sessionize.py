@@ -28,12 +28,15 @@ def sessionize(
     """Add a ``sess`` column: 1-based session index per user.
 
     Gap comparison is done in integer microseconds (exact; no float
-    or interval round-off).
+    or interval round-off). The boundary is half-open to match
+    streaming ``session_window`` exactly: a session's window is
+    [first_ts, last_ts + gap), so an event arriving at EXACTLY
+    prev + gap starts a NEW session (>= break, not >).
     """
     order_cols = [F.col(ts_col)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
     w = Window.partitionBy(user_col).orderBy(*order_cols)
     gap_us = gap_minutes * 60 * 1_000_000
     ts_us = F.unix_micros(F.col(ts_col))
     prev_us = F.lag(ts_us).over(w)
-    brk = F.when(prev_us.isNull() | ((ts_us - prev_us) > gap_us), 1).otherwise(0)
+    brk = F.when(prev_us.isNull() | ((ts_us - prev_us) >= gap_us), 1).otherwise(0)
     return events.withColumn("sess", F.sum(brk).over(w))

@@ -28,7 +28,15 @@ def salted_join(
     Cost: right side inflates n_salts× (use for small-to-medium right
     sides that just miss the broadcast threshold, or cap replication
     to the known-hot keys only).
+
+    Only left-preserving modes are valid: a right/full outer join
+    would emit each unmatched right row once PER SALT REPLICA.
     """
+    if how not in ("inner", "left", "left_semi", "left_anti", "leftsemi", "leftanti", "left_outer"):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched right rows "
+            "are replicated n_salts times under right/full outer modes"
+        )
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
     right_rep = right.select("*", salts)
     left_salted = left.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))

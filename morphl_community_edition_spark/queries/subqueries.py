@@ -19,17 +19,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from morphl_community_edition_spark.catalog import load_table
-from morphl_community_edition_spark.functions.rounding import crnd, sql_crnd, sql_davg, to_scaled_long
+from morphl_community_edition_spark.functions.rounding import crnd, davg, sql_crnd, sql_davg
 from morphl_community_edition_spark.queries import query
 from morphl_community_edition_spark.queries.relational import SQL_DISC_PRICE_SUM, disc_price_scaled
 
 
 def _exact_avg(col: str):
-    return (
-        F.sum(to_scaled_long(F.col(col))).cast("double")
-        / F.lit(1e2)
-        / F.count(F.lit(1)).cast("double")
-    )
+    return davg(F.col(col))
 
 
 @query(

@@ -65,7 +65,7 @@ def q15_rank_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT * FROM {EVENTS_US}),
     g AS (SELECT user_id, ts, event_id,
             CASE WHEN lag(ts) OVER w IS NULL
-                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     s AS (SELECT user_id, ts,
             CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS sess
@@ -79,6 +79,8 @@ def q15_rank_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q16_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization; the >= break matches streaming
+    session_window's half-open [start, last+gap) semantics exactly."""
     ev = load_table(spark, sf_dir, "events")
     sessions = sessionize(ev, user_col="user_id", ts_col="ts", gap_minutes=30, order_tiebreak="event_id")
     return (

@@ -85,7 +85,16 @@ def read_stream_dir(spark: SparkSession, staged_dir: str, name: str = "events", 
     )
 
 
+# staged-dir cache: repeated Engine.stream() calls would otherwise
+# rewrite the table into a fresh orphaned temp dir every time
+_STAGED: dict[tuple[str, str, int], str] = {}
+
+
 def read_table_stream(spark: SparkSession, sf_dir: str, name: str = "events", max_files: int = 1) -> DataFrame:
     """Stage + open in one call (Engine.stream)."""
-    staged = stage_stream_input(spark, sf_dir, name)
+    key = (sf_dir, name, 8)
+    staged = _STAGED.get(key)
+    if staged is None or not os.path.isdir(staged):
+        staged = stage_stream_input(spark, sf_dir, name)
+        _STAGED[key] = staged
     return read_stream_dir(spark, staged, name, max_files)

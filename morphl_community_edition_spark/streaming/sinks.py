@@ -1,7 +1,6 @@
 """Streaming sinks (I8): memory (testing), parquet append, and the
 foreachBatch keyed-upsert that mirrors the reference's daily
-prediction write into Cassandra (L6) — each micro-batch overwrites
-the partitions it touches, so replays are idempotent.
+prediction write into Cassandra (L6).
 """
 
 from __future__ import annotations
@@ -9,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+
+N_BUCKETS = 64
 
 
 def to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> StreamingQuery:
@@ -22,17 +23,34 @@ def to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> Stream
 
 
 def foreach_batch_upsert(df: DataFrame, path: str, key_cols: list[str], output_mode: str = "update") -> StreamingQuery:
-    """Upsert-by-overwrite-partition: partition the sink by a stable
-    hash bucket of the key; each batch rewrites only touched buckets."""
+    """True keyed upsert into bucketed parquet: each micro-batch
+    MERGES into the buckets it touches — existing rows for other keys
+    in the same bucket are carried over, rows matching the batch's
+    keys are replaced. (A bare overwrite-partition write would drop
+    every co-bucketed key the batch didn't mention.)
+
+    Scale: per batch, only touched buckets are read+rewritten —
+    bounded by batch key-spread, not table size. The merged frame is
+    localCheckpoint'ed before the write because it reads the same
+    files the write replaces.
+    """
+
+    def bucketed(frame: DataFrame) -> DataFrame:
+        return frame.withColumn("__bucket", F.pmod(F.xxhash64(*key_cols), F.lit(N_BUCKETS)))
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (
-            batch.withColumn("__bucket", F.pmod(F.xxhash64(*key_cols), F.lit(64)))
-            .write.mode("overwrite")
-            .partitionBy("__bucket")
-            .parquet(path)
-        )
+        batch = bucketed(batch)
+        touched = [r[0] for r in batch.select("__bucket").distinct().collect()]
+        try:
+            existing = spark.read.parquet(path).filter(F.col("__bucket").isin(touched))
+            carried = existing.join(batch.select(*key_cols).distinct(), key_cols, "left_anti")
+            merged = carried.unionByName(batch)
+        except Exception:  # first batch: nothing to merge
+            merged = batch
+        # materialize before overwriting the files we just read
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").partitionBy("__bucket").parquet(path)
 
     return df.writeStream.foreachBatch(upsert).outputMode(output_mode).trigger(availableNow=True).start()

@@ -141,6 +141,29 @@ def test_s4_stream_static_join(spark, staged, events_batch):
     assert_frames_equal(got, want)
 
 
+def test_s4_foreachbatch_upsert_merges_not_overwrites(spark, staged, events_batch, tmp_path):
+    """The upsert sink must MERGE into touched buckets: update-mode
+    batches carry only changed keys, so a bare overwrite-partition
+    write would silently drop every co-bucketed key a later batch
+    didn't mention (regression test for exactly that bug)."""
+    from morphl_community_edition_spark.streaming.sinks import foreach_batch_upsert
+
+    out = str(tmp_path / "sink")
+    stream = read_stream_dir(spark, staged)
+    q = foreach_batch_upsert(running_user_counts(stream), out, key_cols=["user_id"])
+    deadline = time.time() + 600
+    while q.isActive and time.time() < deadline:
+        q.awaitTermination(5)
+    assert not q.isActive and q.exception() is None
+    final = spark.read.parquet(out)
+    want = events_batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("running_count"))
+    # every user present exactly once, with the final cumulative count
+    assert final.count() == want.count()
+    g = {(r["user_id"], r["running_count"]) for r in final.collect()}
+    w = {(r["user_id"], r["running_count"]) for r in want.collect()}
+    assert g == w
+
+
 def test_s4_stateful_running_counts(spark, staged, events_batch):
     stream = read_stream_dir(spark, staged)
     got = run_stream(spark, running_user_counts(stream), "s4_state", mode="update")
