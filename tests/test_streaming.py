@@ -124,6 +124,57 @@ def test_s3_dedup_within_watermark(spark, staged, events_batch, tmp_path):
     assert got.select("event_id").distinct().count() == n
 
 
+def test_checkpoint_recovery_exactly_once(spark, staged, events_batch, tmp_path):
+    """Kill a stateful stream mid-input, restart from its checkpoint:
+    the resumed query must finish with EXACTLY the batch result — no
+    lost chunks, no double counting (file source + state store
+    recovery, the property that makes daily-pipeline restarts safe)."""
+    ckpt = str(tmp_path / "ckpt")
+    out_name = "ckpt_counts"
+
+    def start():
+        stream = read_stream_dir(spark, staged)
+        agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+        return (
+            agg.writeStream.format("memory")
+            .queryName(out_name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+
+    q = start()
+    # let it process SOME but not all chunks, then kill it
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if any(p["numInputRows"] > 0 for p in (q.recentProgress or [])):
+            break
+        time.sleep(0.5)
+    q.stop()
+    # restart from the same checkpoint, run to completion
+    stream = read_stream_dir(spark, staged)
+    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    q2 = (
+        agg.writeStream.format("memory")
+        .queryName(out_name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    deadline = time.time() + 600
+    while q2.isActive and time.time() < deadline:
+        q2.awaitTermination(5)
+    assert not q2.isActive and q2.exception() is None
+    got = {tuple(r) for r in spark.sql(f"SELECT * FROM {out_name}").collect()}
+    want = {
+        tuple(r)
+        for r in events_batch.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert got == want, f"post-recovery result diverged: {got ^ want}"
+
+
 def test_s4_stream_static_join(spark, staged, events_batch):
     customer = load_table(spark, SF_DIR_SMOKE, "customer").withColumn("uid", F.col("c_custkey") % 150)
     stream = read_stream_dir(spark, staged)
