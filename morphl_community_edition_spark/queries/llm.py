@@ -19,6 +19,7 @@ from morphl_community_edition_spark.operators.dedup import (
     simhash_signatures,
 )
 from morphl_community_edition_spark.operators.multimodal import attach_media, extract_features
+from morphl_community_edition_spark.operators.quality_checks import profile
 from morphl_community_edition_spark.operators.similarity import cosine_pairs_threshold_gemm, cosine_topk_per_query
 from morphl_community_edition_spark.operators.textstats import (
     LANG_PRIORITY,
@@ -301,6 +302,36 @@ def q47_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("wstart"), "event_type", "cnt")
         .orderBy("wstart", "event_type")
     )
+
+
+@query(
+    "q57_data_profile",
+    oracle="""
+    SELECT 'l_quantity' AS col_name, count(*) AS n_rows,
+           count(*) - count(l_quantity) AS n_nulls,
+           count(DISTINCT l_quantity) AS n_distinct,
+           CAST(min(l_quantity) AS VARCHAR) AS min_s, CAST(max(l_quantity) AS VARCHAR) AS max_s
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+           count(DISTINCT l_returnflag), CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_linenumber', count(*), count(*) - count(l_linenumber),
+           count(DISTINCT l_linenumber), CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR)
+    FROM lineitem
+    ORDER BY col_name
+    """,
+)
+def q57_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling gate (operators/quality_checks.py): one wide
+    aggregation pass → long-format per-column stats.
+
+    Note: doubles stringify identically here because l_quantity values
+    are integral; general float formatting across engines is NOT
+    canonical — profile consumers compare numbers, not strings."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile(li, ["l_quantity", "l_returnflag", "l_linenumber"]).orderBy("col_name")
 
 
 @query(

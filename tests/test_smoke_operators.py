@@ -104,6 +104,26 @@ def test_k5_multimodal_write_roundtrip(spark, tmp_path):
     assert feats.count() == media.count()
 
 
+def test_quality_expectations(spark):
+    from morphl_community_edition_spark.operators.quality_checks import Expectation, check_expectations
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents")
+    clean = check_expectations(
+        docs,
+        [
+            Expectation("doc_id", unique=True),
+            Expectation("text", max_null_ratio=0.0, min_distinct=100),
+            Expectation("lang", min_distinct=2),
+        ],
+    )
+    assert clean == []
+    # violations fire: lang is low-cardinality, source is not unique
+    dirty = check_expectations(
+        docs, [Expectation("lang", min_distinct=1000), Expectation("source", unique=True)]
+    )
+    assert len(dirty) == 2 and "distinct" in dirty[0] and "not unique" in dirty[1]
+
+
 # ---- property-based consistency checks (SURVEY.md §5.4) ----
 
 
