@@ -39,3 +39,12 @@ class Engine:
         from morphl_community_edition_spark.sources.stream import read_table_stream
 
         return read_table_stream(self.spark, self.sf_dir, name, max_files_per_trigger)
+
+    def run(self, query_name: str) -> DataFrame:
+        """Run a registered contract query by name (see
+        morphl_community_edition_spark.queries.QUERIES for the list)."""
+        from morphl_community_edition_spark.queries import QUERIES
+
+        if query_name not in QUERIES:
+            raise KeyError(f"unknown query {query_name!r}; registered: {sorted(QUERIES)[:8]}...")
+        return QUERIES[query_name](self.spark, self.sf_dir)

@@ -52,6 +52,7 @@ def _load_modules() -> None:
         joins_hard,
         subqueries,
         reshape,
+        arrays,
         llm,
         workload,
     )
