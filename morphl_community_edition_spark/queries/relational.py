@@ -260,6 +260,66 @@ def q06_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _grouping_sets(spark, sf_dir, "rollup")
 
 
+@query(
+    "q60_grouping_sets",
+    oracle=f"""
+    SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+           coalesce(l_linestatus, 'ALL') AS lstatus,
+           {sql_crnd(sql_dsum("l_extendedprice"), 2)} AS sum_price,
+           count(*) AS cnt
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    ORDER BY rflag, lstatus
+    """,
+)
+def q60_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (D5 beyond rollup/cube): one pass, two
+    disjoint grouping shapes — Spark 4's DataFrame.groupingSets."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [[F.col("l_returnflag")], [F.col("l_linestatus")]],
+            F.col("l_returnflag"),
+            F.col("l_linestatus"),
+        )
+        .agg(
+            crnd(dsum(F.col("l_extendedprice")), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("rflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("lstatus"),
+            "sum_price",
+            "cnt",
+        )
+        .orderBy("rflag", "lstatus")
+    )
+
+
+@query(
+    "q61_regex_predicates",
+    oracle="""
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE regexp_matches(p_name, '^(red|green|blue) ')
+      AND NOT regexp_matches(p_type, 'PROMO|ECONOMY')
+    ORDER BY p_partkey
+    LIMIT 300
+    """,
+)
+def q61_regex_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rlike predicate breadth (B2/H1): anchored alternation +
+    negated match, pushed to the scan as much as Catalyst allows."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_name").rlike("^(red|green|blue) "))
+        .filter(~F.col("p_type").rlike("PROMO|ECONOMY"))
+        .select("p_partkey", "p_name", "p_type")
+        .orderBy("p_partkey")
+        .limit(300)
+    )
+
+
 @query("q07_cube", oracle=_ROLLUP_ORACLE.format(grouping_op="CUBE"))
 def q07_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _grouping_sets(spark, sf_dir, "cube")
