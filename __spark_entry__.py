@@ -12,11 +12,19 @@ of every contract entry, so this file just re-exports it.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from morphl_community_edition_spark.queries import ORACLE_SQL, QUERIES
+# robust under spec-style imports: make the engine package importable
+# even when the driver loads this file without chdir'ing to the repo
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from morphl_community_edition_spark.queries import ORACLE_SQL, QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -86,6 +86,10 @@ def apply_runtime_conf(spark: SparkSession) -> None:
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        # pin to the value the whole oracle contract was validated
+        # under (Spark 4 default) — a harness session that flips it
+        # would change cast/overflow semantics mid-contract
+        ("spark.sql.ansi.enabled", "true"),
     ):
         try:
             spark.conf.set(key, value)
