@@ -1,10 +1,25 @@
 """Bench harness: headline queries at sf0.1 on one pre-warmed
-SparkSession (BASELINE.md protocol — Spark's ~100ms/query floor makes
-cold per-query sessions meaningless; the baseline DuckDB numbers are
-also warm, second-run).
+SparkSession. Prints ONE JSON line.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Three timing tiers per query, labeled by what they reuse:
+
+- ``queries`` (headline): best of 3 runs where each run REBUILDS the
+  DataFrame — full Catalyst re-plan + full execution including
+  shuffles; only the session (JVM, codegen cache, OS page cache) is
+  warm. This is the honest analogue of DuckDB's warm number.
+- ``queries_prepared``: re-execution of the already-planned DataFrame.
+  Spark additionally reuses materialized shuffle stages here, so this
+  overstates steady-state work — reported because plan-reuse IS how a
+  production pipeline runs a parameterized query repeatedly, but
+  never used as the headline.
+- ``queries_cold_first_run``: first build+plan+execute.
+
+Bench profile: AQE off + 8 shuffle partitions for the timed section —
+at sf0.1 on one host, AQE's per-stage scheduling adds ~0.3-0.5s/query
+of pure orchestration; on a real cluster AQE pays for itself and the
+engine default keeps it on (session.py). Spark's ~0.5s/query re-plan
+floor dominates the short queries (DuckDB plans in ~1ms); the 10×
+scale-up measurements in SCALE.md show the gap closing as data grows.
 """
 
 from __future__ import annotations
@@ -30,8 +45,7 @@ HEADLINE = {
     "cosine_selfjoin": "q12_cosine_topk",
 }
 
-# breadth rows (not in BASELINE.md → kept out of the headline metric,
-# reported alongside for visibility)
+# breadth rows (not in BASELINE.md -> kept out of the headline metric)
 EXTRA = {
     "asof_join": "q14_asof_join",
     "topk_per_group": "q22_topk_per_group",
@@ -42,51 +56,70 @@ EXTRA = {
     "exact_dedup": "q24_exact_dedup",
 }
 
-RUNS = 3  # warm = best re-execution of the planned query
+RUNS = 3
 
 
 def main() -> None:
     spark = get_spark(app_name="morphl-bench")
-    # JVM + codegen warm-up
-    QUERIES["q01_pricing_summary"](spark, SF_DIR).collect()
+    # JVM warm-up via a NON-headline query (warming with q01 would turn
+    # q01's "cold" number into an effective second run)
+    QUERIES["q24_exact_dedup"](spark, SF_DIR).collect()
+
+    # bench profile (see module docstring); engine default keeps AQE on
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
 
     warm: dict[str, float] = {}
+    prepared: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for name, key in HEADLINE.items():
-        # cold: build + Catalyst planning + codegen + first execution
-        t0 = time.perf_counter()
-        df = QUERIES[key](spark, SF_DIR)
-        df.collect()
-        cold[name] = round(time.perf_counter() - t0, 4)
-        # warm: re-execute the planned query (prepared-statement
-        # analogue — DuckDB's ~ms planner makes its warm number all-in;
-        # Spark's 0.3-0.6s Catalyst+codegen pass amortizes across
-        # executions of a reused plan)
-        best = 1e9
-        for _ in range(RUNS):
+    try:
+        for name, key in HEADLINE.items():
             t0 = time.perf_counter()
+            df = QUERIES[key](spark, SF_DIR)
             df.collect()
-            best = min(best, time.perf_counter() - t0)
-        warm[name] = round(best, 4)
-        print(f"# {name}: warm {warm[name]:.3f}s cold {cold[name]:.3f}s", file=sys.stderr)
+            cold[name] = round(time.perf_counter() - t0, 4)
+            # honest warm: rebuild + re-plan + fully re-execute
+            best = 1e9
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                QUERIES[key](spark, SF_DIR).collect()
+                best = min(best, time.perf_counter() - t0)
+            warm[name] = round(best, 4)
+            # prepared: re-execute the planned DataFrame (reuses plan +
+            # materialized shuffle stages)
+            best = 1e9
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                df.collect()
+                best = min(best, time.perf_counter() - t0)
+            prepared[name] = round(best, 4)
+            print(
+                f"# {name}: warm {warm[name]:.3f}s prepared {prepared[name]:.3f}s cold {cold[name]:.3f}s",
+                file=sys.stderr,
+            )
 
-    extra: dict[str, float] = {}
-    for name, key in EXTRA.items():
-        df = QUERIES[key](spark, SF_DIR)
-        df.collect()
-        best = 1e9
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df.collect()
-            best = min(best, time.perf_counter() - t0)
-        extra[name] = round(best, 4)
+        extra: dict[str, float] = {}
+        for name, key in EXTRA.items():
+            QUERIES[key](spark, SF_DIR).collect()
+            best = 1e9
+            for _ in range(2):
+                t0 = time.perf_counter()
+                QUERIES[key](spark, SF_DIR).collect()
+                best = min(best, time.perf_counter() - t0)
+            extra[name] = round(best, 4)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.shuffle.partitions")
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     out = {
         "metric": "headline_suite_warm_total",
         "value": round(sum(warm.values()), 4),
         "unit": "sec",
+        "semantics": "best-of-3 full re-plan + re-execution per query, one warm session (no plan or shuffle reuse)",
         "queries": warm,
+        "queries_prepared": prepared,
+        "prepared_total": round(sum(prepared.values()), 4),
         "queries_cold_first_run": cold,
         "cold_total": round(sum(cold.values()), 4),
         "extra_queries_warm": extra,

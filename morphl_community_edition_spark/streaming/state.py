@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -34,8 +35,11 @@ def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd
     cnt, val_cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         cnt += len(pdf)
-        # integer cents: exact accumulation across micro-batches
-        val_cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        # integer cents: exact accumulation across micro-batches —
+        # floor(x*100 + 0.5), the SAME half-up rule as the engine's
+        # to_scaled_long (pandas .round() is half-even and would
+        # disagree on exact-half cents)
+        val_cents += int(np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64").sum())
     state.update((cnt, val_cents))
     yield pd.DataFrame(
         {"user_id": [user_id], "running_count": [cnt], "running_value": [val_cents / 100.0]}

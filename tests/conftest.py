@@ -50,7 +50,7 @@ def canonicalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf
 
 
-def compare_with_oracle(spark_df, duck_con, oracle_sql: str, check_exact: bool = True) -> None:
+def compare_with_oracle(spark_df, duck_con, oracle_sql: str) -> None:
     got = canonicalize(spark_df.toPandas())
     want = canonicalize(duck_con.execute(oracle_sql).df())
     assert list(got.columns) == list(want.columns), f"columns differ: {list(got.columns)} vs {list(want.columns)}"
@@ -59,7 +59,7 @@ def compare_with_oracle(spark_df, duck_con, oracle_sql: str, check_exact: bool =
         g, w = got[c], want[c]
         if pd.api.types.is_float_dtype(g.dtype):
             both_nan = g.isna() & w.isna()
-            close = np.isclose(g.fillna(0), w.fillna(0), rtol=0, atol=0 if check_exact else 1e-9)
+            close = np.isclose(g.fillna(0), w.fillna(0), rtol=0, atol=0)
             bad = ~(both_nan | (close & (g.isna() == w.isna())))
             assert not bad.any(), (
                 f"column {c}: {bad.sum()} mismatches, first: "

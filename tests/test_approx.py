@@ -71,10 +71,11 @@ def test_q41_simhash_properties(spark):
     assert a == b
     assert all(0 <= v < (1 << 60) for v in a.values())
     # a doc's signature equals the signature of an identical copy
-    dup = docs.limit(1).withColumn("doc_id", F.lit(999_999).cast("long"))
+    one = docs.orderBy("doc_id").limit(1)  # LIMIT without ORDER BY is nondeterministic
+    dup = one.withColumn("doc_id", F.lit(999_999).cast("long"))
     sigs = {
         r["doc_id"]: r["simhash"]
-        for r in simhash_signatures(docs.limit(1).unionByName(dup)).collect()
+        for r in simhash_signatures(one.unionByName(dup)).collect()
     }
     assert len(set(sigs.values())) == 1
 

@@ -33,8 +33,11 @@ def engines(spark):
     # re-scan the file per example
     _ENGINES["lineitem"] = load_table(spark, SF_DIR_SMOKE, "lineitem").cache()
     _ENGINES["lineitem"].count()
+    _ENGINES["orders"] = load_table(spark, SF_DIR_SMOKE, "orders").cache()
+    _ENGINES["orders"].count()
     yield
     _ENGINES["lineitem"].unpersist()
+    _ENGINES["orders"].unpersist()
     _ENGINES.clear()
 
 
@@ -81,7 +84,7 @@ def test_fuzz_join_counts_agree(pred, join_kind):
     """Random predicate under each join flavor: Spark join count ==
     DuckDB's equivalent SQL form."""
     li = _ENGINES["lineitem"].filter(F.expr(pred))
-    orders = load_table(_ENGINES["spark"], SF_DIR_SMOKE, "orders")
+    orders = _ENGINES["orders"]
     spark_n = orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"), join_kind).count()
     sql = {
         "inner": f"SELECT count(*) FROM orders JOIN (SELECT * FROM lineitem WHERE ({pred})) l ON o_orderkey = l_orderkey",
@@ -106,8 +109,7 @@ def test_fuzz_window_frames_agree(fn, lo, hi, desc):
     within-frame accumulation order is engine-specific)."""
     from pyspark.sql import Window
 
-    spark = _ENGINES["spark"]
-    orders = load_table(spark, SF_DIR_SMOKE, "orders")
+    orders = _ENGINES["orders"]
     order_col = F.col("o_totalprice").desc() if desc else F.col("o_totalprice").asc()
     sql_ord = f"o_totalprice {'DESC' if desc else 'ASC'}, o_orderkey"
     w = Window.partitionBy("o_custkey").orderBy(order_col, "o_orderkey")

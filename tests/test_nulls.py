@@ -92,7 +92,7 @@ def test_nulls_first_ordering_must_be_explicit(t, duck_t):
     # NULLS LAST — the engines only agree when the query says which.
     got = t.select("k", "v").orderBy(F.col("v").asc_nulls_first(), "k").limit(5)
     want_sql = "SELECT k, v FROM t ORDER BY v ASC NULLS FIRST, k LIMIT 5"
-    g = t.sparkSession.createDataFrame(got.toPandas()).collect()
+    g = got.collect()
     w = duck_t.execute(want_sql).fetchall()
     assert [tuple(r) for r in g] == [tuple(r) for r in w]
     # and the defaults really do differ (documents the hazard)

@@ -49,10 +49,10 @@ def test_a5_partitioned_sink_dynamic_overwrite(spark, tmp_path):
     assert len([d for d in os.listdir(out) if d.startswith("day=")]) == n_days
     # dynamic overwrite: rewriting ONE day must leave the others intact
     one_day = ev.filter(F.col("day") == ev.agg(F.min("day")).collect()[0][0])
-    write_parquet_partitioned(one_day.withColumn("value", F.lit(0.0)), out, partition_by=["day"])
+    write_parquet_partitioned(one_day.withColumn("value", F.lit(-1.0)), out, partition_by=["day"])
     back = spark.read.parquet(out)
     assert back.count() == ev.count()
-    assert back.filter(F.col("value") == 0.0).count() == one_day.count()
+    assert back.filter(F.col("value") == -1.0).count() == one_day.count()
 
 
 def test_j4_udtf_matches_builtin_shingles(spark):
