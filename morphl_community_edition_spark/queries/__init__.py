@@ -45,6 +45,7 @@ def _load_modules() -> None:
     # Import for side effect: each module registers its queries.
     from morphl_community_edition_spark.queries import (  # noqa: F401
         relational,
+        tpch,
         windows,
         windows_extra,
         scalars,
