@@ -56,14 +56,21 @@ EXTRA = {
     "exact_dedup": "q24_exact_dedup",
 }
 
-RUNS = 3
+# best-of-5: single-JVM local mode has real run-to-run jitter (GC,
+# JIT recompilation, VM CPU scheduling) — 3 runs left ±30% noise in
+# back-to-back suite totals, 5 stabilizes the minimum
+RUNS = 5
 
 
 def main() -> None:
     spark = get_spark(app_name="morphl-bench")
-    # JVM warm-up via a NON-headline query (warming with q01 would turn
-    # q01's "cold" number into an effective second run)
+    # Warm-up via NON-headline queries (warming with q01 would turn
+    # q01's "cold" number into an effective second run): q24 primes the
+    # JVM/codegen/scan path, q27 primes the Python worker pool + Arrow
+    # channel so the first pandas-UDF headline query (cosine GEMM)
+    # doesn't pay worker spin-up inside its measurement.
     QUERIES["q24_exact_dedup"](spark, SF_DIR).collect()
+    QUERIES["q27_pandas_udf"](spark, SF_DIR).collect()
 
     # bench profile (see module docstring); engine default keeps AQE on
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -116,7 +123,7 @@ def main() -> None:
         "metric": "headline_suite_warm_total",
         "value": round(sum(warm.values()), 4),
         "unit": "sec",
-        "semantics": "best-of-3 full re-plan + re-execution per query, one warm session (no plan or shuffle reuse)",
+        "semantics": f"best-of-{RUNS} full re-plan + re-execution per query, one warm session (no plan or shuffle reuse)",
         "queries": warm,
         "queries_prepared": prepared,
         "prepared_total": round(sum(prepared.values()), 4),

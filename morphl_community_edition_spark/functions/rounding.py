@@ -79,3 +79,31 @@ def davg(col: Column, k: int = 2) -> Column:
 
 def sql_davg(expr: str, k: int = 2) -> str:
     return f"CAST(sum({sql_scaled_long(expr, k)}) AS DOUBLE) / 1e{k} / CAST(count({expr}) AS DOUBLE)"
+
+
+# --- expr-text twins -------------------------------------------------
+# Building deep Column trees in Python costs one Py4J round trip per
+# node (~0.2-0.3s per rebuild for a 7-aggregate query — measured, see
+# bench.py). These helpers hand Spark the SAME canonical SQL text the
+# DuckDB oracle runs: one round trip total, parsed JVM-side, and zero
+# possibility of drift between the two engines' expression forms.
+# Spark-vs-DuckDB note: the CAST(... AS BIGINT)/(AS DOUBLE) casts in
+# the shared text are exact no-ops on the Spark side (floor(double) is
+# already BIGINT; sum(BIGINT) is BIGINT where DuckDB widens to
+# HUGEINT), so both engines execute the identical arithmetic.
+
+
+def xdsum(expr: str, k: int = 2, n: int = 2) -> Column:
+    """Exact k-decimal sum, canonically rounded to n digits — built
+    from the oracle's own SQL text."""
+    return F.expr(sql_crnd(sql_dsum(expr, k), n))
+
+
+def xdavg(expr: str, k: int = 2, n: int = 6) -> Column:
+    """Exact-sum average, canonically rounded — from the oracle text."""
+    return F.expr(sql_crnd(sql_davg(expr, k), n))
+
+
+def xcrnd(expr: str, n: int) -> Column:
+    """Canonical round of an arbitrary SQL expression text."""
+    return F.expr(sql_crnd(expr, n))

@@ -32,6 +32,7 @@ from morphl_community_edition_spark.catalog import load_table
 from morphl_community_edition_spark.functions.rounding import (
     crnd,
     dsum,
+    xcrnd,
     sql_crnd,
     sql_dsum,
     sql_scaled_long,
@@ -41,7 +42,6 @@ from morphl_community_edition_spark.queries import query
 from morphl_community_edition_spark.queries.relational import (
     SQL_DISC_PRICE_SUM,
     disc_price_scaled,
-    sum_disc_price,
 )
 
 
@@ -181,7 +181,7 @@ def q64_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(crnd(sum_disc_price(), 2).alias("rev"))
+        .agg(xcrnd(SQL_DISC_PRICE_SUM, 2).alias("rev"))
         .select("c_custkey", "c_name", "rev", "c_acctbal", "n_name")
         .orderBy(F.col("rev").desc(), "c_custkey")
         .limit(20)
@@ -411,7 +411,7 @@ def q70_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
-        .agg(crnd(sum_disc_price(), 2).alias("revenue"))
+        .agg(xcrnd(SQL_DISC_PRICE_SUM, 2).alias("revenue"))
     )
 
 
