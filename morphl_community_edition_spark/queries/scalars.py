@@ -214,3 +214,55 @@ def q27_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id")
         .limit(2000)
     )
+
+
+@query(
+    "q72_percentiles",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_crnd("quantile_cont(l_quantity, 0.25)", 6)} AS p25,
+           {sql_crnd("quantile_cont(l_quantity, 0.5)", 6)}  AS p50,
+           {sql_crnd("quantile_cont(l_quantity, 0.9)", 6)}  AS p90,
+           {sql_crnd("quantile_cont(l_extendedprice, 0.5)", 6)} AS price_median,
+           count(*) AS cnt
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q72_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (D7): Spark `percentile` and
+    DuckDB `quantile_cont` share the (1-f)·lo + f·hi interpolation, so
+    on any data the raw doubles agree to 1 ulp and the canonical
+    round-6 makes them hash-identical. This is the exact (sort-based)
+    path — the sketch-based scale path is q73_approx_percentile."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            crnd(F.expr("percentile(l_quantity, 0.25)"), 6).alias("p25"),
+            crnd(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50"),
+            crnd(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90"),
+            crnd(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("price_median"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query("q73_approx_percentile")  # no oracle: t-digest/GK sketches are engine-specific by design
+def q73_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (D7 scale path): Greenwald-Khanna sketch,
+    single pass, mergeable across partitions — at 100 TB the exact
+    percentile's global sort is the bottleneck; the sketch is O(1/eps)
+    memory per group. Accuracy vs the exact twin is asserted in
+    tests/test_approx.py (rank error well inside 1/accuracy)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("approx_median"),
+            F.expr("approx_percentile(l_extendedprice, 0.99, 10000)").alias("approx_p99"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -26,6 +26,14 @@ def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = N
     return reader.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """ORC source (A2 breadth): Spark's other vectorized columnar
+    format — same pushdown/pruning behavior as parquet. Schema is
+    optional because ORC carries its own; pass one to pin it."""
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    return reader.orc(path)
+
+
 def read_cassandra(spark: SparkSession, keyspace: str, table: str) -> DataFrame:
     """A4 parity shim: the reference's store is Cassandra (wide rows
     keyed by client_id [PUBLIC, SURVEY.md §1]); this engine's canonical

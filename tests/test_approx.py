@@ -115,3 +115,22 @@ def test_lsh_cosine_recall_vs_exact(spark):
     recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
     avg = sum(recalls) / len(recalls)
     assert avg >= 0.6, f"LSH KNN recall {avg:.2f}"
+
+
+def test_q73_approx_percentile_tolerance(spark):
+    """D7 scale path: GK sketch at accuracy=10000 must land within
+    0.5% relative error of the exact interpolated percentile."""
+    approx = {r["l_returnflag"]: r for r in QUERIES["q73_approx_percentile"](spark, SF_DIR).collect()}
+    exact = {
+        r["l_returnflag"]: r
+        for r in load_table(spark, SF_DIR, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("m"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    for flag, ex in exact.items():
+        assert abs(approx[flag]["approx_median"] - ex["m"]) / ex["m"] < 0.005
+        assert abs(approx[flag]["approx_p99"] - ex["p99"]) / ex["p99"] < 0.005

@@ -20,6 +20,7 @@ from morphl_community_edition_spark.queries import QUERIES
 from morphl_community_edition_spark.sources.batch import (
     read_csv,
     read_json,
+    read_orc,
     write_parquet_partitioned,
 )
 from tests.conftest import SF_DIR, SF_DIR_SMOKE
@@ -39,6 +40,17 @@ def test_a2_csv_json_roundtrip(spark, tmp_path):
     )
     assert read_csv(spark, csv_dir, schema).count() == docs.count()
     assert read_json(spark, json_dir, schema).count() == docs.count()
+
+
+def test_a2_orc_roundtrip(spark, tmp_path):
+    docs = load_table(spark, SF_DIR_SMOKE, "documents")
+    orc_dir = str(tmp_path / "orc")
+    docs.write.mode("overwrite").orc(orc_dir)
+    back = read_orc(spark, orc_dir)
+    assert back.count() == docs.count()
+    assert set(back.columns) == set(docs.columns)
+    # predicate + projection still push into the ORC scan
+    assert back.filter(back.n_chars > 0).select("doc_id").count() == docs.filter(docs.n_chars > 0).count()
 
 
 def test_a5_partitioned_sink_dynamic_overwrite(spark, tmp_path):
