@@ -53,19 +53,12 @@ SQL_CHARGE_SUM = f"CAST(sum({_EXT_C} * (100 - {_DISC_B}) * (100 + {_TAX_B})) AS 
 
 
 def disc_price_scaled() -> F.Column:
-    """lineitem revenue in exact 1e-4 units (bigint)."""
+    """lineitem revenue in exact 1e-4 units (bigint). Column-tree twin
+    of SQL_DISC_PRICE_SUM's per-row term, for call sites that compose
+    it inside conditionals (q63's CASE, q66's promo share)."""
     return to_scaled_long(F.col("l_extendedprice")) * (
         F.lit(100) - to_scaled_long(F.col("l_discount"))
     )
-
-
-def charge_scaled() -> F.Column:
-    """lineitem charge in exact 1e-6 units (bigint)."""
-    return disc_price_scaled() * (F.lit(100) + to_scaled_long(F.col("l_tax")))
-
-
-def sum_disc_price() -> F.Column:
-    return F.sum(disc_price_scaled()).cast("double") / F.lit(1e4)
 
 
 @query(

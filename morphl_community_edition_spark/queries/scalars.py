@@ -14,7 +14,14 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
 from morphl_community_edition_spark.catalog import load_table
-from morphl_community_edition_spark.functions.rounding import crnd, dsum, sql_crnd, sql_dsum, to_scaled_long
+from morphl_community_edition_spark.functions.rounding import (
+    crnd,
+    dsum,
+    sql_crnd,
+    sql_dsum,
+    sql_scaled_long,
+    to_scaled_long,
+)
 from morphl_community_edition_spark.queries import query
 from morphl_community_edition_spark.queries.windows import EVENTS_US
 
@@ -220,10 +227,10 @@ def q27_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q72_percentiles",
     oracle=f"""
     SELECT l_returnflag,
-           {sql_crnd("quantile_cont(l_quantity, 0.25)", 6)} AS p25,
-           {sql_crnd("quantile_cont(l_quantity, 0.5)", 6)}  AS p50,
-           {sql_crnd("quantile_cont(l_quantity, 0.9)", 6)}  AS p90,
-           {sql_crnd("quantile_cont(l_extendedprice, 0.5)", 6)} AS price_median,
+           {sql_crnd(f"quantile_cont({sql_scaled_long('l_quantity')}, 0.25) / 1e2", 6)} AS p25,
+           {sql_crnd(f"quantile_cont({sql_scaled_long('l_quantity')}, 0.5) / 1e2", 6)}  AS p50,
+           {sql_crnd(f"quantile_cont({sql_scaled_long('l_quantity')}, 0.9) / 1e2", 6)}  AS p90,
+           {sql_crnd(f"quantile_cont({sql_scaled_long('l_extendedprice')}, 0.5) / 1e2", 6)} AS price_median,
            count(*) AS cnt
     FROM lineitem
     GROUP BY l_returnflag
@@ -231,19 +238,31 @@ def q27_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q72_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (D7): Spark `percentile` and
-    DuckDB `quantile_cont` share the (1-f)·lo + f·hi interpolation, so
-    on any data the raw doubles agree to 1 ulp and the canonical
-    round-6 makes them hash-identical. This is the exact (sort-based)
-    path — the sketch-based scale path is q73_approx_percentile."""
+    """Exact interpolated percentiles (D7), computed over the exact
+    scaled-long form of each 2-decimal column so both engines
+    interpolate between identical integers (arbitrary-double inputs
+    would reintroduce the cross-engine 1-ulp hazard rounding.py
+    exists to kill). Residual risk: Spark interpolates lo+(hi-lo)·f
+    where DuckDB may use lo·(1-f)+hi·f — algebraically equal, up to
+    1 ulp apart in IEEE; on integer inputs with the fixture's group
+    sizes the results are bit-identical (verified at sf0.01/0.001),
+    and the canonical round-6 sits far from any boundary. This is the
+    exact (sort-based) path — the sketch-based scale path is
+    q73_approx_percentile."""
     li = load_table(spark, sf_dir, "lineitem")
+
+    def pct(col: str, p: float):
+        return crnd(
+            F.expr(f"percentile({sql_scaled_long(col)}, {p})") / F.lit(1e2), 6
+        )
+
     return (
         li.groupBy("l_returnflag")
         .agg(
-            crnd(F.expr("percentile(l_quantity, 0.25)"), 6).alias("p25"),
-            crnd(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50"),
-            crnd(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90"),
-            crnd(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("price_median"),
+            pct("l_quantity", 0.25).alias("p25"),
+            pct("l_quantity", 0.5).alias("p50"),
+            pct("l_quantity", 0.9).alias("p90"),
+            pct("l_extendedprice", 0.5).alias("price_median"),
             F.count(F.lit(1)).alias("cnt"),
         )
         .orderBy("l_returnflag")

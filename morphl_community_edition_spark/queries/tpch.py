@@ -14,13 +14,18 @@ accumulation (functions/rounding.py), ratios divide the exact scaled
 sums so both engines perform the identical two IEEE-double ops, and
 every query ends in a total ORDER BY.
 
-Scale notes (100 TB): dimension sides (part, supplier, nation, region,
-filtered customer) are broadcast — the lineitem fact is never shuffled
-on a dim key; the only fact-fact shuffles are the groupBys on
-l_orderkey / l_partkey / l_suppkey, which Catalyst plans as partial +
-final hash aggregates. The Q17-shape per-part average is a map-side
-combinable agg over the full fact, then a broadcast-ready (|part|-row)
-join — never a per-row correlated rescan.
+Scale notes (100 TB). Broadcast-hint policy: a hint is FORCED only
+for sides that stay small at any SF — nation/region (fixed 25/5
+rows), 1-row scalar aggregates (q67's max, q71's avg), and
+HAVING-tail sets that are tiny by construction (q69). part /
+supplier / customer / filtered-orders sides grow with SF (part is
+SF·200k rows), so they carry NO hint: Catalyst auto-broadcasts them
+below spark.sql.autoBroadcastJoinThreshold at test scale, and AQE
+picks shuffle strategies when they outgrow it — a forced broadcast
+there would be a guaranteed OOM at the 100 TB design point. The
+Q17-shape per-part average is a map-side-combinable agg joined on
+l_partkey (shuffle at scale, auto-broadcast locally) — never a
+per-row correlated rescan.
 """
 
 from __future__ import annotations
@@ -132,7 +137,7 @@ def q63_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = (
         t["orders"]
         .filter(F.col("o_orderdate").between(_ts("1996-01-01"), _ts("1997-12-31")))
-        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(asia_cust, F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey", F.year("o_orderdate").cast("int").alias("o_year"))
     )
     supp_nation = t["supplier"].join(
@@ -143,9 +148,9 @@ def q63_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation_vol = F.sum(F.when(F.col("supp_nation") == "NATION_3", disc_price_scaled()).otherwise(F.lit(0)))
     return (
         t["lineitem"]
-        .join(F.broadcast(t["part"].filter(F.col("p_type") == "STANDARD").select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["part"].filter(F.col("p_type") == "STANDARD").select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("o_year")
         .agg(crnd(nation_vol.cast("double") / vol.cast("double"), 6).alias("mkt_share"))
         .orderBy("o_year")
@@ -169,19 +174,28 @@ def q63_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q64_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 (returned-item reporting): quarter of orders, returned
-    lines only, revenue per customer, top 20."""
+    lines only, revenue per customer, top 20.
+
+    Scale shape: lineitem⋈orders is fact-fact (a quarter of orders is
+    still fact-scale at 100 TB) — left to Catalyst/AQE, never a forced
+    broadcast. Revenue is aggregated down to per-customer BEFORE the
+    customer join (c_custkey → name/acctbal/nation is a functional
+    dependency, so joining after the agg is equivalent and moves only
+    |customer|-bounded rows); only the nation dim gets a hint."""
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1996-04-01"))
     )
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    return (
-        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+    rev_per_cust = (
+        li.join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
         .agg(xcrnd(SQL_DISC_PRICE_SUM, 2).alias("rev"))
+    )
+    return (
+        rev_per_cust.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("c_custkey", "c_name", "rev", "c_acctbal", "n_name")
         .orderBy(F.col("rev").desc(), "c_custkey")
         .limit(20)
@@ -251,7 +265,7 @@ def q66_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.sum(F.when(F.col("p_type") == "PROMO", disc_price_scaled()).otherwise(F.lit(0)))
     total = F.sum(disc_price_scaled())
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(crnd((promo * F.lit(100)).cast("double") / total.cast("double"), 6).alias("promo_revenue"))
     )
 
@@ -331,8 +345,8 @@ def q68_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(per_part_avg), F.col("l_partkey") == F.col("avg_pk"))
+        li.join(part.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part_avg, F.col("l_partkey") == F.col("avg_pk"))
         .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
         .agg(
             crnd(
@@ -362,9 +376,14 @@ def q68_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q69_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 (large-volume customer): HAVING-filtered IN-subquery
-    on the fact's own aggregate (threshold on the exact scaled sum),
-    then re-join and re-aggregate. The qualifying-orderkey set is tiny
-    → broadcast semi join; the big groupBy happens once."""
+    on the fact's own aggregate (threshold on the exact scaled sum).
+
+    Scale shape: the qualifying-orderkey set is tiny by construction
+    (the HAVING threshold sits in the distribution tail), so it IS
+    broadcast — but the unfiltered orders/customer tables are NOT: the
+    per-order quantity sum is computed on the semi-joined lineitem
+    (tiny), and that small aggregate side is broadcast into the
+    orders and customer joins, keeping both facts shuffle-free."""
     li = load_table(spark, sf_dir, "lineitem")
     big_orders = (
         li.groupBy("l_orderkey")
@@ -374,12 +393,17 @@ def q69_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    return (
+    qty_per_big_order = (
         li.join(F.broadcast(big_orders), F.col("l_orderkey") == F.col("big_ok"), "left_semi")
-        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .groupBy("l_orderkey")
         .agg(crnd(dsum(F.col("l_quantity")), 2).alias("sum_qty"))
+    )
+    big_order_side = orders.join(
+        F.broadcast(qty_per_big_order), F.col("o_orderkey") == F.col("l_orderkey")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "sum_qty")
+    return (
+        cust.join(F.broadcast(big_order_side), F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
@@ -409,7 +433,7 @@ def q70_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 50) & F.col("l_quantity").between(20, 30))
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
         .agg(xcrnd(SQL_DISC_PRICE_SUM, 2).alias("revenue"))
     )

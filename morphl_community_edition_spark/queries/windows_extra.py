@@ -80,3 +80,38 @@ def q44_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id")
         .limit(1000)
     )
+
+
+@query(
+    "q74_rank_distributions",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           CAST(ntile(4) OVER w AS INTEGER) AS price_quartile,
+           floor((percent_rank() OVER w) * 1e6 + 0.5) / 1e6 AS pr,
+           floor((cume_dist() OVER w) * 1e6 + 0.5) / 1e6 AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderpriority, o_orderkey
+    LIMIT 1000
+    """,
+)
+def q74_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 completion: ntile / percent_rank / cume_dist. The window
+    orders by (o_totalprice, o_orderkey) — the unique key suffix makes
+    ntile's row numbering (and thus every output) deterministic; both
+    engines compute percent_rank as (rank-1)/(n-1) and cume_dist as
+    rank_from_end/n, so after canonical round-6 they hash-match."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.ntile(4).over(w).cast("int").alias("price_quartile"),
+            crnd(F.percent_rank().over(w), 6).alias("pr"),
+            crnd(F.cume_dist().over(w), 6).alias("cd"),
+        )
+        .orderBy("o_orderpriority", "o_orderkey")
+        .limit(1000)
+    )

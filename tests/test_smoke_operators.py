@@ -49,8 +49,12 @@ def test_a2_orc_roundtrip(spark, tmp_path):
     back = read_orc(spark, orc_dir)
     assert back.count() == docs.count()
     assert set(back.columns) == set(docs.columns)
-    # predicate + projection still push into the ORC scan
-    assert back.filter(back.n_chars > 0).select("doc_id").count() == docs.filter(docs.n_chars > 0).count()
+    # predicate + projection actually reach the ORC scan (plan gate,
+    # not just a row-count that would pass without pushdown)
+    q = back.filter(back.n_chars > 500).select("doc_id")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "n_chars" in plan.split("PushedFilters")[1][:200]
+    assert q.count() == docs.filter(docs.n_chars > 500).count()
 
 
 def test_a5_partitioned_sink_dynamic_overwrite(spark, tmp_path):
