@@ -1,0 +1,90 @@
+"""Connected components over a pair-edge DataFrame — the
+canonicalization step of near-dup deduplication: MinHash/LSH (or
+exact-Jaccard) emits *pairs*, but dedup needs *clusters* (keep one doc
+per component), and similarity is not transitive, so pairs must be
+closed into components first.
+
+Algorithm: iterative minimum-label propagation. Every node starts as
+its own component (comp = node id); each round every node adopts the
+minimum component id among itself and its neighbors; fixpoint when no
+label changes. Rounds needed = graph diameter.
+
+Scale design (100 TB):
+- Each round is one shuffle (groupBy node) + one broadcast-or-shuffle
+  join of the (node, comp) label table against the edge list. The
+  edge list is the LSH candidate output — orders of magnitude smaller
+  than the corpus — and the label table has one row per node *that
+  appears in an edge*, not per document. Isolated documents never
+  enter the loop (they are their own component by definition), so the
+  iteration state is proportional to the near-dup subgraph, not the
+  corpus.
+- Near-dup graphs are dense blobs of mutually-similar docs: their
+  diameter is tiny (2-4), so the loop converges in a handful of
+  rounds. For adversarial long-chain graphs, swap the propagation
+  body for the large-star/small-star rounds of Kiveris et al.,
+  "Connected Components in MapReduce and Beyond" (SOCC'14) — O(log n)
+  rounds with the same (node, comp) state contract.
+- `localCheckpoint` each round truncates the lineage; without it the
+  plan doubles per iteration and Catalyst re-analysis dominates.
+- Convergence check is a metadata-cheap count on the checkpointed
+  label table (one job over the small state, not the corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, comp) for every node appearing in `edges`; comp = the
+    minimum node id reachable through the pair graph."""
+    bi = (
+        edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
+        .union(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
+        .distinct()
+    )
+    bi = bi.localCheckpoint(eager=True)
+    labels = bi.select("n").distinct().withColumn("comp", F.col("n"))
+
+    for _ in range(max_iter):
+        # min neighbor label per node, one shuffle on n
+        nb_min = (
+            bi.join(labels.withColumnRenamed("n", "m"), "m")
+            .groupBy("n")
+            .agg(F.min("comp").alias("nb_comp"))
+        )
+        new_labels = (
+            labels.join(nb_min, "n", "left")
+            .select("n", F.least("comp", F.coalesce("nb_comp", "comp")).alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("a")
+            .join(labels.alias("b"), "n")
+            .filter(F.col("a.comp") != F.col("b.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, comp, cluster_size) for near-dup clusters — the keeper
+    per cluster is the row where node == comp (min id wins,
+    deterministic; same rule as operators.dedup.exact_dedup)."""
+    labels = connected_components(edges, src, dst)
+    sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "comp").select("n", "comp", "cluster_size")

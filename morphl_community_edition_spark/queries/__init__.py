@@ -56,6 +56,7 @@ def _load_modules() -> None:
         arrays,
         llm,
         workload,
+        pipeline_ops,
     )
 
 

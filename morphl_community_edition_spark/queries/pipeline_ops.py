@@ -1,0 +1,141 @@
+"""Training-data pipeline operators beyond the similarity family:
+deterministic dataset splitting, stratified sampling, and near-dup
+cluster canonicalization (connected components).
+
+Why hash-based splits instead of randomSplit: a 100 TB corpus is
+re-materialized many times; membership of a document in train/val/test
+must be a pure function of the document key, stable across runs,
+engines, and partitionings. randomSplit is seed-dependent AND
+partitioning-dependent (per-partition RNG streams), so it can't be the
+contract. md5 is bit-identical everywhere, so both engines (and any
+future re-run) agree row-for-row — and the check is a real oracle
+hash-match, not a distribution-shape tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from morphl_community_edition_spark.catalog import load_table
+from morphl_community_edition_spark.operators.components import dedup_clusters
+from morphl_community_edition_spark.operators.dedup import exact_jaccard_pairs
+from morphl_community_edition_spark.queries import query
+
+# hex digit 1 of md5(key): '0'..'b' → train (12/16), 'c','d' → val,
+# 'e','f' → test. Uniformity comes from md5; the split is a pure
+# per-row projection — no shuffle, no state, trivially parallel.
+_SPLIT_CASE_SQL = """CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+            ELSE 'test' END"""
+
+
+@query(
+    "q75_det_hash_split",
+    oracle=f"""
+    SELECT {_SPLIT_CASE_SQL} AS split,
+           count(*) AS cnt,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           count(DISTINCT lang) AS n_langs,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc
+    FROM documents
+    GROUP BY 1
+    ORDER BY split
+    """,
+)
+def q75_det_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 75/12.5/12.5 train/val/test split by md5(doc_id).
+    Both engines compute the identical md5 hex, so assignment matches
+    row-for-row; the aggregate fingerprint (count, char sum, min/max
+    key) proves membership equality, not just split sizes."""
+    docs = load_table(spark, sf_dir, "documents")
+    hex1 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(hex1 <= "b", "train").when(hex1 <= "d", "val").otherwise("test")
+    )
+    return (
+        docs.groupBy(split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "q76_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, CAST(rn AS INTEGER) AS rn
+    FROM (SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents) t
+    WHERE rn <= 5
+    ORDER BY lang, rn
+    """,
+)
+def q76_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: 5 docs per language, chosen by
+    md5 order — a reproducible 'random' draw (hash order is
+    uncorrelated with doc content) that re-selects the SAME rows on
+    every run and engine, unlike df.sampleBy (per-partition RNG).
+    Scale shape: one window per stratum — a single shuffle on lang;
+    for heavy strata swap in a per-partition top-k (rank over md5 is
+    min-k per group, which aggregates map-side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .orderBy("lang", "rn")
+    )
+
+
+@query(
+    "q77_dedup_components",
+    oracle="""
+    WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(ws[gs:gs+2], ' ') AS s
+           FROM w, LATERAL unnest(generate_series(1, len(ws) - 2)) AS t(gs)),
+    sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    i AS (SELECT a.doc_id AS a_doc, b.doc_id AS b_doc, count(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+    e AS (SELECT a_doc, b_doc FROM i
+          JOIN sz sa ON sa.doc_id = a_doc JOIN sz sb ON sb.doc_id = b_doc
+          WHERE inter >= 0.5 * (sa.n_sh + sb.n_sh - inter)),
+    bi AS (SELECT a_doc AS n, b_doc AS m FROM e
+           UNION SELECT b_doc, a_doc FROM e),
+    reach(n, m) AS (
+        SELECT n, n FROM (SELECT DISTINCT n FROM bi) nodes
+        UNION
+        SELECT r.n, bi.m FROM reach r JOIN bi ON bi.n = r.m
+    ),
+    comp AS (SELECT n AS doc_id, min(m) AS comp FROM reach GROUP BY n)
+    SELECT c.doc_id AS doc_id, c.comp AS comp,
+           CAST(s.cluster_size AS BIGINT) AS cluster_size
+    FROM comp c
+    JOIN (SELECT comp, count(*) AS cluster_size FROM comp GROUP BY comp) s
+      ON s.comp = c.comp
+    ORDER BY comp, doc_id
+    """,
+)
+def q77_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster canonicalization: exact-Jaccard pairs (>= 0.5)
+    closed into connected components (operators/components.py —
+    iterative min-label propagation; DuckDB oracle closes the same
+    graph with a recursive CTE). The keeper per cluster is
+    doc_id == comp. Similarity is NOT transitive, so this step — not
+    the pair join — defines what 'duplicate' means corpus-wide."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = exact_jaccard_pairs(docs, threshold=0.5).select("a_doc", "b_doc")
+    return (
+        dedup_clusters(edges, "a_doc", "b_doc")
+        .select(F.col("n").alias("doc_id"), "comp", "cluster_size")
+        .orderBy("comp", "doc_id")
+    )

@@ -493,3 +493,113 @@ def q71_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+@query(
+    "q78_tpch_q21",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q78_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): the double
+    correlated EXISTS / NOT EXISTS. Adapted: no commit/receipt dates
+    in the fixture, so "late" = shipped > 60 days after order date;
+    no s_nationkey filter (keeps all 25 nations' suppliers).
+
+    Spark-first shape: the two correlated subqueries collapse into ONE
+    per-order aggregate — n_supp = countDistinct(supplier) and
+    n_late_supp = countDistinct(supplier | late). A late l1 qualifies
+    iff n_supp > 1 (the EXISTS) and n_late_supp = 1 (the NOT EXISTS:
+    l1's supplier is late, so if only one supplier is late it must be
+    l1's). One groupBy on l_orderkey + one join back on l_orderkey —
+    both co-partitioned on the same key (a single shuffle boundary at
+    scale, AQE-coalesced) — instead of two correlated rescans of the
+    fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = load_table(spark, sf_dir, "supplier")
+
+    li_dated = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).withColumn(
+        "is_late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    per_order = li_dated.groupBy(F.col("l_orderkey").alias("po_ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    return (
+        li_dated.filter(F.col("is_late"))
+        .join(per_order, F.col("l_orderkey") == F.col("po_ok"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+@query(
+    "q79_tpch_q9",
+    oracle=f"""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(sum({sql_scaled_long('l_extendedprice')} * (100 - {sql_scaled_long('l_discount')})
+                    - {sql_scaled_long('p_retailprice')} * {sql_scaled_long('l_quantity')}) AS DOUBLE) / 1e4
+               AS sum_profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%2%'
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q79_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit): 5-table join, profit per
+    supplier-nation per year. Adapted: no partsupp in the fixtures →
+    unit cost = p_retailprice (profit = revenue − retailprice·qty,
+    exact in 1e-4 integer units on both engines).
+
+    Scale shape: lineitem joins part and supplier on ITS OWN keys
+    (auto-broadcast locally, shuffle at SF where they outgrow the
+    threshold — no forced hint, same policy as the module header),
+    nation (25 rows) is forced-broadcast onto supplier, and the
+    orders join is the one genuine fact-fact shuffle on l_orderkey."""
+    t = {n: load_table(spark, sf_dir, n) for n in ("lineitem", "part", "supplier", "nation", "orders")}
+    profit = to_scaled_long(F.col("l_extendedprice")) * (
+        F.lit(100) - to_scaled_long(F.col("l_discount"))
+    ) - to_scaled_long(F.col("p_retailprice")) * to_scaled_long(F.col("l_quantity"))
+    return (
+        t["lineitem"]
+        .join(t["part"].filter(F.col("p_name").like("%2%")).select("p_partkey", "p_retailprice"),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["supplier"].join(F.broadcast(t["nation"]),
+                                 F.col("s_nationkey") == F.col("n_nationkey"))
+              .select("s_suppkey", "n_name"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"].select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg((F.sum(profit).cast("double") / F.lit(1e4)).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )

@@ -34,6 +34,32 @@ def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None)
     return reader.orc(path)
 
 
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Raw media ingestion (K5 entry point): Spark's `binaryFile`
+    source yields (path, modificationTime, length, content BINARY) —
+    the natural landing format for image/audio/video corpora before
+    attach_media-style pointer structs take over.
+
+    Scale notes (100 TB of media):
+    - files larger than spark.sql.files.maxPartitionBytes are NOT
+      split (a binary payload can't be chopped) — one task per large
+      file; set maxPartitionBytes high enough that small files still
+      pack several-per-task (the source coalesces by size).
+    - millions of tiny files make the DRIVER's file listing the
+      bottleneck — land media in packed archive rows (this module's
+      parquet path) or bump spark.sql.sources.parallelPartitionDiscovery
+      thresholds so listing fans out to executors.
+    - pushdown: only `length` and `path` filters prune before read
+      (e.g. filter(length < 10MB) skips oversized payloads without
+      fetching bytes)."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
 def read_cassandra(spark: SparkSession, keyspace: str, table: str) -> DataFrame:
     """A4 parity shim: the reference's store is Cassandra (wide rows
     keyed by client_id [PUBLIC, SURVEY.md §1]); this engine's canonical

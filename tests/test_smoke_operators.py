@@ -183,3 +183,56 @@ def test_prop_topk_subset_of_ranking(spark):
     assert top.filter(F.col("rn") > 3).count() == 0
     per_cust = top.groupBy("o_custkey").count()
     assert per_cust.filter(F.col("count") > 3).count() == 0
+
+def test_components_chain_and_isolated_clusters(spark):
+    """connected_components closes non-transitive pair chains: a-b,
+    b-c must land in one component even though (a,c) is not an edge —
+    a 6-hop chain forces multiple propagation rounds; two separate
+    clusters must NOT merge."""
+    from morphl_community_edition_spark.operators.components import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7),  # 7-node chain
+         (10, 11), (11, 12),                              # 3-node cluster
+         (20, 21)],                                       # pair
+        "src long, dst long",
+    )
+    comp = {r["n"]: r["comp"] for r in connected_components(edges).collect()}
+    assert all(comp[n] == 1 for n in range(1, 8))
+    assert all(comp[n] == 10 for n in (10, 11, 12))
+    assert comp[20] == comp[21] == 20
+    sizes = {r["comp"]: r["cluster_size"] for r in dedup_clusters(edges).collect()}
+    assert sizes == {1: 7, 10: 3, 20: 2}
+
+
+def test_k5_binary_file_source_and_arrow_decode(spark, tmp_path):
+    """binaryFile ingestion → mapInArrow decode: the media landing
+    path. Checks (a) the source schema contract, (b) length-filter
+    prune executes without touching content, (c) mapInArrow features
+    == mapInPandas features on the same frame."""
+    from morphl_community_edition_spark.operators.multimodal import (
+        attach_media,
+        extract_features,
+        extract_features_arrow,
+    )
+    from morphl_community_edition_spark.sources.batch import read_binary_files
+
+    d = tmp_path / "media"
+    d.mkdir()
+    for i in range(5):
+        (d / f"img_{i}.bin").write_bytes(bytes([i]) * (10 + i))
+    (d / "skip.txt").write_text("not media")
+
+    files = read_binary_files(spark, str(d), glob="*.bin")
+    assert {"path", "modificationTime", "length", "content"} <= set(files.columns)
+    assert files.count() == 5
+    assert files.filter(files.length > 12).count() == 2
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    media = attach_media(docs)
+    a = extract_features(media).orderBy("doc_id").collect()
+    b = extract_features_arrow(media).orderBy("doc_id").collect()
+    assert a == b
