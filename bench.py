@@ -75,17 +75,41 @@ def main() -> None:
     # bench profile (see module docstring); engine default keeps AQE on
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # At sf0.1 task-launch overhead dominates scan parallelism: 16m
+    # splits (≈1-2 tasks/table) beat the session default 2m (≈10-20
+    # tasks) by ~0.3s across the suite, measured best-of-5 per query.
+    # The 2m default stays right for functional runs (it exercises
+    # multi-task scans); at real scale the knob is ~128m regardless.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
 
     warm: dict[str, float] = {}
     prepared: dict[str, float] = {}
     cold: dict[str, float] = {}
     try:
+        dfs = {}
         for name, key in HEADLINE.items():
             t0 = time.perf_counter()
-            df = QUERIES[key](spark, SF_DIR)
-            df.collect()
+            dfs[name] = QUERIES[key](spark, SF_DIR)
+            dfs[name].collect()
             cold[name] = round(time.perf_counter() - t0, 4)
-            # honest warm: rebuild + re-plan + fully re-execute
+        # One untimed full-suite pass after the cold measurements:
+        # JIT compilation triggered by ANY query warms shared code
+        # paths (scan, hash-agg, exchange) for ALL of them, so without
+        # this the earliest-benched queries systematically read ~0.15s
+        # slower than the same query timed later in the session.
+        for key in HEADLINE.values():
+            QUERIES[key](spark, SF_DIR).collect()
+        for name, key in HEADLINE.items():
+            # honest warm: rebuild + re-plan + fully re-execute.
+            # Two untimed runs first: the JVM's C2 JIT needs a few
+            # executions of a code path before it compiles it — the
+            # baseline's "warm" (DuckDB second consecutive run) has no
+            # such ramp because DuckDB is AOT-compiled C++. Untimed
+            # warm-ups equalize the comparison without changing what
+            # is measured (every timed run is still a full
+            # re-plan + re-execution, no plan/shuffle reuse).
+            for _ in range(2):
+                QUERIES[key](spark, SF_DIR).collect()
             best = 1e9
             for _ in range(RUNS):
                 t0 = time.perf_counter()
@@ -97,7 +121,7 @@ def main() -> None:
             best = 1e9
             for _ in range(RUNS):
                 t0 = time.perf_counter()
-                df.collect()
+                dfs[name].collect()
                 best = min(best, time.perf_counter() - t0)
             prepared[name] = round(best, 4)
             print(
@@ -117,6 +141,7 @@ def main() -> None:
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.unset("spark.sql.shuffle.partitions")
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     out = {
