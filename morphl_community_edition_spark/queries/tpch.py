@@ -603,3 +603,197 @@ def q79_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum(profit).cast("double") / F.lit(1e4)).alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
+
+
+@query(
+    "q80_tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q80_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking): correlated EXISTS → left
+    semi join. Adapted: no commit/receipt dates → "a lineitem shipped
+    more than 30 days after the order date". The semi join carries
+    the correlated date predicate as a join-condition residual, so
+    the probe side is the (year-filtered) orders table and lineitem
+    is never widened — one shuffle pair on the order key at scale."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1997-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q81_tpch_q2",
+    oracle="""
+    SELECT DISTINCT p_partkey, p_name, s_name, l_shipdate AS first_ship
+    FROM lineitem l1
+    JOIN part ON p_partkey = l1.l_partkey
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE p_size < 10
+      AND l1.l_shipdate = (SELECT min(l2.l_shipdate) FROM lineitem l2
+                           WHERE l2.l_partkey = l1.l_partkey)
+    ORDER BY p_partkey, s_name
+    LIMIT 200
+    """,
+)
+def q81_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier): the correlated scalar-min
+    subquery joined back to the outer row. Adapted: no partsupp →
+    "the supplier(s) who shipped each small part EARLIEST" (min
+    l_shipdate per part instead of min ps_supplycost per part).
+
+    Decorrelated Spark shape: one map-side-combinable min-agg per
+    partkey over the fact, then an equi-join back on
+    (partkey, shipdate) — the per-part aggregate is |part|-sized
+    (broadcastable locally, shuffle-on-partkey at SF); never a
+    per-row rescan of lineitem."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_shipdate")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 10).select("p_partkey", "p_name")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    first = li.groupBy(F.col("l_partkey").alias("m_pk")).agg(F.min("l_shipdate").alias("min_ship"))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(first, (F.col("l_partkey") == F.col("m_pk")) & (F.col("l_shipdate") == F.col("min_ship")))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_name", "s_name", F.col("l_shipdate").alias("first_ship"))
+        .distinct()
+        .orderBy("p_partkey", "s_name")
+        .limit(200)
+    )
+
+
+@query(
+    "q82_tpch_q11",
+    oracle=f"""
+    WITH t AS (SELECT l_partkey,
+                      CAST(sum({sql_scaled_long('l_extendedprice')}) AS BIGINT) AS val
+               FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT CAST(sum(val) AS BIGINT) AS s FROM t)
+    SELECT l_partkey, CAST(val AS DOUBLE) / 1e2 AS part_value
+    FROM t, tot
+    WHERE val > CAST(floor(CAST(s AS DOUBLE) * 0.001) AS BIGINT)
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q82_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock): per-key value share vs a global
+    scalar. Adapted: no partsupp → per-partkey lineitem revenue vs
+    0.1% of total revenue. Exact integer sums on both sides; the only
+    doubles are the final display divide and the threshold multiply
+    (identical IEEE ops both engines).
+
+    Scale shape: ONE aggregation of the fact produces the per-part
+    values; the global total re-aggregates THAT (|part|-sized) result
+    — the fact is scanned once; the 1-row total is cross-joined
+    (broadcast) onto the per-part frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.groupBy("l_partkey").agg(
+        F.sum(to_scaled_long(F.col("l_extendedprice"))).alias("val")
+    )
+    tot = t.agg(F.sum("val").alias("s"))
+    return (
+        t.crossJoin(F.broadcast(tot))
+        .filter(F.col("val") > F.floor(F.col("s").cast("double") * F.lit(0.001)).cast("long"))
+        .select("l_partkey", (F.col("val").cast("double") / F.lit(1e2)).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+@query(
+    "q83_tpch_q16",
+    oracle="""
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 100
+    """,
+)
+def q83_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): NOT IN exclusion +
+    count(DISTINCT) per attribute class. Adapted: no partsupp → count
+    distinct SHIPPING suppliers per (brand, type, size); the excluded
+    set is name-pattern suppliers (no comment column). The NOT IN set
+    is null-free by construction (keys), so anti join is exactly
+    equivalent (the null-poisoning caveat in q50 doesn't bite); it is
+    tiny → broadcast anti join, fact never reshuffled for it."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_name").like("%7%"))
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+        .limit(100)
+    )
+
+
+@query(
+    "q84_tpch_q20",
+    oracle=f"""
+    SELECT s_name, CAST(total_qty AS DOUBLE) / 1e2 AS shipped_qty
+    FROM supplier
+    JOIN (SELECT l_suppkey,
+                 CAST(sum({sql_scaled_long('l_quantity')}) AS BIGINT) AS total_qty
+          FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%3%')
+            AND l_shipdate >= TIMESTAMP '1997-01-01'
+          GROUP BY l_suppkey) q ON q.l_suppkey = s_suppkey
+    WHERE total_qty > 20000
+    ORDER BY s_name
+    """,
+)
+def q84_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): nested IN-subquery chain
+    — suppliers who moved serious volume of pattern-matched parts in
+    the window. Adapted: no partsupp availqty → threshold on shipped
+    quantity (exact scaled sum).
+
+    Scale shape: the part-pattern set semi-joins the fact (broadcast
+    locally, shuffle at SF — no hint), the per-supplier agg is
+    map-side combinable and |supplier|-sized, and the supplier join
+    happens after the HAVING-style filter on the tiny aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") >= _ts("1997-01-01"))
+    promo_parts = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%3%")).select("p_partkey")
+    supp = load_table(spark, sf_dir, "supplier")
+    qty = (
+        li.join(promo_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(to_scaled_long(F.col("l_quantity"))).alias("total_qty"))
+        .filter(F.col("total_qty") > 20000)
+    )
+    return (
+        supp.join(F.broadcast(qty), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", (F.col("total_qty").cast("double") / F.lit(1e2)).alias("shipped_qty"))
+        .orderBy("s_name")
+    )
