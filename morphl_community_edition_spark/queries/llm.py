@@ -354,3 +354,70 @@ def q42_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic features → fully oracle-checkable)."""
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(attach_media(docs)).orderBy("doc_id")
+
+
+@query(
+    "q85_tfidf_topterms",
+    oracle="""
+    WITH tf AS (SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+                FROM documents, LATERAL unnest(string_split(text, ' ')) AS t(w)
+                GROUP BY doc_id, w),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (SELECT tf.doc_id AS doc_id, tf.term AS term,
+                      tf.tf * CAST(floor(1e6 * CAST(n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS BIGINT)
+                          AS score
+               FROM tf, df, n WHERE df.term = tf.term),
+    ranked AS (SELECT doc_id, term, score,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, term) AS rk
+               FROM scored)
+    SELECT doc_id, term, score, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 3 AND doc_id < 200
+    ORDER BY doc_id, rk
+    """,
+)
+def q85_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4: TF-IDF top-3 terms per document, EXACT — so it can be an
+    oracle hash-match rather than a tolerance check. The usual
+    tf·ln(N/df) is not cross-engine exact (libm ln differs by ulps);
+    score = tf · floor(1e6·N/df) ranks identically to tf·(N/df) at
+    fixture scale and is pure integer arithmetic after one IEEE divide
+    both engines do bit-identically. (The ML-pipeline TF-IDF —
+    HashingTF+IDF with real logs — lives in ml/, tolerance-checked;
+    this is the query-surface form.)
+
+    Scale shape: tf is one map-side-combinable agg over exploded
+    tokens; df re-aggregates tf's (term-partitioned) output; N is a
+    1-row broadcast. The only fact-sized shuffles are the two
+    term-keyed aggs, both partial-agg friendly; the final top-3 is a
+    bounded window per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * F.floor(F.lit(1e6) * F.col("n_docs").cast("double") / F.col("df").cast("double")).cast("long")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter((F.col("rk") <= 3) & (F.col("doc_id") < 200))
+        .select("doc_id", "term", "score", "rk")
+        .orderBy("doc_id", "rk")
+    )
