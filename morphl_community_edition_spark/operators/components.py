@@ -52,6 +52,7 @@ def connected_components(
     bi = bi.localCheckpoint(eager=True)
     labels = bi.select("n").distinct().withColumn("comp", F.col("n"))
 
+    converged = False
     for _ in range(max_iter):
         # min neighbor label per node, one shuffle on n
         nb_min = (
@@ -59,21 +60,35 @@ def connected_components(
             .groupBy("n")
             .agg(F.min("comp").alias("nb_comp"))
         )
-        new_labels = (
+        old_labels = labels
+        labels = (
             labels.join(nb_min, "n", "left")
             .select("n", F.least("comp", F.coalesce("nb_comp", "comp")).alias("comp"))
             .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.alias("a")
-            .join(labels.alias("b"), "n")
+            labels.alias("a")
+            .join(old_labels.alias("b"), "n")
             .filter(F.col("a.comp") != F.col("b.comp"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        # drop the superseded round's pinned copy — state stays at two
+        # label tables regardless of round count
+        old_labels.unpersist()
         if changed == 0:
+            converged = True
             break
+    bi.unpersist()
+    if not converged:
+        # un-converged labels are silently WRONG (a node's comp can be
+        # an intermediate id, and comp[c] < c breaks the node == comp
+        # keeper rule) — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "graph diameter exceeds max_iter; raise max_iter or switch the "
+            "loop body to large-star/small-star (O(log n) rounds)"
+        )
     return labels
 
 

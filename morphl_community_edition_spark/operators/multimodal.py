@@ -92,7 +92,10 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode_image_stub(p) for p in pdf["payload"]]
+            # NULL payload (missing blob) decodes as empty — the same
+            # rule extract_features_arrow applies, so the twins agree
+            # on degraded input instead of this path crashing on None
+            feats = [decode_image_stub(p if p is not None else b"") for p in pdf["payload"]]
             out = pd.DataFrame(feats)
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out

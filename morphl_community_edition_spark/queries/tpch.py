@@ -1,13 +1,15 @@
 """Classic TPC-H query shapes beyond the ones already in the registry
-(Q1/Q3/Q5/Q7/Q9/Q12-shape live in relational.py / subqueries.py).
+(Q1/Q3/Q5 are the headline q01/q03/q05 in relational.py; the Q7/Q12
+shapes are q52/q51 in subqueries.py). With this module's q62-q71 and
+q78-q84, ALL 22 classic shapes have an adapted, oracle-checked form.
 
 The fixtures are TPC-H-ish but reduced (TESTDATA.md; FIXTURES.md): no
 partsupp table, and lineitem/orders/customer lack commitdate,
-receiptdate, shipmode, phone, container, comment. Queries that need
-only missing *columns* are adapted faithfully (the join/agg/subquery
-shape is preserved; the predicate moves to an existing column, noted
-per query). Q2/Q11/Q16/Q20 need partsupp and are structurally covered
-by q48/q49 (scalar + correlated-scalar subqueries) instead.
+receiptdate, shipmode, phone, container, comment. Each adaptation
+preserves the join/agg/subquery SHAPE and moves predicates to
+existing columns (noted per query); the partsupp-dependent queries
+(Q2/Q9/Q11/Q16/Q20) substitute lineitem/part columns for the missing
+supply-cost/availqty ones — q81/q79/q82/q83/q84.
 
 Determinism: every money aggregate uses exact scaled-integer
 accumulation (functions/rounding.py), ratios divide the exact scaled
@@ -586,9 +588,9 @@ def q79_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation (25 rows) is forced-broadcast onto supplier, and the
     orders join is the one genuine fact-fact shuffle on l_orderkey."""
     t = {n: load_table(spark, sf_dir, n) for n in ("lineitem", "part", "supplier", "nation", "orders")}
-    profit = to_scaled_long(F.col("l_extendedprice")) * (
-        F.lit(100) - to_scaled_long(F.col("l_discount"))
-    ) - to_scaled_long(F.col("p_retailprice")) * to_scaled_long(F.col("l_quantity"))
+    profit = disc_price_scaled() - to_scaled_long(F.col("p_retailprice")) * to_scaled_long(
+        F.col("l_quantity")
+    )
     return (
         t["lineitem"]
         .join(t["part"].filter(F.col("p_name").like("%2%")).select("p_partkey", "p_retailprice"),

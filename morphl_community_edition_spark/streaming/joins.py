@@ -6,14 +6,18 @@ each purchase to the views that preceded it within the attribution
 window. Both sides are streams (unlike the stream-static dimension
 join), so Spark buffers BOTH sides' rows in the state store and the
 time-range join condition + watermarks are what make that state
-finite: a buffered view can only match purchases within
-`window` after it, so once the purchase-side watermark passes
-v_ts + window the row is evicted.
+finite. Eviction is DERIVED, per side, from the other side's
+watermark combined with the range condition — a buffered view can
+only match purchases with p_ts <= v_ts + window, so once the
+purchase-side watermark passes v_ts + window Spark drops it. That
+holds for ANY watermark delay; the delay knob does not need to
+clear the join window.
 
 Scale notes (100 TB/day event streams):
-- State size ≈ input-rate × (watermark + window), per side — the
-  watermark delay is the knob that trades late-data tolerance for
-  state-store footprint; keep it as tight as ingestion lag allows.
+- State size ≈ input-rate × (watermark-delay + join-window), per
+  side — the window term comes from the derived eviction rule above,
+  the delay term from late-data tolerance. The delay is the only
+  free knob: keep it as tight as ingestion lag allows.
 - The equi key (user_id) drives a state-store partition per shuffle
   partition; size spark.sql.shuffle.partitions to the key cardinality
   and use the RocksDB state store at production scale (in-memory
@@ -39,10 +43,11 @@ def view_purchase_attribution(
     `window`. Pass watermark=None for the batch twin (same code path
     builds both sides of the S5 equivalence check).
 
-    The watermark must be >= the join window: views are evicted once
-    the watermark passes their last possible match, so a watermark
-    tighter than the window would drop state that in-order replay
-    still needs."""
+    Any watermark delay is correctness-safe for in-order replay:
+    Spark evicts a view only when the PURCHASE watermark passes
+    v_ts + window (derived from the range condition), which is
+    exactly when no future purchase can match it. The delay only
+    buys tolerance for out-of-order arrival across micro-batches."""
     views = events.filter(F.col("event_type") == "view").select(
         F.col("user_id").alias("v_user"),
         F.col("ts").alias("v_ts"),

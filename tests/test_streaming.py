@@ -234,18 +234,23 @@ def test_s4_stateful_running_counts(spark, staged, events_batch):
 def test_s5_stream_stream_join_equals_batch(spark, staged, events_batch):
     """I7 completion: stream-STREAM inner join (state on both sides,
     watermark-bounded buffering) must emit exactly the batch join's
-    matches. Append is the only supported mode for this shape; the
-    1-hour watermark exceeds the 30-minute join window, so in-order
-    replay never evicts a view a later purchase still needs."""
+    matches. Append is the only supported mode for this shape.
+    Eviction is watermark+range-derived (a view drops only once the
+    purchase watermark passes v_ts + window), so no watermark delay
+    can drop a still-matchable row under in-order replay."""
     from morphl_community_edition_spark.streaming.joins import view_purchase_attribution
 
     stream = read_stream_dir(spark, staged)
     got = run_stream(
         spark,
-        view_purchase_attribution(stream, window="30 minutes", watermark="1 hour"),
+        view_purchase_attribution(stream, window="24 hours", watermark="1 hour"),
         "s5_stream_stream",
         mode="append",
     )
-    want = view_purchase_attribution(events_batch, window="30 minutes", watermark=None)
-    assert got.count() > 0, "attribution join matched nothing — test is vacuous"
+    want = view_purchase_attribution(events_batch, window="24 hours", watermark=None)
+    # 24h window -> 80 matches at smoke scale (30min gives only 2 —
+    # near-vacuous); the 1h delay is deliberately SMALLER than the
+    # join window: eviction is watermark+range-derived, so no
+    # still-matchable view is dropped under in-order replay
+    assert got.count() >= 50, "attribution join too thin — test is near-vacuous"
     assert_frames_equal(got, want)
