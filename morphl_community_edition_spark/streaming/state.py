@@ -56,3 +56,48 @@ def running_user_counts(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_user_counts_tws(events: DataFrame) -> DataFrame:
+    """Per-user running (count, value-sum) via transformWithStateInPandas
+    (Spark 4's StatefulProcessor API — typed per-key state slots,
+    timers, state TTL vs the single opaque tuple of
+    applyInPandasWithState) — same output contract as
+    running_user_counts. Scale note: requires the RocksDB state-store
+    provider, which adds changelog checkpointing + TTL eviction — what
+    makes unbounded-key state (user_id at 100 TB) operable.
+
+    Environment seam: executing this needs google.protobuf (the TWS
+    state-server wire protocol); without it the plan still BUILDS
+    (schema enforced at author time) and the S6 equivalence test
+    skips — see tests/test_streaming.py."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Proc(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            cnt, val_cents = self._agg.get() if self._agg.exists() else (0, 0)
+            for pdf in rows:
+                cnt += len(pdf)
+                # same exact half-up cents rule as _update
+                val_cents += int(np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64").sum())
+            self._agg.update((cnt, val_cents))
+            yield pd.DataFrame(
+                {"user_id": [user_id], "running_count": [cnt], "running_value": [val_cents / 100.0]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Proc(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -153,3 +153,42 @@ def test_fuzz_group_counts_agree(pred, group):
         .fetchall()
     }
     assert got == want, f"predicate {pred!r} group {group}"
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.integers(0, 40), st.integers(0, 40)), min_size=0, max_size=60))
+def test_fuzz_components_match_union_find(edges):
+    """connected_components vs a pure-Python union-find on random edge
+    lists (self-loops and duplicates included): identical partition AND
+    identical min-id labeling."""
+    from morphl_community_edition_spark.operators.components import connected_components
+
+    spark = get_spark()
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+    # min-id canonical label per root
+    roots = {}
+    for n, r in want.items():
+        roots.setdefault(r, []).append(n)
+    want = {n: min(roots[r]) for n, r in want.items()}
+
+    df = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+    if not edges:
+        df = df.limit(0)
+    got = {r["n"]: r["comp"] for r in connected_components(df).collect()}
+    assert got == want

@@ -85,3 +85,22 @@ def test_m5_kmeans_deterministic_and_balanced(spark):
     assert a.select("cluster").distinct().count() == 10
     ari = adjusted_rand_index(a)
     assert abs(ari) < 0.1, f"unexpected label structure appeared (ARI {ari}); revisit fixture note"
+
+
+def test_m3_model_persistence_roundtrip(spark, features, tmp_path):
+    """The reference's daily cycle is train → persist → (next day)
+    load → score. A PipelineModel saved and reloaded must score
+    byte-identically to the in-memory model — the property that makes
+    yesterday's model reusable without retraining."""
+    from pyspark.ml import PipelineModel
+
+    from morphl_community_edition_spark.ml.churn import label_high_purchaser
+
+    labeled = label_high_purchaser(features)
+    model, _, _ = train_churn_model(labeled, label_col="label")
+    path = str(tmp_path / "churn_model")
+    model.write().overwrite().save(path)
+    reloaded = PipelineModel.load(path)
+    a = score_users(model, labeled).orderBy("user_id").collect()
+    b = score_users(reloaded, labeled).orderBy("user_id").collect()
+    assert a == b

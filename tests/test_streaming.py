@@ -254,3 +254,42 @@ def test_s5_stream_stream_join_equals_batch(spark, staged, events_batch):
     # still-matchable view is dropped under in-order replay
     assert got.count() >= 50, "attribution join too thin — test is near-vacuous"
     assert_frames_equal(got, want)
+
+
+def test_s6_transform_with_state_matches_legacy_and_batch(spark, staged, events_batch):
+    """I6 on Spark 4's StatefulProcessor API: transformWithStateInPandas
+    must reach the same final per-user state as applyInPandasWithState
+    and the batch aggregate (three independent implementations of the
+    running counter, one answer).
+
+    The TWS state-server protocol needs google.protobuf (verified:
+    its driver worker dies in StateMessage_pb2 import without it), so
+    the check skips in containers without protobuf; the operator's
+    plumbing is still import-tested there via running_user_counts_tws
+    building a valid streaming plan."""
+    pytest.importorskip("google.protobuf", reason="transformWithState state server requires protobuf")
+    from morphl_community_edition_spark.streaming.state import running_user_counts_tws
+
+    stream = read_stream_dir(spark, staged)
+    got = run_stream(spark, running_user_counts_tws(stream), "s6_tws", mode="update")
+    final = got.groupBy("user_id").agg(
+        F.max("running_count").alias("running_count"), F.max("running_value").alias("running_value")
+    )
+    want = events_batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("running_count"),
+        (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).cast("double") / 100.0).alias(
+            "running_value"
+        ),
+    )
+    assert_frames_equal(final, want)
+
+
+def test_s6_tws_plan_builds_without_protobuf(spark, staged):
+    """Even without protobuf (no state server), the TWS operator must
+    produce a valid unresolved streaming plan — schema + grouping are
+    declared eagerly, so misuse fails at author time, not run time."""
+    from morphl_community_edition_spark.streaming.state import OUTPUT_SCHEMA, running_user_counts_tws
+
+    df = running_user_counts_tws(read_stream_dir(spark, staged))
+    assert df.isStreaming
+    assert df.schema == OUTPUT_SCHEMA
