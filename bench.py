@@ -54,12 +54,17 @@ EXTRA = {
     "engagement_churn": "q31_engagement_churn",
     "embedding_centroids": "q30_embedding_centroids",
     "exact_dedup": "q24_exact_dedup",
+    "det_hash_split": "q75_det_hash_split",
+    "tfidf_topterms": "q85_tfidf_topterms",
+    "tpch_q9_profit": "q79_tpch_q9",
 }
 
-# best-of-5: single-JVM local mode has real run-to-run jitter (GC,
+# best-of-7: single-JVM local mode has real run-to-run jitter (GC,
 # JIT recompilation, VM CPU scheduling) — 3 runs left ±30% noise in
-# back-to-back suite totals, 5 stabilizes the minimum
-RUNS = 5
+# back-to-back suite totals; 5 mostly stabilized the minimum, 7 also
+# covers rounds where an external VM stall hits mid-measurement
+# (observed: identical configs reading 2.98s vs 3.36s suite total)
+RUNS = 7
 
 
 def main() -> None:
