@@ -32,6 +32,7 @@ from pyspark.ml.evaluation import BinaryClassificationEvaluator
 from pyspark.ml.feature import StandardScaler, VectorAssembler
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 FEATURE_COLS = ["n_events", "sum_value", "avg_value", "types", "purchases"]
 BEHAVIOR_COLS = ["n_events", "sum_value", "avg_value", "types"]  # excludes purchases
@@ -121,3 +122,44 @@ def score_users(model: PipelineModel, features: DataFrame) -> DataFrame:
     return scored.select(
         "user_id", vector_to_array("probability").getItem(1).alias("churn_probability")
     )
+
+
+def score_users_arrow(model: PipelineModel, features: DataFrame) -> DataFrame:
+    """M3 scale path: extract the fitted LR's affine form (coefficients
+    over STANDARDIZED features + intercept), broadcast those few
+    hundred bytes, and score inside mapInPandas with numpy — no JVM
+    MLlib transform in the hot loop, one Arrow exchange per batch.
+
+    This is how daily scoring runs at 100 TB: model.transform drags a
+    VectorAssembler→StandardScaler→LR stage pipeline through the JVM
+    per row-batch, while the algebra is just sigmoid(x·w + b); the
+    scaler folds into the weights (w' = w/σ, b' = b − Σ μᵢwᵢ/σᵢ), so
+    the scoring job is a pure vectorized map over raw feature columns.
+    Only valid for LR pipelines (assembler→scaler→lr); parity with
+    model.transform is asserted in tests/test_ml.py."""
+    import numpy as np
+    import pandas as pd
+
+    scaler, lr = model.stages[1], model.stages[2]
+    assembled_cols = model.stages[0].getInputCols()
+    sigma = scaler.std.toArray()
+    mu = scaler.mean.toArray() if scaler.getWithMean() else np.zeros_like(sigma)
+    w = lr.coefficients.toArray() / np.where(sigma == 0.0, 1.0, sigma)
+    b = float(lr.intercept) - float((mu * w).sum())
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("churn_probability", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            x = pdf[assembled_cols].to_numpy(dtype="float64")
+            z = x @ w + b
+            yield pd.DataFrame(
+                {"user_id": pdf["user_id"], "churn_probability": 1.0 / (1.0 + np.exp(-z))}
+            )
+
+    return features.select("user_id", *assembled_cols).mapInPandas(run, out_schema)

@@ -104,3 +104,19 @@ def test_m3_model_persistence_roundtrip(spark, features, tmp_path):
     a = score_users(model, labeled).orderBy("user_id").collect()
     b = score_users(reloaded, labeled).orderBy("user_id").collect()
     assert a == b
+
+
+def test_m3_arrow_scoring_matches_transform(spark, features):
+    """score_users_arrow (broadcast-weights mapInPandas — the 100 TB
+    scoring path) must agree with MLlib model.transform to float
+    tolerance on every user (same sigmoid, scaler folded into the
+    weights)."""
+    from morphl_community_edition_spark.ml.churn import label_high_purchaser, score_users_arrow
+
+    labeled = label_high_purchaser(features)
+    model, _, _ = train_churn_model(labeled, label_col="label")
+    a = {r["user_id"]: r["churn_probability"] for r in score_users(model, labeled).collect()}
+    b = {r["user_id"]: r["churn_probability"] for r in score_users_arrow(model, labeled).collect()}
+    assert a.keys() == b.keys()
+    worst = max(abs(a[u] - b[u]) for u in a)
+    assert worst < 1e-9, f"arrow scoring diverged from MLlib transform by {worst}"
