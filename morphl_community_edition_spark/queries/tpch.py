@@ -706,17 +706,23 @@ def q82_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     (identical IEEE ops both engines).
 
     Scale shape: ONE aggregation of the fact produces the per-part
-    values; the global total re-aggregates THAT (|part|-sized) result
-    — the fact is scanned once; the 1-row total is cross-joined
-    (broadcast) onto the per-part frame."""
+    values; the global total is an unpartitioned window sum over THAT
+    (|part|-sized) frame. Why a window and not `t.agg(...)` + cross
+    join: referencing t twice builds two independent plan subtrees
+    and Spark does NOT reuse the exchange (verified: 2 lineitem scans
+    in the executed plan) — the window form scans the fact exactly
+    once. The unpartitioned window coalesces the |part|-sized frame
+    to one task; at SF where that bites, replace with a broadcast of
+    a localCheckpoint'ed total — never with a fact rescan."""
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
     t = li.groupBy("l_partkey").agg(
         F.sum(to_scaled_long(F.col("l_extendedprice"))).alias("val")
     )
-    tot = t.agg(F.sum("val").alias("s"))
+    t = t.withColumn("s", F.sum("val").over(Window.partitionBy()))
     return (
-        t.crossJoin(F.broadcast(tot))
-        .filter(F.col("val") > F.floor(F.col("s").cast("double") * F.lit(0.001)).cast("long"))
+        t.filter(F.col("val") > F.floor(F.col("s").cast("double") * F.lit(0.001)).cast("long"))
         .select("l_partkey", (F.col("val").cast("double") / F.lit(1e2)).alias("part_value"))
         .orderBy(F.col("part_value").desc(), "l_partkey")
     )

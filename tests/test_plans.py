@@ -156,3 +156,18 @@ def test_q22_topk_no_global_sort_before_filter(spark):
     assert "Exchange rangepartitioning" not in plan.split("Filter")[0], (
         "global range sort before the rank filter would shuffle the full table twice"
     )
+
+
+def test_q82_single_fact_scan(spark):
+    """q82 computes per-part values AND their global total from ONE
+    lineitem scan (window-total form). The naive t.agg + cross-join
+    form referenced t twice and Spark planned TWO full fact scans
+    (no exchange reuse) — this gate pins the single-scan shape."""
+    from morphl_community_edition_spark.queries import QUERIES
+    from tests.conftest import SF_DIR_SMOKE
+
+    df = QUERIES["q82_tpch_q11"](spark, SF_DIR_SMOKE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE echoes the pre-AQE plan below
+    assert final.count("Scan parquet") == 1
