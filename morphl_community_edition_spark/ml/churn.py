@@ -139,8 +139,15 @@ def score_users_arrow(model: PipelineModel, features: DataFrame) -> DataFrame:
     model.transform is asserted in tests/test_ml.py."""
     import numpy as np
     import pandas as pd
+    from pyspark.ml.classification import LogisticRegressionModel
 
     scaler, lr = model.stages[1], model.stages[2]
+    if not isinstance(lr, LogisticRegressionModel):
+        raise ValueError(
+            "score_users_arrow folds scaler+LR into an affine form and only "
+            f"supports LogisticRegression pipelines; got {type(lr).__name__} "
+            "(use score_users / model.transform for tree models)"
+        )
     assembled_cols = model.stages[0].getInputCols()
     sigma = scaler.std.toArray()
     mu = scaler.mean.toArray() if scaler.getWithMean() else np.zeros_like(sigma)

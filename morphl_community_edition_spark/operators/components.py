@@ -73,13 +73,19 @@ def connected_components(
             .limit(1)
             .count()
         )
-        # drop the superseded round's pinned copy — state stays at two
-        # label tables regardless of round count
-        old_labels.unpersist()
+        # Superseded rounds: localCheckpoint blocks are NOT freed by
+        # Dataset.unpersist (it only uncaches CacheManager entries —
+        # verified on Spark 4.1.2), so release happens when the
+        # driver-side reference drops here and ContextCleaner collects
+        # the checkpointed RDD. That bounds pinned state to the rounds
+        # awaiting GC, not a guaranteed two tables; a production-scale
+        # variant should reliable-checkpoint() into a managed dir (or
+        # use large-star/small-star, whose O(log n) rounds cap the
+        # exposure) if executor storage pressure shows up.
+        del old_labels
         if changed == 0:
             converged = True
             break
-    bi.unpersist()
     if not converged:
         # un-converged labels are silently WRONG (a node's comp can be
         # an intermediate id, and comp[c] < c breaks the node == comp

@@ -180,12 +180,9 @@ def test_fuzz_components_match_union_find(edges):
 
     for a, b in edges:
         union(a, b)
+    # union-by-min keeps every root the minimum id of its set, so
+    # find(n) IS the canonical min-id label
     want = {n: find(n) for n in parent}
-    # min-id canonical label per root
-    roots = {}
-    for n, r in want.items():
-        roots.setdefault(r, []).append(n)
-    want = {n: min(roots[r]) for n, r in want.items()}
 
     df = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
     if not edges:

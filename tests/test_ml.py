@@ -120,3 +120,15 @@ def test_m3_arrow_scoring_matches_transform(spark, features):
     assert a.keys() == b.keys()
     worst = max(abs(a[u] - b[u]) for u in a)
     assert worst < 1e-9, f"arrow scoring diverged from MLlib transform by {worst}"
+
+
+def test_m3_arrow_scoring_rejects_tree_models(spark, features):
+    """The affine fold is LR-only; a GBT pipeline must fail with intent
+    (ValueError naming the contract), not an AttributeError deep in
+    coefficient access."""
+    from morphl_community_edition_spark.ml.churn import label_high_purchaser, score_users_arrow
+
+    labeled = label_high_purchaser(features)
+    model, _, _ = train_churn_model(labeled, label_col="label", algorithm="gbt")
+    with pytest.raises(ValueError, match="LogisticRegression"):
+        score_users_arrow(model, labeled)

@@ -270,8 +270,21 @@ def test_s6_transform_with_state_matches_legacy_and_batch(spark, staged, events_
     pytest.importorskip("google.protobuf", reason="transformWithState state server requires protobuf")
     from morphl_community_edition_spark.streaming.state import running_user_counts_tws
 
-    stream = read_stream_dir(spark, staged)
-    got = run_stream(spark, running_user_counts_tws(stream), "s6_tws", mode="update")
+    # TWS creates per-state-variable column families, which the default
+    # HDFSBackedStateStoreProvider rejects — RocksDB provider required
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_stream_dir(spark, staged)
+        got = run_stream(spark, running_user_counts_tws(stream), "s6_tws", mode="update")
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
     final = got.groupBy("user_id").agg(
         F.max("running_count").alias("running_count"), F.max("running_value").alias("running_value")
     )
