@@ -171,3 +171,76 @@ def test_q82_single_fact_scan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]  # AQE echoes the pre-AQE plan below
     assert final.count("Scan parquet") == 1
+
+
+def test_c3_fact_fact_sort_merge_when_too_big_to_broadcast(spark):
+    """C3: with broadcast off the table (threshold -1), a fact-fact
+    equi join MUST plan as SortMergeJoin — the strategy the same query
+    gets on a cluster where neither side fits an executor. Locally
+    Catalyst auto-broadcasts these small fixtures, so this gate pins
+    the at-scale plan, not the small-data shortcut."""
+    import pyspark.sql.functions as F
+
+    from morphl_community_edition_spark.catalog import load_table
+    from tests.conftest import SF_DIR_SMOKE
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = load_table(spark, SF_DIR_SMOKE, "orders")
+        li = load_table(spark, SF_DIR_SMOKE, "lineitem")
+        df = orders.join(li, F.col("o_orderkey") == F.col("l_orderkey")).groupBy(
+            "o_orderstatus"
+        ).count()
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" in final
+        assert "BroadcastHashJoin" not in final
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew handling (SURVEY.md §5.1): one hot key dominating a
+    sort-merge join gets its partition SPLIT at runtime (the plan
+    shows 'skew=true' on the join node) — with thresholds lowered so
+    fixture-scale data exhibits what a 100 TB hot key would. Results
+    must equal the non-AQE run exactly."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # 50k rows, 90% on key 0 → one partition ~9x the median
+        left = spark.range(50_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(2_000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        joined = left.join(right, "k").agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("payload").alias("s"), F.sum("v").alias("sv")
+        )
+        got = joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "skew=true" in final, f"AQE did not mark the skewed join:\n{final[:2000]}"
+        # exact expected values: every row with id%10<9 maps to k=0 (matches right k=0, v=0);
+        # rows with id%10==9 keep k=id and match right only when id<2000
+        rows = [(0 if i % 10 < 9 else i, i) for i in range(50_000)]
+        match = [(k, p, 2 * k) for k, p in rows if (k == 0) or (k < 2_000)]
+        want = (len(match), sum(p for _, p, _ in match), sum(v for _, _, v in match))
+        assert tuple(got[0]) == want
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
