@@ -1,0 +1,54 @@
+"""Pure range (interval) join — C7's scale path when there is NO equi
+key: point-in-interval matching via time-bucketization.
+
+Without an equi column, Catalyst's only native plan for
+`l.ts BETWEEN r.lo AND r.hi` is BroadcastNestedLoopJoin — O(|L|·|R|)
+and driver-memory-bound on the broadcast side. The standard rewrite:
+
+1. pick a bucket width W (≈ the typical interval length);
+2. each right interval EXPLODES into the buckets it covers
+   (floor(lo/W) … floor(hi/W) — expansion factor ≈ len/W + 1);
+3. each left point maps to its single bucket floor(ts/W);
+4. equi-join on the bucket id (shuffle- or broadcast-hash — Catalyst
+   picks), then REFINE with the exact predicate.
+
+Each (point, interval) pair meets in exactly one bucket (the point's),
+so no post-join dedup is needed. Cost: one shuffle on bucket id +
+|R|·(len/W) expansion instead of |L|·|R| pairs. W trades expansion
+(small W) against bucket fan-in (large W); skewed hot buckets fall to
+AQE's skew split like any other equi join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKET = "__ij_bucket"
+
+
+def _b(col: Column, width_s: int) -> Column:
+    return F.floor(F.unix_timestamp(col) / F.lit(width_s)).cast("long")
+
+
+def range_join_bucketized(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts: str,
+    lo: str,
+    hi: str,
+    bucket_width_s: int,
+    half_open: bool = True,
+) -> DataFrame:
+    """points ⋈ intervals on lo <= ts < hi (or <= hi when
+    half_open=False), no equi key required. Columns from both inputs
+    survive; the helper bucket column does not."""
+    pts = points.withColumn(_BUCKET, _b(F.col(ts), bucket_width_s))
+    ivs = intervals.withColumn(
+        _BUCKET,
+        F.explode(
+            F.sequence(_b(F.col(lo), bucket_width_s), _b(F.col(hi), bucket_width_s))
+        ),
+    )
+    upper = F.col(ts) < F.col(hi) if half_open else F.col(ts) <= F.col(hi)
+    return pts.join(ivs, _BUCKET).filter((F.col(ts) >= F.col(lo)) & upper).drop(_BUCKET)

@@ -99,3 +99,58 @@ def q14_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id")
         .limit(500)
     )
+
+
+@query(
+    "q86_pure_range_join",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS overlaps,
+           count(DISTINCT o_orderkey) AS n_orders
+    FROM (SELECT l_shipdate FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-02-01') li
+    JOIN orders
+      ON li.l_shipdate >= o_orderdate
+     AND li.l_shipdate < o_orderdate + INTERVAL 90 DAY
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q86_pure_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 pure form: NO equi key — every January-1996 shipment matched
+    to every order whose 90-day window covers it, purely temporal.
+    DuckDB's planner handles the bare range predicate natively
+    (IEJoin); Spark would fall to BroadcastNestedLoop, so this runs
+    operators/interval_join.range_join_bucketized — 30-day buckets
+    (≈ interval/3 → 4 buckets per interval), equi-join on bucket id,
+    exact refine. Same rows, shuffle-hash instead of O(n·m)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+        )
+        .select("l_shipdate")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_orderdate").alias("win_lo"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("win_hi"),
+        )
+    )
+    from morphl_community_edition_spark.operators.interval_join import range_join_bucketized
+
+    joined = range_join_bucketized(
+        li, orders, ts="l_shipdate", lo="win_lo", hi="win_hi", bucket_width_s=30 * 86400
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("overlaps"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )

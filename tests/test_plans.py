@@ -244,3 +244,66 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_interval_join_hash_plan_and_theta_equivalence(spark):
+    """The bucketized range join must (a) return exactly the naive
+    theta join's rows, (b) plan as a HASH equi join on the bucket id —
+    never BroadcastNestedLoop (the O(n·m) plan it exists to avoid)."""
+    import pyspark.sql.functions as F
+
+    from morphl_community_edition_spark.catalog import load_table
+    from morphl_community_edition_spark.operators.interval_join import range_join_bucketized
+    from tests.conftest import SF_DIR_SMOKE
+
+    ev = load_table(spark, SF_DIR_SMOKE, "events").select("event_id", "ts").limit(300)
+    iv = (
+        load_table(spark, SF_DIR_SMOKE, "events")
+        .select(
+            F.col("event_id").alias("iv_id"),
+            F.col("ts").alias("lo"),
+            (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("hi"),
+        )
+        .limit(200)
+    )
+    fast = range_join_bucketized(ev, iv, "ts", "lo", "hi", bucket_width_s=600)
+    naive = ev.crossJoin(iv).filter((F.col("ts") >= F.col("lo")) & (F.col("ts") < F.col("hi")))
+    a = sorted((r["event_id"], r["iv_id"]) for r in fast.collect())
+    b = sorted((r["event_id"], r["iv_id"]) for r in naive.collect())
+    assert a == b and len(a) > 0
+
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "NestedLoop" not in final
+    assert ("SortMergeJoin" in final) or ("HashJoin" in final)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """DPP (SURVEY.md §5.1): a date-partitioned fact joined to a
+    FILTERED dim must prune fact partitions at RUNTIME from the dim's
+    filter (dynamicpruningexpression in the scan) — the mechanism that
+    turns a 100 TB scan into a few partitions without a static
+    predicate on the fact."""
+    import pyspark.sql.functions as F
+
+    from morphl_community_edition_spark.catalog import load_table
+    from tests.conftest import SF_DIR_SMOKE
+
+    ev = load_table(spark, SF_DIR_SMOKE, "events").withColumn("day", F.to_date("ts"))
+    fact_dir = str(tmp_path / "ev_by_day")
+    ev.write.partitionBy("day").parquet(fact_dir)
+    dim = ev.select("day").distinct().limit(3).withColumn("tag", F.lit("keep"))
+    dim_dir = str(tmp_path / "dim_days")
+    dim.write.parquet(dim_dir)
+
+    old = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+    try:
+        fact = spark.read.parquet(fact_dir)
+        d = spark.read.parquet(dim_dir).filter(F.col("tag") == "keep")
+        joined = fact.join(d, "day").groupBy("event_type").count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), f"no DPP in plan:\n{plan[:1500]}"
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", old)
