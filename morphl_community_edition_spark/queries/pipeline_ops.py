@@ -139,3 +139,45 @@ def q77_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n").alias("doc_id"), "comp", "cluster_size")
         .orderBy("comp", "doc_id")
     )
+
+
+@query(
+    "q87_embedding_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    e AS (SELECT a.vec_id AS a_vec, b.vec_id AS b_vec
+          FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+          WHERE list_dot_product(a.emb, b.emb)
+                / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.3),
+    bi AS (SELECT a_vec AS n, b_vec AS m FROM e
+           UNION SELECT b_vec, a_vec FROM e),
+    reach(n, m) AS (
+        SELECT n, n FROM (SELECT DISTINCT n FROM bi) nodes
+        UNION
+        SELECT r.n, bi.m FROM reach r JOIN bi ON bi.n = r.m
+    ),
+    comp AS (SELECT n AS vec_id, min(m) AS comp FROM reach GROUP BY n)
+    SELECT c.vec_id AS vec_id, c.comp AS comp,
+           CAST(s.cluster_size AS BIGINT) AS cluster_size
+    FROM comp c
+    JOIN (SELECT comp, count(*) AS cluster_size FROM comp GROUP BY comp) s
+      ON s.comp = c.comp
+    ORDER BY comp, vec_id
+    """,
+)
+def q87_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup CANONICALIZATION: threshold pairs
+    (q38's GEMM path, cosine >= 0.3 — the fixture's top pair tail)
+    closed into clusters by the same connected-components operator the
+    text path uses (q77). One dedup-cluster contract, two similarity
+    modalities. At production thresholds the edge source swaps to the
+    LSH candidates; the closure is unchanged."""
+    from morphl_community_edition_spark.operators.similarity import cosine_pairs_threshold_gemm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = cosine_pairs_threshold_gemm(emb, threshold=0.3).select("a_vec", "b_vec")
+    return (
+        dedup_clusters(edges, "a_vec", "b_vec")
+        .select(F.col("n").alias("vec_id"), "comp", "cluster_size")
+        .orderBy("comp", "vec_id")
+    )

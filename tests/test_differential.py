@@ -161,7 +161,10 @@ def test_fuzz_components_match_union_find(edges):
     """connected_components vs a pure-Python union-find on random edge
     lists (self-loops and duplicates included): identical partition AND
     identical min-id labeling."""
-    from morphl_community_edition_spark.operators.components import connected_components
+    from morphl_community_edition_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
 
     spark = get_spark()
     parent = {}
@@ -189,3 +192,10 @@ def test_fuzz_components_match_union_find(edges):
         df = df.limit(0)
     got = {r["n"]: r["comp"] for r in connected_components(df).collect()}
     assert got == want
+    # the O(log n) star variant must produce the identical labeling —
+    # minus pure-self-loop nodes, which it (correctly) treats as
+    # isolated and omits like any other edge-less node
+    want_star = {n: c for n, c in want.items()
+                 if any(a != b and n in (a, b) for a, b in edges)}
+    got_star = {r["n"]: r["comp"] for r in connected_components_star(df).collect()}
+    assert got_star == want_star
