@@ -134,3 +134,70 @@ def extract_features_arrow(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInArrow(run, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_stub(payload: bytes, target: int) -> bytes:
+    """Deterministic stand-in for an image resize: stride-sample the
+    bytes down to <= target. Replace with PIL's Image.resize when the
+    decode libs exist — the Spark plumbing around it doesn't change."""
+    if payload is None:
+        payload = b""
+    if len(payload) <= target:
+        return bytes(payload)
+    stride = len(payload) // target
+    return bytes(payload[::stride][:target])
+
+
+def resize_media(media: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """Batch resize stage: MEDIA_SCHEMA in → MEDIA_SCHEMA out with the
+    payload resized and meta.n_bytes updated (meta.path/offset keep the
+    provenance pointer). Runs binary→binary inside one mapInPandas —
+    at scale this is the 'thumbnail the corpus' job: embarrassingly
+    parallel, no shuffle, output written straight back to partitioned
+    parquet."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [resize_stub(p, target_bytes) for p in pdf["payload"]]
+            meta = [
+                {**m, "n_bytes": len(r), "mime": "application/x-resized"}
+                for m, r in zip(pdf["meta"], resized)
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": resized, "meta": meta})
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame-sampling stage: one media row fans out to n_frames rows
+    (video → evenly-spaced frame payloads; here the frame extractor is
+    an equal-split stub). The Spark shape is the point: mapInPandas
+    yielding MORE rows than it consumes — the row-explosion pattern a
+    real video pipeline uses, keeping frames Arrow-batched instead of
+    materializing an array<binary> column through a shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame": [], "n_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = payload or b""
+                step = max(1, len(payload) // n_frames)
+                for i in range(n_frames):
+                    frame = bytes(payload[i * step : (i + 1) * step])
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame"].append(frame)
+                    out["n_bytes"].append(len(frame))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -236,3 +236,36 @@ def test_k5_binary_file_source_and_arrow_decode(spark, tmp_path):
     a = extract_features(media).orderBy("doc_id").collect()
     b = extract_features_arrow(media).orderBy("doc_id").collect()
     assert a == b
+
+
+def test_k5_resize_and_frame_sample_stages(spark):
+    """Multimodal pipeline stages beyond decode: binary→binary resize
+    (schema-preserving, meta updated) and 1→N frame sampling (row
+    explosion inside mapInPandas). Deterministic stubs → exact
+    assertions."""
+    from morphl_community_edition_spark.operators.multimodal import (
+        attach_media,
+        resize_media,
+        sample_frames,
+    )
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents").limit(40)
+    media = attach_media(docs)
+    resized = resize_media(media, target_bytes=64)
+    # same shape (mapInPandas output is nullable-everywhere, incl.
+    # nested struct fields — simpleString compares names + types only)
+    assert resized.schema.simpleString() == media.schema.simpleString()
+    rows = resized.collect()
+    assert len(rows) == 40
+    assert all(len(r["payload"]) <= 64 for r in rows)
+    assert all(r["meta"]["n_bytes"] == len(r["payload"]) for r in rows)
+
+    frames = sample_frames(media, n_frames=4)
+    assert frames.count() == 160  # 4 per media row
+    per_doc = frames.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 4 for r in per_doc)
+    # frames partition the (truncated) payload deterministically
+    one = frames.filter(F.col("frame_idx") == 0).orderBy("doc_id").first()
+    src = media.orderBy("doc_id").first()
+    step = max(1, len(src["payload"]) // 4)
+    assert bytes(one["frame"]) == bytes(src["payload"][:step])
