@@ -181,3 +181,36 @@ def q87_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n").alias("vec_id"), "comp", "cluster_size")
         .orderBy("comp", "vec_id")
     )
+
+
+@query(
+    "q88_frame_sample",
+    oracle="""
+    WITH f AS (SELECT doc_id, greatest(1, len(text) // 4) AS step, text FROM documents)
+    SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+           CAST(len(substr(text, i * step + 1, step)) AS BIGINT) AS n_bytes,
+           md5(substr(text, i * step + 1, step)) AS frame_md5
+    FROM f, LATERAL unnest([0, 1, 2, 3]) AS t(i)
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def q88_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 frame sampling, oracle-checked: the 1→N mapInPandas row
+    explosion (operators/multimodal.sample_frames) fingerprinted per
+    frame with md5 — DuckDB reproduces the exact byte slices with
+    substr (the fixture text is ASCII, so byte == char offsets), so
+    the match proves content equality of every frame, not just
+    counts."""
+    from morphl_community_edition_spark.operators.multimodal import attach_media, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(attach_media(docs), n_frames=4)
+    return (
+        frames.select(
+            "doc_id",
+            "frame_idx",
+            "n_bytes",
+            F.md5(F.col("frame")).alias("frame_md5"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
