@@ -143,13 +143,16 @@ def connected_components_star(
     stars rooted at component minima. Rounds are O(log n) regardless
     of diameter — a million-node chain converges in ~20 rounds where
     propagation needs a million."""
+    raw = edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
+    # node universe BEFORE dropping self-loops: a node whose only edge
+    # is (x, x) is a singleton component and must still be labeled —
+    # same contract as connected_components
+    all_nodes = raw.select("n").union(raw.select(F.col("m").alias("n"))).distinct()
     e = (
-        edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
-        .filter(F.col("n") != F.col("m"))
+        raw.filter(F.col("n") != F.col("m"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    all_nodes = e.select("n").union(e.select(F.col("m").alias("n"))).distinct()
     fp = _fingerprint(e)
     converged = False
     for _ in range(max_iter):

@@ -42,7 +42,16 @@ def range_join_bucketized(
 ) -> DataFrame:
     """points ⋈ intervals on lo <= ts < hi (or <= hi when
     half_open=False), no equi key required. Columns from both inputs
-    survive; the helper bucket column does not."""
+    survive; the helper bucket column does not. Inputs must have
+    DISJOINT column sets (enforced) — shared names would make the
+    refine predicate ambiguous after the join."""
+    overlap = set(points.columns) & set(intervals.columns)
+    if overlap:
+        raise ValueError(
+            f"range_join_bucketized requires disjoint schemas; shared columns: {sorted(overlap)}"
+        )
+    if _BUCKET in points.columns or _BUCKET in intervals.columns:
+        raise ValueError(f"reserved column name {_BUCKET} present in an input")
     pts = points.withColumn(_BUCKET, _b(F.col(ts), bucket_width_s))
     ivs = intervals.withColumn(
         _BUCKET,

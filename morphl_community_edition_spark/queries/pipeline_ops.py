@@ -186,7 +186,8 @@ def q87_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q88_frame_sample",
     oracle="""
-    WITH f AS (SELECT doc_id, greatest(1, len(text) // 4) AS step, text FROM documents)
+    WITH f AS (SELECT doc_id, greatest(1, len(coalesce(text, '')) // 4) AS step,
+                      coalesce(text, '') AS text FROM documents)
     SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
            CAST(len(substr(text, i * step + 1, step)) AS BIGINT) AS n_bytes,
            md5(substr(text, i * step + 1, step)) AS frame_md5
@@ -204,6 +205,9 @@ def q88_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from morphl_community_edition_spark.operators.multimodal import attach_media, sample_frames
 
     docs = load_table(spark, sf_dir, "documents")
+    # NULL-text contract: both sides coerce missing text to empty
+    # (oracle coalesces; sample_frames treats NULL payload as b"") —
+    # the fixture is null-free but the contract shouldn't depend on it
     frames = sample_frames(attach_media(docs), n_frames=4)
     return (
         frames.select(

@@ -192,10 +192,7 @@ def test_fuzz_components_match_union_find(edges):
         df = df.limit(0)
     got = {r["n"]: r["comp"] for r in connected_components(df).collect()}
     assert got == want
-    # the O(log n) star variant must produce the identical labeling —
-    # minus pure-self-loop nodes, which it (correctly) treats as
-    # isolated and omits like any other edge-less node
-    want_star = {n: c for n, c in want.items()
-                 if any(a != b and n in (a, b) for a, b in edges)}
+    # the O(log n) star variant has the SAME contract — including
+    # self-loop-only nodes labeled as singletons
     got_star = {r["n"]: r["comp"] for r in connected_components_star(df).collect()}
-    assert got_star == want_star
+    assert got_star == want

@@ -256,15 +256,21 @@ def test_interval_join_hash_plan_and_theta_equivalence(spark):
     from morphl_community_edition_spark.operators.interval_join import range_join_bucketized
     from tests.conftest import SF_DIR_SMOKE
 
-    ev = load_table(spark, SF_DIR_SMOKE, "events").select("event_id", "ts").limit(300)
+    # deterministic subsets via filters — a bare limit re-executed per
+    # action may select different rows between the two join legs
+    ev = (
+        load_table(spark, SF_DIR_SMOKE, "events")
+        .select("event_id", "ts")
+        .filter(F.col("event_id") < 300)
+    )
     iv = (
         load_table(spark, SF_DIR_SMOKE, "events")
+        .filter(F.col("event_id") < 200)
         .select(
             F.col("event_id").alias("iv_id"),
             F.col("ts").alias("lo"),
             (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("hi"),
         )
-        .limit(200)
     )
     fast = range_join_bucketized(ev, iv, "ts", "lo", "hi", bucket_width_s=600)
     naive = ev.crossJoin(iv).filter((F.col("ts") >= F.col("lo")) & (F.col("ts") < F.col("hi")))

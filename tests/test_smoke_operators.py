@@ -249,7 +249,9 @@ def test_k5_resize_and_frame_sample_stages(spark):
         sample_frames,
     )
 
-    docs = load_table(spark, SF_DIR_SMOKE, "documents").limit(40)
+    # filter (not bare limit): each action re-executes the plan, and
+    # an order-less limit(40) may pick DIFFERENT rows per execution
+    docs = load_table(spark, SF_DIR_SMOKE, "documents").filter(F.col("doc_id") < 40)
     media = attach_media(docs)
     resized = resize_media(media, target_bytes=64)
     # same shape (mapInPandas output is nullable-everywhere, incl.
