@@ -421,3 +421,16 @@ def q85_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "score", "rk")
         .orderBy("doc_id", "rk")
     )
+
+
+@query("q89_ann_ivf")  # no oracle: approximate by design — recall vs exact KNN asserted in tests/test_approx.py
+def q89_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 scale path as a driver-visible entry: IVF approximate KNN
+    (KMeans cells, n_probe/n_cells of the corpus searched per query)
+    for the same 10-probe workload q39 answers exactly. Driver runs
+    the rows-only check; accuracy is the recall suite's job."""
+    from morphl_community_edition_spark.operators.similarity import ivf_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return ivf_cosine_topk(emb, probes, k=5).orderBy("q_vec", "rnk")
