@@ -434,3 +434,16 @@ def q89_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10)
     return ivf_cosine_topk(emb, probes, k=5).orderBy("q_vec", "rnk")
+
+
+@query("q90_ann_lsh")  # no oracle: approximate by design — recall suite covers accuracy
+def q90_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 scale path #3 as a driver-visible entry: random-projection
+    LSH approximate KNN for the q39 probe workload (bucket equi-join
+    candidates instead of all-pairs). Rows-only driver check; recall
+    vs exact KNN asserted in tests/test_approx.py."""
+    from morphl_community_edition_spark.operators.similarity import lsh_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return lsh_cosine_topk(emb, probes, k=5).orderBy("q_vec", "rnk")

@@ -107,3 +107,13 @@ def write_parquet_partitioned(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def read_text_lines(spark: SparkSession, path: str, wholetext: bool = False) -> DataFrame:
+    """Raw text corpus ingestion (A2 breadth): one row per line
+    (`value` string), or one row per FILE with wholetext=True — the
+    landing shape for line-delimited corpora before schema-on-read
+    parsing. Same pushdown story as binaryFile: only pathGlobFilter /
+    modifiedAfter prune before read; real filtering happens after
+    parse, so land into parquet early."""
+    return spark.read.text(path, wholetext=wholetext)

@@ -271,3 +271,18 @@ def test_k5_resize_and_frame_sample_stages(spark):
     src = media.orderBy("doc_id").first()
     step = max(1, len(src["payload"]) // 4)
     assert bytes(one["frame"]) == bytes(src["payload"][:step])
+
+
+def test_a2_text_lines_source(spark, tmp_path):
+    from morphl_community_edition_spark.sources.batch import read_text_lines
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("line one\nline two\n")
+    (d / "b.txt").write_text("third\n")
+    lines = read_text_lines(spark, str(d))
+    assert lines.columns == ["value"]
+    assert lines.count() == 3
+    whole = read_text_lines(spark, str(d), wholetext=True)
+    assert whole.count() == 2
+    assert {r["value"] for r in whole.collect()} == {"line one\nline two\n", "third\n"}
