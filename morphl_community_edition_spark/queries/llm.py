@@ -391,7 +391,10 @@ def q85_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens; df re-aggregates tf's (term-partitioned) output; N is a
     1-row broadcast. The only fact-sized shuffles are the two
     term-keyed aggs, both partial-agg friendly; the final top-3 is a
-    bounded window per doc."""
+    bounded window per doc. Document frequency MUST see the full
+    corpus, but the probe predicate (doc_id < 200) is pushed onto the
+    tf side entering the join+window — the window input shrinks ~25×
+    while df/n stay corpus-wide (plan-gated in tests/test_plans.py)."""
     docs = load_table(spark, sf_dir, "documents")
     tf = (
         docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
@@ -403,7 +406,8 @@ def q85_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     scored = (
-        tf.join(df, "term")
+        tf.filter(F.col("doc_id") < 200)
+        .join(df, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -417,7 +421,7 @@ def q85_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("int"))
-        .filter((F.col("rk") <= 3) & (F.col("doc_id") < 200))
+        .filter(F.col("rk") <= 3)
         .select("doc_id", "term", "score", "rk")
         .orderBy("doc_id", "rk")
     )
