@@ -1,4 +1,4 @@
-"""Fixture-table catalog: explicit schemas + the events ns-timestamp repair.
+"""Fixture-table catalog: explicit schemas + events timestamp-unit repair.
 
 The reference stores raw data in Cassandra wide rows keyed by
 client_id and declares every table's schema in code (CQL DDL +
@@ -7,14 +7,23 @@ the same stance on Spark: schemas are code-declared ``StructType``s,
 never inferred, because at 100 TB schema inference is a full extra
 scan and a correctness hazard.
 
-``events.parquet`` is written with INT64 TIMESTAMP(NANOS) which
-pyspark 4.x cannot read by default. With
-``spark.sql.legacy.parquet.nanosAsLong=true`` the column arrives as a
-long holding epoch-nanoseconds; we rebuild a microsecond timestamp via
-integer division (``ts div 1000`` — floor, exact on longs; a
-float-division detour would lose sub-µs precision at 1.7e18 ns).
-DuckDB reads the same file as TIMESTAMP_NS and truncates to µs on
-CAST, so both engines see identical microsecond instants.
+``events.parquet`` has shipped with two different ``ts`` encodings
+across testdata generations, so the catalog sniffs the parquet footer
+(one driver-side metadata read, memoized) and adapts:
+
+- ``TIMESTAMP(NANOS)``: pyspark 4.x cannot read it by default
+  (PARQUET_TYPE_ILLEGAL). With
+  ``spark.sql.legacy.parquet.nanosAsLong=true`` the column arrives as
+  a long holding epoch-nanoseconds; we rebuild a microsecond timestamp
+  via integer division (``ts div 1000`` — floor, exact on longs; a
+  float-division detour would lose sub-µs precision at 1.7e18 ns).
+  DuckDB reads the same file as TIMESTAMP_NS and truncates to µs on
+  CAST, so both engines see identical microsecond instants.
+- ``TIMESTAMP(MICROS)`` / ``TIMESTAMP(MILLIS)``: read natively as
+  ``TimestampType`` (vectorized, no repair needed) — exactly what
+  DuckDB sees. Silently applying the ns repair here would shrink every
+  instant 1000× (this exact bug produced round-2's q16/q21/q31/q40
+  hash mismatches when the fixtures switched from ns to µs).
 """
 
 from __future__ import annotations
@@ -112,10 +121,12 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
+    # events.ts type is resolved per-file by _events_ts_is_nanos (ns →
+    # LongType via nanosAsLong + repair; µs/ms → native TimestampType).
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # epoch-nanos via nanosAsLong
+            T.StructField("ts", T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -145,6 +156,45 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+# path -> whether events.ts is INT64 TIMESTAMP(NANOS) (or a bare int64,
+# which historic generators used for epoch-ns). One footer read per
+# path for the life of the process — parquet fixtures are immutable.
+_EVENTS_TS_NANOS_MEMO: dict[str, bool] = {}
+
+
+def _events_ts_is_nanos(path: str) -> bool:
+    """Sniff the parquet footer: does ``ts`` need the ns→µs repair?
+
+    Driver-side metadata-only read (no row data). Handles both a single
+    parquet file and a directory of part files (sniffs the first part —
+    a writer never mixes units within one dataset).
+    """
+    cached = _EVENTS_TS_NANOS_MEMO.get(path)
+    if cached is not None:
+        return cached
+    import pyarrow.parquet as pq
+
+    probe = path
+    if os.path.isdir(path):
+        parts = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet") or f.startswith("part-")
+        )
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files under {path}")
+        probe = parts[0]
+    field = pq.read_schema(probe).field("ts")
+    ftype = field.type
+    if hasattr(ftype, "unit"):  # a timestamp logical type
+        is_ns = ftype.unit == "ns"
+    else:
+        # bare int64: the legacy epoch-ns encoding (SURVEY.md §5.3.3)
+        is_ns = True
+    _EVENTS_TS_NANOS_MEMO[path] = is_ns
+    return is_ns
+
+
 # session -> {(sf_dir, name) -> DataFrame}. A DataFrame is an immutable
 # logical plan, so reuse is safe; this skips the repeated file-listing/
 # footer read when a 56-query sweep loads the same table dozens of
@@ -164,8 +214,10 @@ def _memo_for(spark: SparkSession) -> dict:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table with its declared schema.
 
-    For ``events`` this repairs the ns-timestamp column into a proper
-    TimestampType (µs, floor-truncated — matching DuckDB's ns→µs cast).
+    For ``events`` this resolves the on-disk ``ts`` unit from the
+    parquet footer: ns files are read as long (nanosAsLong) and
+    repaired to a µs TimestampType (floor-truncated — matching DuckDB's
+    ns→µs cast); µs/ms files are read natively as TimestampType.
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -174,8 +226,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     apply_runtime_conf(spark)
-    df = spark.read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
-    if name == "events":
+    path = table_path(sf_dir, name)
+    schema = SCHEMAS[name]
+    repair_ns = name == "events" and _events_ts_is_nanos(path)
+    if repair_ns:
+        fields = [
+            T.StructField("ts", T.LongType()) if f.name == "ts" else f
+            for f in schema.fields
+        ]
+        schema = T.StructType(fields)
+    df = spark.read.schema(schema).parquet(path)
+    if repair_ns:
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     memo[(sf_dir, name)] = df
     return df
