@@ -61,90 +61,17 @@ def _load_modules() -> None:
     )
 
 
-# The driver's per-round CORRECTNESS check covers the FIRST 50 entries
-# of queries() in iteration order (verified key-for-key in round 1), so
-# the window below is curated to (a) contain only hash-checkable
-# queries — every entry has an ORACLE_SQL twin — and (b) span every
-# SURVEY.md §3 group: relational B/C/D/F/G, windows E, scalars H,
-# streaming batch-twins I, pandas UDFs J, LLM-pipeline K1–K6,
-# reference workload L, pipeline ops, profiling, and a TPC-H core
-# (q01/q03/q05 are the Q1/Q3/Q5 adaptations).  Queries without oracle
-# SQL (approx sketches, LSH, ANN recall — q18/q28/q41/q73/q89/q90) are
-# pushed to the very end so no driver slot is burned on a rows-only
-# check.
-DRIVER_WINDOW: list[str] = [
-    "q01_pricing_summary",
-    "q02_predicates",
-    "q03_star_topk",
-    "q04_case_when",
-    "q05_six_table_join",
-    "q06_rollup",
-    "q07_cube",
-    "q08_outer_join_nulls",
-    "q09_fact_fact_join",
-    "q10_semi_join",
-    "q11_anti_join",
-    "q12_cosine_topk",
-    "q13_range_join",
-    "q14_asof_join",
-    "q15_rank_running_sum",
-    "q16_sessionize",
-    "q17_json_agg",
-    "q19_sorted_list_agg",
-    "q20_stats",
-    "q21_range_frame",
-    "q22_topk_per_group",
-    "q23_set_ops",
-    "q24_exact_dedup",
-    "q25_string_gauntlet",
-    "q26_date_gauntlet",
-    "q27_pandas_udf",
-    "q29_top_terms",
-    "q30_embedding_centroids",
-    "q31_engagement_churn",
-    "q32_funnel",
-    "q37_ngram_jaccard",
-    "q38_cosine_neardup",
-    "q39_ann_topk",
-    "q40_tumbling_window",
-    "q42_multimodal_bytes",
-    "q43_window_gauntlet",
-    "q44_map_functions",
-    "q45_grouped_map_zscore",
-    "q46_grouped_agg_udaf",
-    "q57_data_profile",
-    "q60_grouping_sets",
-    "q62_tpch_q6",
-    "q69_tpch_q18",
-    "q75_det_hash_split",
-    "q76_stratified_sample",
-    "q77_dedup_components",
-    "q85_tfidf_topterms",
-    "q86_pure_range_join",
-    "q87_embedding_dedup_clusters",
-    "q88_frame_sample",
-]
-
-
-def _reorder_registry() -> None:
-    """Rebuild QUERIES in driver-window order: the 50 curated oracle
-    queries first, then the remaining oracle-checked queries in
-    registration order, then the no-oracle (tolerance/recall-checked)
-    queries last."""
-    missing = [k for k in DRIVER_WINDOW if k not in QUERIES]
-    if missing:
-        raise RuntimeError(f"DRIVER_WINDOW names unregistered queries: {missing}")
-    no_oracle_in_window = [k for k in DRIVER_WINDOW if k not in ORACLE_SQL]
-    if no_oracle_in_window:
-        raise RuntimeError(
-            f"DRIVER_WINDOW contains non-hash-checkable queries: {no_oracle_in_window}"
-        )
-    rest_oracle = [k for k in QUERIES if k not in DRIVER_WINDOW and k in ORACLE_SQL]
-    rest_no_oracle = [k for k in QUERIES if k not in DRIVER_WINDOW and k not in ORACLE_SQL]
-    ordered = {k: QUERIES[k] for k in [*DRIVER_WINDOW, *rest_oracle, *rest_no_oracle]}
+def _sort_registry() -> None:
+    """Present the registry in canonical contract order: sorted by
+    query id (q01…q91). Module import order is an implementation detail
+    of how the files are split; the sorted order is the one SURVEY.md
+    §3 and the docs use, and it is independent of any consumer's
+    sampling mechanics. All oracle-checked queries remain equally
+    eligible for external verification."""
+    ordered = {k: QUERIES[k] for k in sorted(QUERIES)}
     QUERIES.clear()
     QUERIES.update(ordered)
 
 
 _load_modules()
-_reorder_registry()
+_sort_registry()
