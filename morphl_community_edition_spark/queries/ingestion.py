@@ -3,13 +3,22 @@
 
 The reference's entry point is GA Reporting API JSON landed raw and
 parsed by PySpark (SURVEY.md §1, [PUBLIC]). This module closes the A2
-contract gap (round-1 verdict "What's missing" #3): it materializes an
-events-as-JSONL staging directory from the parquet fixture, ingests it
-with ``spark.read.schema(...).json`` (schema DECLARED, never inferred
-— a 100 TB inference scan is both slow and a correctness hazard), and
-aggregates it; the DuckDB twin reads the very same files via
-``read_json_auto`` so the hash check covers the serialize→parse round
-trip, not just the aggregation.
+contract gap: it materializes an events-as-JSONL staging directory
+from the parquet fixture, ingests it with
+``spark.read.schema(...).json`` (schema DECLARED, never inferred — a
+100 TB inference scan is both slow and a correctness hazard), and
+aggregates it.
+
+Oracle design: the DuckDB twin computes the same aggregate straight
+from the ``events`` parquet view — it does NOT read the staged files.
+A hash match therefore proves the whole Spark-side
+serialize→land→parse→aggregate loop is lossless against the original
+table, which is a *stronger* check than having both engines read the
+staged files (that variant goes green even if the staging step
+corrupts data, since both sides would read the same corruption) — and
+it removes any dependence on staging-path state: no fixed /tmp path,
+no cross-run race, no stale-file hazard. Each invocation stages into a
+fresh ``mkdtemp`` directory instead.
 
 Determinism across the JSON boundary:
 
@@ -20,10 +29,7 @@ Determinism across the JSON boundary:
   functions/rounding.py) — JSON double shortest-repr parsing is not
   canonical cross-engine; integers are.
 
-The staging path is fixed (the oracle SQL is a static string). The
-comparator always evaluates the Spark side first (driver and local
-harness both), so the files DuckDB reads are the ones this invocation
-staged. Scale note: staging is a fixture-side test helper — production
+Scale note: staging is a fixture-side test helper — production
 ingestion reads JSON landed by the upstream connector directly, with
 the same declared schema, and never coalesces.
 """
@@ -31,16 +37,18 @@ the same declared schema, and never coalesces.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from morphl_community_edition_spark.catalog import load_table
-from morphl_community_edition_spark.functions.rounding import to_scaled_long
+from morphl_community_edition_spark.functions.rounding import (
+    sql_scaled_long,
+    to_scaled_long,
+)
 from morphl_community_edition_spark.queries import query
-
-JSON_STAGE_DIR = "/tmp/morphl_a2_json_stage"
 
 # Declared ingestion schema for the landed JSONL (schema-on-read, but
 # code-declared — mirrors the reference's hardcoded column lists).
@@ -56,10 +64,14 @@ EVENTS_JSONL_SCHEMA = T.StructType(
 )
 
 
-def stage_events_jsonl(spark: SparkSession, sf_dir: str, out_dir: str = JSON_STAGE_DIR) -> str:
-    """Export the events fixture as JSONL (one object per line) into
-    ``out_dir``, overwriting any previous staging. Written with normal
-    write parallelism (no coalesce); readers glob ``part-*.json``."""
+def stage_events_jsonl(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> str:
+    """Export the events fixture as JSONL (one object per line) into a
+    fresh private directory (or ``out_dir`` if given). Written with
+    normal write parallelism (no coalesce); readers glob
+    ``part-*.json``. A unique dir per call means concurrent runs (or
+    runs at different scale factors) can never clobber each other."""
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="morphl_a2_json_stage_")
     ev = load_table(spark, sf_dir, "events")
     flat = ev.select(
         "event_id",
@@ -73,7 +85,7 @@ def stage_events_jsonl(spark: SparkSession, sf_dir: str, out_dir: str = JSON_STA
     return out_dir
 
 
-def read_events_jsonl(spark: SparkSession, in_dir: str = JSON_STAGE_DIR) -> DataFrame:
+def read_events_jsonl(spark: SparkSession, in_dir: str) -> DataFrame:
     """A2: ingest landed JSONL with the declared schema."""
     return spark.read.schema(EVENTS_JSONL_SCHEMA).json(os.path.join(in_dir, "part-*.json"))
 
@@ -84,20 +96,21 @@ def read_events_jsonl(spark: SparkSession, in_dir: str = JSON_STAGE_DIR) -> Data
     SELECT event_type,
            count(*) AS cnt,
            CAST(count(DISTINCT user_id) AS BIGINT) AS users,
-           CAST(sum(value_cents) AS DOUBLE) / 1e2 AS sum_value,
-           CAST(min(ts_us) AS BIGINT) AS min_ts_us,
-           CAST(max(ts_us) AS BIGINT) AS max_ts_us,
+           CAST(sum({sql_scaled_long("value", 2)}) AS DOUBLE) / 1e2 AS sum_value,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us,
            CAST(sum(CAST(props LIKE '%"k"%' AS INTEGER)) AS BIGINT) AS with_k
-    FROM read_json_auto('{JSON_STAGE_DIR}/part-*.json')
+    FROM events
     GROUP BY event_type ORDER BY event_type
     """,
 )
 def q91_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2 end-to-end: parquet → JSONL staging → spark.read.json with
-    declared schema → aggregate. DuckDB reads the identical files, so
-    a hash match proves the whole serialize→parse→aggregate path."""
-    stage_events_jsonl(spark, sf_dir)
-    ev = read_events_jsonl(spark)
+    """A2 end-to-end: parquet → JSONL staging (fresh private dir) →
+    spark.read.json with declared schema → aggregate. The DuckDB twin
+    aggregates the original parquet directly, so a hash match proves
+    the serialize→parse round trip lost nothing."""
+    stage_dir = stage_events_jsonl(spark, sf_dir)
+    ev = read_events_jsonl(spark, stage_dir)
     return (
         ev.groupBy("event_type")
         .agg(
