@@ -313,3 +313,26 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
         assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", old)
+
+
+def test_q85_probe_filter_pushed_below_window(spark):
+    """q85 TF-IDF (queries/llm.py): the probe predicate (doc_id < 200)
+    must be pushed through the tf aggregation all the way to ONE
+    parquet scan — the tf branch entering the join+window — while the
+    document-frequency branch stays corpus-wide. Pushed-to-scan is
+    strictly below the window exchange, so this also guards the
+    window-input shrink claimed in the docstring."""
+    import re
+
+    from morphl_community_edition_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["q85_tfidf_topterms"](spark, SF_DIR))
+    scans = re.findall(r"PushedFilters: \[(.*?)\]", plan)
+    probe_scans = [s for s in scans if "doc_id" in s and "LessThan" in s]
+    assert len(probe_scans) == 1, (
+        f"expected exactly one doc_id-filtered scan (tf branch), got {probe_scans}"
+    )
+    # df/n branches must NOT carry the probe filter (document frequency
+    # is corpus-wide by definition); with exchange reuse the plan may
+    # fold them, but no second filtered scan may appear.
+    assert "Window" in plan
