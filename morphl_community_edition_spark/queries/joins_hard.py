@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from morphl_community_edition_spark.catalog import load_table
 from morphl_community_edition_spark.functions.rounding import crnd, sql_crnd
 from morphl_community_edition_spark.operators.asof import asof_join
-from morphl_community_edition_spark.operators.similarity import cosine_pairs_topk_gemm
+from morphl_community_edition_spark.operators.similarity import cosine_pairs_topk
 from morphl_community_edition_spark.queries import query
 
 
@@ -27,12 +27,14 @@ from morphl_community_edition_spark.queries import query
     """,
 )
 def q12_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-20 cosine pairs via the broadcast-GEMM fast path
-    (operators/similarity.cosine_pairs_topk_gemm — ~25× faster than
-    per-pair higher-order folds; cosine_pairs remains the pure-JVM
-    form used by threshold scans like q38)."""
+    """Top-20 cosine pairs through the count-gated tier dispatcher
+    (operators/similarity.cosine_pairs_topk): at fixture scale the
+    corpus is far below the broadcast ceiling so the EXACT blocked-GEMM
+    tier runs (~25× faster than per-pair higher-order folds); past the
+    driver-memory-derived ceiling the same call routes to LSH-bucketed
+    candidates instead of OOMing the driver."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs_topk_gemm(emb, k=20)
+    return cosine_pairs_topk(emb, k=20)
 
 
 @query(

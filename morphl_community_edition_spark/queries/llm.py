@@ -20,7 +20,7 @@ from morphl_community_edition_spark.operators.dedup import (
 )
 from morphl_community_edition_spark.operators.multimodal import attach_media, extract_features
 from morphl_community_edition_spark.operators.quality_checks import profile
-from morphl_community_edition_spark.operators.similarity import cosine_pairs_threshold_gemm, cosine_topk_per_query
+from morphl_community_edition_spark.operators.similarity import cosine_pairs_threshold, cosine_topk_per_query
 from morphl_community_edition_spark.operators.textstats import (
     LANG_PRIORITY,
     LANG_STOPWORDS,
@@ -221,12 +221,13 @@ def q37_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q38_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs. Threshold 0.4 ≈ the fixture's top
-    0.05% pair tail (max pairwise cosine is 0.51 — the embeddings are
-    not label-clustered); at production thresholds (0.9+) swap in the
-    LSH path, same contract."""
+    """Embedding near-dup pairs through the count-gated dispatcher
+    (GEMM at fixture scale; LSH-bucketed candidates past the
+    driver-memory ceiling — same contract columns). Threshold 0.4 ≈
+    the fixture's top 0.05% pair tail (max pairwise cosine is 0.51 —
+    the embeddings are not label-clustered)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs_threshold_gemm(emb, threshold=0.4).orderBy("a_vec", "b_vec")
+    return cosine_pairs_threshold(emb, threshold=0.4).orderBy("a_vec", "b_vec")
 
 
 @query(

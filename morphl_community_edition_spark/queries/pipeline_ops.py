@@ -172,10 +172,10 @@ def q87_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     text path uses (q77). One dedup-cluster contract, two similarity
     modalities. At production thresholds the edge source swaps to the
     LSH candidates; the closure is unchanged."""
-    from morphl_community_edition_spark.operators.similarity import cosine_pairs_threshold_gemm
+    from morphl_community_edition_spark.operators.similarity import cosine_pairs_threshold
 
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = cosine_pairs_threshold_gemm(emb, threshold=0.3).select("a_vec", "b_vec")
+    edges = cosine_pairs_threshold(emb, threshold=0.3).select("a_vec", "b_vec")
     return (
         dedup_clusters(edges, "a_vec", "b_vec")
         .select(F.col("n").alias("vec_id"), "comp", "cluster_size")

@@ -134,3 +134,61 @@ def test_q73_approx_percentile_tolerance(spark):
     for flag, ex in exact.items():
         assert abs(approx[flag]["approx_median"] - ex["m"]) / ex["m"] < 0.005
         assert abs(approx[flag]["approx_p99"] - ex["p99"]) / ex["p99"] < 0.005
+
+
+def test_pairs_tier_dispatcher_boundary(spark):
+    """Round-1 verdict item: the GEMM tier must be count-gated, not
+    manually selected. Below the ceiling the dispatcher is EXACTLY the
+    GEMM result; above it, the LSH tier runs (and at a permissive
+    threshold its top pairs still recall the exact head)."""
+    from morphl_community_edition_spark.operators.similarity import (
+        cosine_pairs_topk,
+        cosine_pairs_topk_gemm,
+        gemm_row_ceiling,
+        pairs_tier,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+
+    # tier choice function at the boundary
+    assert pairs_tier(n, ceiling=n) == "gemm"
+    assert pairs_tier(n, ceiling=n - 1) == "lsh"
+    # derived ceiling sanity: 8g driver / 64-dim → far above fixture n
+    assert gemm_row_ceiling(spark, dim=64) > n
+
+    exact = {(r["a_vec"], r["b_vec"]) for r in cosine_pairs_topk_gemm(emb, k=10).collect()}
+
+    routed = cosine_pairs_topk(emb, k=10, corpus_count=n)
+    assert {(r["a_vec"], r["b_vec"]) for r in routed.collect()} == exact
+
+    # force the scale tier by pinning the ceiling below n
+    approx = cosine_pairs_topk(emb, k=10, corpus_count=n, max_gemm_rows=n - 1)
+    got = {(r["a_vec"], r["b_vec"]) for r in approx.collect()}
+    assert len(got) == 10
+    assert len(got & exact) >= 5, f"LSH tier recalled only {len(got & exact)}/10 head pairs"
+
+
+def test_threshold_tier_dispatcher(spark):
+    """Same gate for the threshold (near-dup edge) form: GEMM tier is
+    bit-identical through the dispatcher; the forced LSH tier produces
+    a subset of the exact pair set (distance cut is exact on unit-
+    sphere candidates, so only bucket recall can drop pairs — never
+    add)."""
+    from morphl_community_edition_spark.operators.similarity import (
+        cosine_pairs_threshold,
+        cosine_pairs_threshold_gemm,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    exact = {
+        (r["a_vec"], r["b_vec"]) for r in cosine_pairs_threshold_gemm(emb, 0.4).collect()
+    }
+    routed = cosine_pairs_threshold(emb, 0.4, corpus_count=n)
+    assert {(r["a_vec"], r["b_vec"]) for r in routed.collect()} == exact
+
+    forced = cosine_pairs_threshold(emb, 0.4, corpus_count=n, max_gemm_rows=n - 1)
+    got = {(r["a_vec"], r["b_vec"]) for r in forced.collect()}
+    assert got <= exact
+    assert len(got) >= len(exact) // 2, f"LSH recall too low: {len(got)}/{len(exact)}"
