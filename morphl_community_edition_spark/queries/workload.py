@@ -90,3 +90,31 @@ def q32_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("v") < F.col("c"), 1)).alias("clicked_after_view"),
         F.count(F.when((F.col("v") < F.col("c")) & (F.col("c") < F.col("p")), 1)).alias("full_funnel"),
     )
+
+
+@query(
+    "q92_shopping_stage",
+    oracle=f"""
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+           CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0 THEN 2
+                     WHEN sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) > 0 THEN 1
+                     ELSE 0 END AS INTEGER) AS stage
+    FROM {EVENTS_US} e
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q92_shopping_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5/M2 bridge: the multiclass shopping-stage LABEL (the
+    reference's second flagship pipeline's target) as an oracle-checked
+    query — per-user furthest funnel stage (0 browse / 1 engaged /
+    2 purchased) via ml/stages.shopping_stage_label. The multinomial
+    model that consumes it is the M-suite's job (tests/test_ml.py)."""
+    from morphl_community_edition_spark.ml.stages import shopping_stage_label
+
+    ev = load_table(spark, sf_dir, "events")
+    return shopping_stage_label(ev).select(
+        "user_id", "clicks", "purchases", "stage"
+    ).orderBy("user_id")
