@@ -571,7 +571,7 @@ def q78_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN supplier ON s_suppkey = l_suppkey
     JOIN nation ON n_nationkey = s_nationkey
     JOIN orders ON o_orderkey = l_orderkey
-    WHERE p_name LIKE '%2%'
+    WHERE p_name LIKE '%red%'
     GROUP BY n_name, year(o_orderdate)
     ORDER BY nation, o_year DESC
     """,
@@ -580,7 +580,10 @@ def q79_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 (product-type profit): 5-table join, profit per
     supplier-nation per year. Adapted: no partsupp in the fixtures →
     unit cost = p_retailprice (profit = revenue − retailprice·qty,
-    exact in 1e-4 integer units on both engines).
+    exact in 1e-4 integer units on both engines). The part pattern is
+    '%red%' (~13% of parts at every SF) — the classic '%<digit>%'
+    matches nothing in this fixture's adjective-noun part names, which
+    made the hash check vacuous (round-1 verdict "What's wrong" #1).
 
     Scale shape: lineitem joins part and supplier on ITS OWN keys
     (auto-broadcast locally, shuffle at SF where they outgrow the
@@ -593,7 +596,7 @@ def q79_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t["lineitem"]
-        .join(t["part"].filter(F.col("p_name").like("%2%")).select("p_partkey", "p_retailprice"),
+        .join(t["part"].filter(F.col("p_name").like("%red%")).select("p_partkey", "p_retailprice"),
               F.col("l_partkey") == F.col("p_partkey"))
         .join(t["supplier"].join(F.broadcast(t["nation"]),
                                  F.col("s_nationkey") == F.col("n_nationkey"))
@@ -690,20 +693,24 @@ def q81_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH t AS (SELECT l_partkey,
                       CAST(sum({sql_scaled_long('l_extendedprice')}) AS BIGINT) AS val
-               FROM lineitem GROUP BY l_partkey),
-    tot AS (SELECT CAST(sum(val) AS BIGINT) AS s FROM t)
+               FROM lineitem GROUP BY l_partkey)
     SELECT l_partkey, CAST(val AS DOUBLE) / 1e2 AS part_value
-    FROM t, tot
-    WHERE val > CAST(floor(CAST(s AS DOUBLE) * 0.001) AS BIGINT)
+    FROM (SELECT l_partkey, val,
+                 CAST(sum(val) OVER () AS BIGINT) AS s,
+                 CAST(count(*) OVER () AS BIGINT) AS cnt
+          FROM t) z
+    WHERE val * cnt > s
     ORDER BY part_value DESC, l_partkey
     """,
 )
 def q82_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 (important stock): per-key value share vs a global
     scalar. Adapted: no partsupp → per-partkey lineitem revenue vs
-    0.1% of total revenue. Exact integer sums on both sides; the only
-    doubles are the final display divide and the threshold multiply
-    (identical IEEE ops both engines).
+    the AVERAGE per-part revenue (val·cnt > total, pure integer
+    arithmetic — no float threshold at all). Above-average is
+    sf-invariant: the fixed 0.1%-of-total cut selected nothing at
+    sf0.01 (round-1 verdict "What's wrong" #1 — a 0-row hash match
+    verifies nothing), while above-average parts exist at every SF.
 
     Scale shape: ONE aggregation of the fact produces the per-part
     values; the global total is an unpartitioned window sum over THAT
@@ -720,9 +727,10 @@ def q82_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = li.groupBy("l_partkey").agg(
         F.sum(to_scaled_long(F.col("l_extendedprice"))).alias("val")
     )
-    t = t.withColumn("s", F.sum("val").over(Window.partitionBy()))
+    w = Window.partitionBy()
+    t = t.withColumn("s", F.sum("val").over(w)).withColumn("cnt", F.count(F.lit(1)).over(w))
     return (
-        t.filter(F.col("val") > F.floor(F.col("s").cast("double") * F.lit(0.001)).cast("long"))
+        t.filter(F.col("val") * F.col("cnt") > F.col("s"))
         .select("l_partkey", (F.col("val").cast("double") / F.lit(1e2)).alias("part_value"))
         .orderBy(F.col("part_value").desc(), "l_partkey")
     )
@@ -771,34 +779,49 @@ def q83_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT s_name, CAST(total_qty AS DOUBLE) / 1e2 AS shipped_qty
     FROM supplier
-    JOIN (SELECT l_suppkey,
-                 CAST(sum({sql_scaled_long('l_quantity')}) AS BIGINT) AS total_qty
-          FROM lineitem
-          WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%3%')
-            AND l_shipdate >= TIMESTAMP '1997-01-01'
-          GROUP BY l_suppkey) q ON q.l_suppkey = s_suppkey
-    WHERE total_qty > 20000
+    JOIN (SELECT l_suppkey, total_qty
+          FROM (SELECT l_suppkey, total_qty,
+                       CAST(sum(total_qty) OVER () AS BIGINT) AS s,
+                       CAST(count(*) OVER () AS BIGINT) AS cnt
+                FROM (SELECT l_suppkey,
+                             CAST(sum({sql_scaled_long('l_quantity')}) AS BIGINT) AS total_qty
+                      FROM lineitem
+                      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+                        AND l_shipdate >= TIMESTAMP '1997-01-01'
+                      GROUP BY l_suppkey) a) z
+          WHERE total_qty * cnt > s) q ON q.l_suppkey = s_suppkey
     ORDER BY s_name
     """,
 )
 def q84_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 (potential part promotion): nested IN-subquery chain
-    — suppliers who moved serious volume of pattern-matched parts in
-    the window. Adapted: no partsupp availqty → threshold on shipped
-    quantity (exact scaled sum).
+    — suppliers who moved above-average volume of pattern-matched
+    parts in the window. Adapted: no partsupp availqty → above-average
+    shipped quantity (val·cnt > total, pure integer — no float
+    threshold), '%red%' part pattern. Both replace fixed cuts that
+    selected nothing at sf0.01 (round-1 verdict: 0-row hash matches
+    verify nothing; '%<digit>%' matches no adjective-noun part name at
+    ANY fixture SF).
 
     Scale shape: the part-pattern set semi-joins the fact (broadcast
     locally, shuffle at SF — no hint), the per-supplier agg is
-    map-side combinable and |supplier|-sized, and the supplier join
-    happens after the HAVING-style filter on the tiny aggregate."""
+    map-side combinable and |supplier|-sized, the above-average cut is
+    a window over that tiny frame, and the supplier join happens after
+    the HAVING-style filter."""
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") >= _ts("1997-01-01"))
-    promo_parts = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%3%")).select("p_partkey")
+    promo_parts = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select("p_partkey")
     supp = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy()
     qty = (
         li.join(promo_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum(to_scaled_long(F.col("l_quantity"))).alias("total_qty"))
-        .filter(F.col("total_qty") > 20000)
+        .withColumn("s", F.sum("total_qty").over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(w))
+        .filter(F.col("total_qty") * F.col("cnt") > F.col("s"))
+        .select("l_suppkey", "total_qty")
     )
     return (
         supp.join(F.broadcast(qty), F.col("l_suppkey") == F.col("s_suppkey"))
