@@ -137,16 +137,24 @@ def q02_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q03_star_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape. The orders⋈customer product entering the
+    lineitem join is a filtered FACT-side table, so its broadcast hint
+    is size-gated on orders' on-disk bytes (plans/hints.py): hinted at
+    fixture scale (where it demonstrably fits and beats the
+    no-stats SMJ estimate), unhinted past the gate so AQE's runtime
+    stats pick — and can demote — the strategy at 100×."""
+    from morphl_community_edition_spark.catalog import table_path
+    from morphl_community_edition_spark.plans.hints import broadcast_if_small, dataset_file_bytes
+
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < _ts("1998-03-15"))
     li = load_table(spark, sf_dir, "lineitem")
+    build = orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")).select(
+        "o_orderkey", "o_orderdate"
+    )
     return (
         li.join(
-            F.broadcast(
-                orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")).select(
-                    "o_orderkey", "o_orderdate"
-                )
-            ),
+            broadcast_if_small(build, dataset_file_bytes(table_path(sf_dir, "orders"))),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate")
