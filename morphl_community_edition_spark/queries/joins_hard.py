@@ -33,8 +33,13 @@ def q12_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier runs (~25× faster than per-pair higher-order folds); past the
     driver-memory-derived ceiling the same call routes to LSH-bucketed
     candidates instead of OOMing the driver."""
+    from morphl_community_edition_spark.catalog import table_path
+    from morphl_community_edition_spark.plans.hints import dataset_file_bytes
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs_topk(emb, k=20)
+    return cosine_pairs_topk(
+        emb, k=20, source_bytes=dataset_file_bytes(table_path(sf_dir, "embeddings"))
+    )
 
 
 @query(

@@ -226,8 +226,13 @@ def q38_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-memory ceiling — same contract columns). Threshold 0.4 ≈
     the fixture's top 0.05% pair tail (max pairwise cosine is 0.51 —
     the embeddings are not label-clustered)."""
+    from morphl_community_edition_spark.catalog import table_path
+    from morphl_community_edition_spark.plans.hints import dataset_file_bytes
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs_threshold(emb, threshold=0.4).orderBy("a_vec", "b_vec")
+    return cosine_pairs_threshold(
+        emb, threshold=0.4, source_bytes=dataset_file_bytes(table_path(sf_dir, "embeddings"))
+    ).orderBy("a_vec", "b_vec")
 
 
 @query(
@@ -452,3 +457,84 @@ def q90_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10)
     return lsh_cosine_topk(emb, probes, k=5).orderBy("q_vec", "rnk")
+
+
+@query(
+    "q94_embedding_quantize",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             greatest(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                                    x -> abs(x)), 'max'), 1e-30) AS s,
+             CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings),
+    codes AS (
+      SELECT vec_id, s,
+             list_transform(emb, x -> CAST(floor(x * 127.0 / s + 0.5) AS BIGINT)) AS qe
+      FROM q)
+    SELECT vec_id,
+           floor(s * 1e6 + 0.5) / 1e6 AS q_scale,
+           CAST(list_aggregate(qe, 'sum') AS BIGINT) AS q_sum,
+           CAST(list_aggregate(qe, 'min') AS BIGINT) AS q_min,
+           CAST(list_aggregate(qe, 'max') AS BIGINT) AS q_max
+    FROM codes
+    ORDER BY vec_id
+    """,
+)
+def q94_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3/K6 scale lever: per-vector symmetric int8 quantization
+    (operators/similarity.quantize_embeddings_int8) — 4-8× smaller ANN
+    codes with exact, branch-free round-half-up math, so the check is
+    a true hash-match (per-vector scale + integer code checksums), not
+    a tolerance. The whole expression runs inside whole-stage codegen:
+    no UDF, no shuffle, a pure projection over the corpus."""
+    from morphl_community_edition_spark.functions.rounding import crnd
+    from morphl_community_edition_spark.operators.similarity import quantize_embeddings_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings_int8(emb)
+    return q.select(
+        "vec_id",
+        crnd(F.col("q_scale"), 6).alias("q_scale"),
+        F.aggregate("q_emb", F.lit(0).cast("long"), lambda s, x: s + x).alias("q_sum"),
+        F.array_min("q_emb").alias("q_min"),
+        F.array_max("q_emb").alias("q_max"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "q95_stopword_strip",
+    oracle="""
+    WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+    k AS (SELECT doc_id, lang, ws,
+                 list_filter(ws, x -> x NOT IN ('a', 'the')) AS kept
+          FROM w)
+    SELECT doc_id, lang,
+           md5(array_to_string(kept, ' ')) AS clean_md5,
+           CAST(len(ws) - len(kept) AS BIGINT) AS n_removed,
+           CAST(len(kept) AS BIGINT) AS n_kept
+    FROM k
+    ORDER BY doc_id
+    """,
+)
+def q95_stopword_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 cleaning stage: stopword removal as a pure higher-order
+    array pipeline (split → filter → rejoin) — no regex (cross-engine
+    regex dialects diverge), no UDF, fully inside codegen. The md5 of
+    the cleaned text proves content equality byte-for-byte, not just
+    counts; n_removed is non-zero for most fixture docs ('a'/'the'
+    are in the generator vocabulary), so the check has real effect.
+    Scale: a projection — zero shuffles beyond the output sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    kept = F.filter(ws, lambda x: ~x.isin("a", "the"))
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.md5(F.array_join(kept, " ").cast("binary")).alias("clean_md5"),
+            (F.size(ws) - F.size(kept)).cast("long").alias("n_removed"),
+            F.size(kept).cast("long").alias("n_kept"),
+        )
+        .orderBy("doc_id")
+    )

@@ -172,10 +172,14 @@ def q87_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     text path uses (q77). One dedup-cluster contract, two similarity
     modalities. At production thresholds the edge source swaps to the
     LSH candidates; the closure is unchanged."""
+    from morphl_community_edition_spark.catalog import table_path
     from morphl_community_edition_spark.operators.similarity import cosine_pairs_threshold
+    from morphl_community_edition_spark.plans.hints import dataset_file_bytes
 
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = cosine_pairs_threshold(emb, threshold=0.3).select("a_vec", "b_vec")
+    edges = cosine_pairs_threshold(
+        emb, threshold=0.3, source_bytes=dataset_file_bytes(table_path(sf_dir, "embeddings"))
+    ).select("a_vec", "b_vec")
     return (
         dedup_clusters(edges, "a_vec", "b_vec")
         .select(F.col("n").alias("vec_id"), "comp", "cluster_size")
@@ -217,4 +221,71 @@ def q88_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.col("frame")).alias("frame_md5"),
         )
         .orderBy("doc_id", "frame_idx")
+    )
+
+
+@query(
+    "q93_dedup_corpus",
+    oracle="""
+    WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(ws[gs:gs+2], ' ') AS s
+           FROM w, LATERAL unnest(generate_series(1, len(ws) - 2)) AS t(gs)),
+    sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    i AS (SELECT a.doc_id AS a_doc, b.doc_id AS b_doc, count(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+    e AS (SELECT a_doc, b_doc FROM i
+          JOIN sz sa ON sa.doc_id = a_doc JOIN sz sb ON sb.doc_id = b_doc
+          WHERE inter >= 0.5 * (sa.n_sh + sb.n_sh - inter)),
+    bi AS (SELECT a_doc AS n, b_doc AS m FROM e
+           UNION SELECT b_doc, a_doc FROM e),
+    reach(n, m) AS (
+        SELECT n, n FROM (SELECT DISTINCT n FROM bi) nodes
+        UNION
+        SELECT r.n, bi.m FROM reach r JOIN bi ON bi.n = r.m
+    ),
+    comp AS (SELECT n AS doc_id, min(m) AS comp FROM reach GROUP BY n),
+    cs AS (SELECT c.doc_id, c.comp, s.cluster_size
+           FROM comp c JOIN (SELECT comp, count(*) AS cluster_size
+                             FROM comp GROUP BY comp) s ON s.comp = c.comp)
+    SELECT d.doc_id,
+           CAST(coalesce(cs.cluster_size - 1, 0) AS BIGINT) AS n_absorbed,
+           d.lang, d.n_chars
+    FROM documents d
+    LEFT JOIN cs ON cs.doc_id = d.doc_id
+    WHERE cs.doc_id IS NULL OR cs.doc_id = cs.comp
+    ORDER BY d.doc_id
+    """,
+)
+def q93_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END dedup pipeline as one query — what a training-
+    data build actually runs: exact-Jaccard near-dup edges (>= 0.5,
+    q37's operator) → connected components (q77's operator) → keep the
+    min-id doc per cluster plus every clusterless doc; each keeper
+    reports how many near-dups it absorbed. The oracle closes the same
+    graph with a recursive CTE and applies the same keeper rule, so
+    the hash check covers edge generation, closure, AND the keep/drop
+    decision in one go.
+
+    Scale shape: the only additions over q77 are a left join of the
+    (cluster-members-sized, tiny) component table back onto documents
+    and the keeper filter — no new fact-sized shuffle. At 100 TB the
+    expensive step remains candidate generation; swap exact_jaccard
+    edges for minhash_neardup_pairs (K2) and this pipeline is the
+    production dedup, unchanged downstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = exact_jaccard_pairs(docs, threshold=0.5).select("a_doc", "b_doc")
+    comps = dedup_clusters(edges, "a_doc", "b_doc").select(
+        F.col("n").alias("doc_id"), "comp", "cluster_size"
+    )
+    return (
+        docs.join(F.broadcast(comps), "doc_id", "left")
+        .filter(F.col("comp").isNull() | (F.col("doc_id") == F.col("comp")))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_size") - 1, F.lit(0)).cast("long").alias("n_absorbed"),
+            "lang",
+            "n_chars",
+        )
+        .orderBy("doc_id")
     )

@@ -192,3 +192,19 @@ def test_threshold_tier_dispatcher(spark):
     got = {(r["a_vec"], r["b_vec"]) for r in forced.collect()}
     assert got <= exact
     assert len(got) >= len(exact) // 2, f"LSH recall too low: {len(got)}/{len(exact)}"
+
+
+def test_bytes_gate_matches_row_gate(spark):
+    """The zero-job bytes gate must agree with the row gate on the
+    fixture (both say GEMM) and flip to LSH when driver memory says
+    the matrix can't fit."""
+    from morphl_community_edition_spark.catalog import table_path
+    from morphl_community_edition_spark.operators.similarity import (
+        gemm_source_bytes_ceiling,
+    )
+    from morphl_community_edition_spark.plans.hints import dataset_file_bytes
+
+    src = dataset_file_bytes(table_path(SF_DIR, "embeddings"))
+    assert 0 < src <= gemm_source_bytes_ceiling(spark)
+    # 8g driver → ceiling ≈ 68 MiB; a 100 TB corpus is far beyond it
+    assert 100 * (1 << 40) > gemm_source_bytes_ceiling(spark)
