@@ -1,0 +1,57 @@
+"""Batch MERGE / keyed upsert (L6 — the reference's daily prediction
+write, as a relational operator).
+
+MorphL upserts each day's prediction batch into Cassandra by primary
+key [PUBLIC, SURVEY.md §1]; the streaming twin here is
+``streaming/sinks.foreach_batch_upsert``. This module is the BATCH
+form: ``merge_upsert(base, delta, keys)`` = SCD-1 merge where delta
+rows win on key collision, base rows survive otherwise — the exact
+semantics of `MERGE INTO ... WHEN MATCHED THEN UPDATE WHEN NOT MATCHED
+THEN INSERT` with whole-row updates.
+
+Implementation is a full outer join on the keys + per-column coalesce
+(delta side first). A union + row_number()=1 formulation would also
+work but shuffles the union twice (window partition + final); the
+outer join is one shuffle per side on the same key and stays entirely
+in codegen.
+
+Scale: both sides shuffle once on the merge key; at 100 TB the base
+side is the big one, so co-locating it (bucketed layout on the key —
+see the bucketed-join plan gate) removes its shuffle entirely and the
+merge cost becomes ~|delta|. Deterministic by construction: no
+dropDuplicates, no first() without order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(base: DataFrame, delta: DataFrame, keys: list[str]) -> DataFrame:
+    """SCD-1 keyed merge: delta wins on collision, base survives
+    otherwise. Both inputs must share a schema; output keeps it."""
+    if base.columns != delta.columns:
+        raise ValueError(
+            f"merge_upsert requires identical schemas; base={base.columns} delta={delta.columns}"
+        )
+    missing = [k for k in keys if k not in base.columns]
+    if missing:
+        raise ValueError(f"merge keys {missing} not in schema {base.columns}")
+    payload = [c for c in base.columns if c not in keys]
+    b = base.select(*keys, *[F.col(c).alias(f"__b_{c}") for c in payload])
+    # whole-row update semantics need a presence flag, NOT per-column
+    # coalesce: a legitimately-NULL delta value must still override the
+    # base value, never mix columns from both versions of the row
+    d = delta.select(
+        *keys, F.lit(True).alias("__d_present"), *[F.col(c).alias(f"__d_{c}") for c in payload]
+    )
+    merged = b.join(d, keys, "full_outer")
+    take_delta = F.col("__d_present").isNotNull()
+    return merged.select(
+        *keys,
+        *[
+            F.when(take_delta, F.col(f"__d_{c}")).otherwise(F.col(f"__b_{c}")).alias(c)
+            for c in payload
+        ],
+    )

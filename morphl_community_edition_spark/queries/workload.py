@@ -118,3 +118,48 @@ def q92_shopping_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shopping_stage_label(ev).select(
         "user_id", "clicks", "purchases", "stage"
     ).orderBy("user_id")
+
+
+@query(
+    "q96_prediction_upsert",
+    oracle=f"""
+    WITH base AS (SELECT user_id, count(*) AS n_events,
+                         {sql_crnd(sql_dsum('value'), 2)} AS sum_value,
+                         'h1' AS batch
+                  FROM {EVENTS_US} e WHERE ts < TIMESTAMP '2024-01-16'
+                  GROUP BY user_id),
+    delta AS (SELECT user_id, count(*) AS n_events,
+                     {sql_crnd(sql_dsum('value'), 2)} AS sum_value,
+                     'h2' AS batch
+              FROM {EVENTS_US} e WHERE ts >= TIMESTAMP '2024-01-16'
+              GROUP BY user_id)
+    SELECT coalesce(d.user_id, b.user_id) AS user_id,
+           CASE WHEN d.user_id IS NOT NULL THEN d.n_events ELSE b.n_events END AS n_events,
+           CASE WHEN d.user_id IS NOT NULL THEN d.sum_value ELSE b.sum_value END AS sum_value,
+           CASE WHEN d.user_id IS NOT NULL THEN d.batch ELSE b.batch END AS batch
+    FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id
+    ORDER BY user_id
+    """,
+)
+def q96_prediction_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 as a RELATIONAL contract, not just a sink smoke: the daily
+    prediction upsert (operators/upsert.merge_upsert — SCD-1, delta
+    wins whole-row on key collision) applied to two half-month feature
+    batches. The oracle replays the same merge with FULL OUTER JOIN +
+    presence-flag CASEs, so the hash covers collision override,
+    base-survivor, and delta-insert rows in one result."""
+    from morphl_community_edition_spark.operators.upsert import merge_upsert
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+
+    def half(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            crnd(dsum(F.col("value")), 2).alias("sum_value"),
+            F.lit(tag).alias("batch"),
+        )
+
+    base = half(ev.filter(F.col("ts") < cut), "h1")
+    delta = half(ev.filter(F.col("ts") >= cut), "h2")
+    return merge_upsert(base, delta, ["user_id"]).orderBy("user_id")

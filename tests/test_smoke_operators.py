@@ -286,3 +286,26 @@ def test_a2_text_lines_source(spark, tmp_path):
     whole = read_text_lines(spark, str(d), wholetext=True)
     assert whole.count() == 2
     assert {r["value"] for r in whole.collect()} == {"line one\nline two\n", "third\n"}
+
+
+def test_merge_upsert_semantics(spark):
+    """SCD-1 whole-row semantics: delta wins on collision (even where
+    a delta payload value is NULL — no column mixing), base survives,
+    delta-only rows insert."""
+    from morphl_community_edition_spark.operators.upsert import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "old", 10), (2, "keep", 20)], "k int, s string, v int"
+    )
+    delta = spark.createDataFrame(
+        [(1, None, 11), (3, "new", 30)], "k int, s string, v int"
+    )
+    got = {r["k"]: (r["s"], r["v"]) for r in merge_upsert(base, delta, ["k"]).collect()}
+    assert got == {1: (None, 11), 2: ("keep", 20), 3: ("new", 30)}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        merge_upsert(base, delta.select("k", "v", "s"), ["k"])
+    with _pytest.raises(ValueError):
+        merge_upsert(base, delta, ["nope"])
