@@ -32,19 +32,36 @@ def asof_join(
     ts: str,
     right_payload: list[str],
     strict: bool = True,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Left as-of join. Returns all ``left`` columns plus each
     ``right_payload`` column (renamed ``asof_<col>``), NULL when no
-    right row precedes the left row."""
+    right row qualifies.
+
+    ``direction``: 'backward' (default) matches the most recent right
+    row at-or-before the left row; 'forward' the earliest right row
+    at-or-after it (``strict`` excludes equal-ts matches either way).
+    Forward is the SAME one-sort window plan traversed in descending
+    ts order — no second algorithm.
+
+    ``tolerance_seconds``: pandas-merge_asof-style gap cap — a match
+    farther than this from the left ts is nulled out (payload AND
+    match metadata), applied as a pure projection after the carry.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     left_cols = [c for c in left.columns]
     payload_tagged = [f"asof_{c}" for c in right_payload]
 
     l_tag = left.select(
         F.col(key).alias("__key"),
         F.col(ts).alias("__ts"),
-        # strict '<': left sorts first at ties (side=0) so same-ts right rows are excluded
+        # strict: left sorts first at ties (side=0) so same-ts right
+        # rows fall outside the left row's frame (both directions)
         F.lit(0 if strict else 1).alias("__side"),
         F.struct(*[F.col(c) for c in left_cols]).alias("__left"),
+        F.lit(None).cast(left.schema[ts].dataType).alias("__match_ts"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(p) for c, p in zip(right_payload, payload_tagged)],
     )
     r_tag = right.select(
@@ -52,18 +69,33 @@ def asof_join(
         F.col(ts).alias("__ts"),
         F.lit(1 if strict else 0).alias("__side"),
         F.lit(None).cast(l_tag.schema["__left"].dataType).alias("__left"),
+        F.col(ts).alias("__match_ts"),
         *[F.col(c).alias(p) for c, p in zip(right_payload, payload_tagged)],
     )
     unioned = l_tag.unionByName(r_tag)
+    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy("__key")
-        .orderBy("__ts", "__side")
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
         "__left",
+        F.col("__ts").alias("__lts"),
+        F.last("__match_ts", ignorenulls=True).over(w).alias("__mts"),
         *[F.last(p, ignorenulls=True).over(w).alias(p) for p in payload_tagged],
-    )
-    return carried.filter(F.col("__left").isNotNull()).select(
+    ).filter(F.col("__left").isNotNull())
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.col("__lts").cast("double") - F.col("__mts").cast("double")
+        )
+        in_tol = F.col("__mts").isNotNull() & (gap <= F.lit(float(tolerance_seconds)))
+        carried = carried.select(
+            "__left",
+            "__lts",
+            F.when(in_tol, F.col("__mts")).alias("__mts"),
+            *[F.when(in_tol, F.col(p)).alias(p) for p in payload_tagged],
+        )
+    return carried.select(
         *[F.col(f"__left.{c}").alias(c) for c in left_cols], *payload_tagged
     )

@@ -161,3 +161,40 @@ def q86_pure_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q97_asof_forward",
+    oracle=f"""
+    WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events),
+         v AS (SELECT * FROM e WHERE event_type = 'view'),
+         p AS (SELECT * FROM e WHERE event_type = 'purchase')
+    SELECT v.event_id AS event_id, v.user_id AS user_id,
+           {sql_crnd("v.value", 2)} AS vval, {sql_crnd("p.value", 2)} AS next_pval
+    FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND p.ts > v.ts
+    ORDER BY event_id
+    LIMIT 500
+    """,
+)
+def q97_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 forward direction: for each view, the same user's NEXT
+    strictly-later purchase (time-to-conversion shape). Same one-sort
+    union+window plan as q14, traversed in descending ts — checked
+    against DuckDB's forward ASOF (p.ts > v.ts)."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    joined = asof_join(
+        views, purchases, key="user_id", ts="ts", right_payload=["value"],
+        strict=True, direction="forward",
+    )
+    return (
+        joined.select(
+            "event_id",
+            "user_id",
+            crnd(F.col("value"), 2).alias("vval"),
+            crnd(F.col("asof_value"), 2).alias("next_pval"),
+        )
+        .orderBy("event_id")
+        .limit(500)
+    )

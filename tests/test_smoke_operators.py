@@ -309,3 +309,34 @@ def test_merge_upsert_semantics(spark):
         merge_upsert(base, delta.select("k", "v", "s"), ["k"])
     with _pytest.raises(ValueError):
         merge_upsert(base, delta, ["nope"])
+
+
+def test_c8_asof_directions_and_tolerance(spark):
+    """As-of variants vs hand-computed truth: forward strict/non-strict
+    tie handling and the pandas-style tolerance cap (matches farther
+    than the gap are nulled, not dropped)."""
+    from morphl_community_edition_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5.0, "a"), (1, 7.0, "b"), (2, 1.0, "c")], "k int, t double, lid string"
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, 5.0, 100), (1, 6.0, 200), (1, 9.0, 300)], "k int, t double, p int"
+    ).withColumn("t", F.col("t").cast("timestamp"))
+
+    def run(**kw):
+        out = asof_join(left, right, key="k", ts="t", right_payload=["p"], **kw)
+        return {r["lid"]: r["asof_p"] for r in out.collect()}
+
+    assert run(strict=True, direction="forward") == {"a": 200, "b": 300, "c": None}
+    assert run(strict=False, direction="forward") == {"a": 100, "b": 300, "c": None}
+    assert run(strict=True, direction="backward") == {"a": None, "b": 200, "c": None}
+    assert run(strict=False, direction="backward") == {"a": 100, "b": 200, "c": None}
+    # tolerance: b's backward match (t=6, gap 1s) survives a 1.5s cap;
+    # forward b->9 (gap 2s) is nulled by it
+    assert run(strict=True, direction="backward", tolerance_seconds=1.5) == {
+        "a": None, "b": 200, "c": None,
+    }
+    assert run(strict=True, direction="forward", tolerance_seconds=1.5) == {
+        "a": 200, "b": None, "c": None,
+    }
