@@ -386,3 +386,51 @@ def test_q03_broadcast_is_size_gated(spark):
     assert n_hints(hinted) == 2, "gate open: build-side hint must be applied"
 
     assert dataset_file_bytes(table_path(SF_DIR, "orders")) > 0
+
+
+def test_runtime_bloom_filter_prunes_fact_probe(spark):
+    """Runtime bloom-filter join pruning (SURVEY.md §5.1 family): with
+    a selective dim filter and a non-broadcast join, Catalyst injects
+    might_contain(bloom_filter_agg(dim key)) onto the FACT scan side —
+    at 100 TB this drops most probe rows before the shuffle, the same
+    role DPP plays for partitioned layouts. Results must be identical
+    with the filter on and off."""
+    import pyspark.sql.functions as F
+
+    from morphl_community_edition_spark.catalog import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+
+    def build():
+        orders = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, SF_DIR, "lineitem")
+        return (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        with_bloom = build()
+        plan = with_bloom._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, f"no bloom pruning injected:\n{plan[:800]}"
+        assert "bloom_filter_agg" in plan
+        got = {(r["o_orderpriority"], r["cnt"]) for r in with_bloom.collect()}
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    want = {(r["o_orderpriority"], r["cnt"]) for r in build().collect()}
+    assert got == want and len(got) == 1
