@@ -289,3 +289,92 @@ def q93_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q98_corpus_curation",
+    oracle=f"""
+    WITH RECURSIVE t0 AS (SELECT doc_id, text, lang, n_chars,
+                                 string_split(text, ' ') AS ws
+                          FROM documents),
+    q AS (SELECT doc_id, text, lang, n_chars, ws,
+                 floor((least(len(ws) / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+                        + len(list_filter(ws, x -> list_contains(['the','a','and','of','to','in','is','it'], x))) / CAST(len(ws) AS DOUBLE) * CAST(0.3 AS DOUBLE)
+                        + length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / CAST(length(text) AS DOUBLE) * CAST(0.2 AS DOUBLE)) * 1e6 + 0.5) / 1e6
+                     AS quality
+          FROM t0),
+    kept0 AS (SELECT doc_id, lang, n_chars, ws FROM q
+              WHERE quality > 0.40 AND lang <> 'zh'),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(ws[gs:gs+2], ' ') AS s
+           FROM kept0, LATERAL unnest(generate_series(1, len(ws) - 2)) AS t(gs)),
+    sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    i AS (SELECT a.doc_id AS a_doc, b.doc_id AS b_doc, count(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+    e AS (SELECT a_doc, b_doc FROM i
+          JOIN sz sa ON sa.doc_id = a_doc JOIN sz sb ON sb.doc_id = b_doc
+          WHERE inter >= 0.5 * (sa.n_sh + sb.n_sh - inter)),
+    bi AS (SELECT a_doc AS n, b_doc AS m FROM e
+           UNION SELECT b_doc, a_doc FROM e),
+    reach(n, m) AS (
+        SELECT n, n FROM (SELECT DISTINCT n FROM bi) nodes
+        UNION
+        SELECT r.n, bi.m FROM reach r JOIN bi ON bi.n = r.m
+    ),
+    comp AS (SELECT n AS doc_id, min(m) AS comp FROM reach GROUP BY n),
+    final AS (SELECT k.doc_id, k.lang, k.n_chars
+              FROM kept0 k LEFT JOIN comp c ON c.doc_id = k.doc_id
+              WHERE c.doc_id IS NULL OR c.doc_id = c.comp)
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           count(*) AS cnt,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(doc_id) AS min_doc
+    FROM final
+    GROUP BY 1, lang
+    ORDER BY split, lang
+    """,
+)
+def q98_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE composed training-data build — every K-family stage chained
+    in realistic order (cheap row filters before the expensive pair
+    stage): quality score > 0.40 (q34's exact blend, drops ~1/3) →
+    language filter (≠ zh) → near-dup removal on the SURVIVORS
+    (q93's edge+component+keeper rule) → deterministic md5 split
+    (q75) → per-(split, lang) summary. One hash check covers the whole
+    chain including stage ORDER (dedup over the filtered set produces
+    different keepers than filter-after-dedup).
+
+    Scale shape: the filters are projections that shrink the corpus
+    BEFORE shingling (the expensive stage) — at 100 TB that ordering
+    is the difference between shingling 100 TB and shingling 60 TB;
+    everything downstream of the pair join is dimension-sized."""
+    from morphl_community_edition_spark.operators.textstats import quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept0 = (
+        quality_features(docs)
+        .filter((F.col("quality") > 0.40) & (F.col("lang") != "zh"))
+        .select("doc_id", "text", "lang", "n_chars")
+    )
+    edges = exact_jaccard_pairs(kept0, threshold=0.5).select("a_doc", "b_doc")
+    comps = dedup_clusters(edges, "a_doc", "b_doc").select(
+        F.col("n").alias("doc_id"), "comp"
+    )
+    final = (
+        kept0.join(F.broadcast(comps), "doc_id", "left")
+        .filter(F.col("comp").isNull() | (F.col("doc_id") == F.col("comp")))
+    )
+    hex1 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = F.when(hex1 <= "b", "train").when(hex1 <= "d", "val").otherwise("test")
+    return (
+        final.groupBy(split.alias("split"), "lang")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .orderBy("split", "lang")
+    )
