@@ -285,3 +285,34 @@ def q73_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q99_value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(least(floor(value / 50.0), 9) AS INTEGER) AS bin,
+           count(*) AS cnt,
+           CAST(sum(CAST(floor(value * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2 AS bin_sum
+    FROM events
+    GROUP BY event_type, least(floor(value / 50.0), 9)
+    ORDER BY event_type, bin
+    """,
+)
+def q99_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (data-profiling staple): 50-unit bins
+    with a clamped overflow bucket, bin id from pure floor math (no
+    width_bucket — DuckDB lacks it; floor((x)/w) is identical IEEE on
+    both engines), per-bin count + exact scaled sum. One map-side-
+    combinable aggregation keyed by (event_type, bin) — at 100 TB the
+    profile costs one shuffle of ~|types|·|bins| partial rows."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_id = F.least(F.floor(F.col("value") / F.lit(50.0)), F.lit(9)).cast("int")
+    return (
+        ev.groupBy("event_type", bin_id.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (F.sum(to_scaled_long(F.col("value"))).cast("double") / F.lit(1e2)).alias("bin_sum"),
+        )
+        .orderBy("event_type", "bin")
+    )
