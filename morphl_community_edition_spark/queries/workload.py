@@ -163,3 +163,44 @@ def q96_prediction_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = half(ev.filter(F.col("ts") < cut), "h1")
     delta = half(ev.filter(F.col("ts") >= cut), "h2")
     return merge_upsert(base, delta, ["user_id"]).orderBy("user_id")
+
+
+@query(
+    "q100_retention_cohorts",
+    oracle=f"""
+    WITH e AS (SELECT user_id, date_trunc('week', ts) AS w FROM {EVENTS_US} e0),
+    f AS (SELECT user_id, min(w) AS cohort FROM e GROUP BY user_id)
+    SELECT CAST(f.cohort AS DATE) AS cohort_week,
+           CAST(datediff('day', CAST(f.cohort AS DATE), CAST(e.w AS DATE)) / 7 AS INTEGER) AS week_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+    FROM e JOIN f USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def q100_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix — the product-analytics staple the
+    reference's churn pipeline feeds: cohort = week of first activity,
+    cell = distinct users of that cohort active in week offset N.
+    Week stamps are Monday-truncated on both engines, so offsets are
+    exact day-diffs / 7 (no week-boundary-counting ambiguity).
+
+    Scale shape: first-activity is one agg on user_id; the cohort join
+    is user-keyed (co-partitioned with the agg output); the final
+    distinct-count agg is (cohort, offset)-keyed — ~|weeks|² groups.
+    No window, no self-join over time."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("w"))
+    f = e.groupBy("user_id").agg(F.min("w").alias("cohort"))
+    j = e.join(f, "user_id")
+    offset = (
+        F.datediff(F.col("w").cast("date"), F.col("cohort").cast("date")) / F.lit(7)
+    ).cast("int")
+    return (
+        j.groupBy(
+            F.col("cohort").cast("date").alias("cohort_week"),
+            offset.alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
