@@ -54,6 +54,12 @@ def asof_join(
     left_cols = [c for c in left.columns]
     payload_tagged = [f"asof_{c}" for c in right_payload]
 
+    # The whole right row rides in ONE struct (__r), null only on left
+    # rows: last(__r, ignorenulls) therefore lands on the true as-of
+    # right row even when that row's payload VALUES are null — carrying
+    # payload columns individually would skip a null-payload match and
+    # smuggle in a farther row's value (and the tolerance check would
+    # then validate the gap against the wrong row's timestamp).
     l_tag = left.select(
         F.col(key).alias("__key"),
         F.col(ts).alias("__ts"),
@@ -61,41 +67,51 @@ def asof_join(
         # rows fall outside the left row's frame (both directions)
         F.lit(0 if strict else 1).alias("__side"),
         F.struct(*[F.col(c) for c in left_cols]).alias("__left"),
-        F.lit(None).cast(left.schema[ts].dataType).alias("__match_ts"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(p) for c, p in zip(right_payload, payload_tagged)],
+        F.lit(None)
+        .cast(
+            "struct<__match_ts:"
+            + right.schema[ts].dataType.simpleString()
+            + ","
+            + ",".join(
+                f"{p}:{right.schema[c].dataType.simpleString()}"
+                for c, p in zip(right_payload, payload_tagged)
+            )
+            + ">"
+        )
+        .alias("__r"),
     )
     r_tag = right.select(
         F.col(key).alias("__key"),
         F.col(ts).alias("__ts"),
         F.lit(1 if strict else 0).alias("__side"),
         F.lit(None).cast(l_tag.schema["__left"].dataType).alias("__left"),
-        F.col(ts).alias("__match_ts"),
-        *[F.col(c).alias(p) for c, p in zip(right_payload, payload_tagged)],
+        F.struct(
+            F.col(ts).alias("__match_ts"),
+            *[F.col(c).alias(p) for c, p in zip(right_payload, payload_tagged)],
+        ).alias("__r"),
     )
     unioned = l_tag.unionByName(r_tag)
     ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    # __r as the final sort key makes right-rows tied on (ts, side)
+    # deterministic (repo rule: no last() without a total order);
+    # left rows all carry null __r, so their relative order is inert.
     w = (
         Window.partitionBy("__key")
-        .orderBy(ts_order, F.col("__side").asc())
+        .orderBy(ts_order, F.col("__side").asc(), F.col("__r").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
         "__left",
         F.col("__ts").alias("__lts"),
-        F.last("__match_ts", ignorenulls=True).over(w).alias("__mts"),
-        *[F.last(p, ignorenulls=True).over(w).alias(p) for p in payload_tagged],
+        F.last("__r", ignorenulls=True).over(w).alias("__m"),
     ).filter(F.col("__left").isNotNull())
     if tolerance_seconds is not None:
         gap = F.abs(
-            F.col("__lts").cast("double") - F.col("__mts").cast("double")
+            F.col("__lts").cast("double") - F.col("__m.__match_ts").cast("double")
         )
-        in_tol = F.col("__mts").isNotNull() & (gap <= F.lit(float(tolerance_seconds)))
-        carried = carried.select(
-            "__left",
-            "__lts",
-            F.when(in_tol, F.col("__mts")).alias("__mts"),
-            *[F.when(in_tol, F.col(p)).alias(p) for p in payload_tagged],
-        )
+        in_tol = F.col("__m").isNotNull() & (gap <= F.lit(float(tolerance_seconds)))
+        carried = carried.select("__left", F.when(in_tol, F.col("__m")).alias("__m"))
     return carried.select(
-        *[F.col(f"__left.{c}").alias(c) for c in left_cols], *payload_tagged
+        *[F.col(f"__left.{c}").alias(c) for c in left_cols],
+        *[F.col(f"__m.{p}").alias(p) for p in payload_tagged],
     )

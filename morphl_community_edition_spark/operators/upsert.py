@@ -31,9 +31,12 @@ from pyspark.sql import functions as F
 def merge_upsert(base: DataFrame, delta: DataFrame, keys: list[str]) -> DataFrame:
     """SCD-1 keyed merge: delta wins on collision, base survives
     otherwise. Both inputs must share a schema; output keeps it."""
-    if base.columns != delta.columns:
+    if [(f.name, f.dataType) for f in base.schema.fields] != [
+        (f.name, f.dataType) for f in delta.schema.fields
+    ]:
         raise ValueError(
-            f"merge_upsert requires identical schemas; base={base.columns} delta={delta.columns}"
+            "merge_upsert requires identical schemas (names AND types); "
+            f"base={base.schema.simpleString()} delta={delta.schema.simpleString()}"
         )
     missing = [k for k in keys if k not in base.columns]
     if missing:

@@ -17,8 +17,10 @@ table, which is a *stronger* check than having both engines read the
 staged files (that variant goes green even if the staging step
 corrupts data, since both sides would read the same corruption) — and
 it removes any dependence on staging-path state: no fixed /tmp path,
-no cross-run race, no stale-file hazard. Each invocation stages into a
-fresh ``mkdtemp`` directory instead.
+no cross-run race, no stale-file hazard. Staging goes to one
+``mkdtemp`` directory per (process, sf_dir), overwritten in place on
+repeat invocations so a bench loop doesn't accumulate table-sized
+JSONL copies.
 
 Determinism across the JSON boundary:
 
@@ -64,14 +66,28 @@ EVENTS_JSONL_SCHEMA = T.StructType(
 )
 
 
+# One staging dir per (process, sf_dir): isolates concurrent PROCESSES
+# (mkdtemp) without accumulating a new table-sized JSONL copy on every
+# invocation within a process — repeat calls overwrite in place. Keyed
+# by sf_dir so a sweep across scale factors can't serve stale files.
+_STAGE_DIRS: dict[str, str] = {}
+
+
+def _stage_dir_for(sf_dir: str) -> str:
+    d = _STAGE_DIRS.get(sf_dir)
+    if d is None:
+        d = tempfile.mkdtemp(prefix="morphl_a2_json_stage_")
+        _STAGE_DIRS[sf_dir] = d
+    return d
+
+
 def stage_events_jsonl(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> str:
-    """Export the events fixture as JSONL (one object per line) into a
-    fresh private directory (or ``out_dir`` if given). Written with
-    normal write parallelism (no coalesce); readers glob
-    ``part-*.json``. A unique dir per call means concurrent runs (or
-    runs at different scale factors) can never clobber each other."""
+    """Export the events fixture as JSONL (one object per line) into
+    this process's private staging dir for ``sf_dir`` (or ``out_dir``
+    if given), overwriting any previous staging. Written with normal
+    write parallelism (no coalesce); readers glob ``part-*.json``."""
     if out_dir is None:
-        out_dir = tempfile.mkdtemp(prefix="morphl_a2_json_stage_")
+        out_dir = _stage_dir_for(sf_dir)
     ev = load_table(spark, sf_dir, "events")
     flat = ev.select(
         "event_id",
@@ -105,10 +121,10 @@ def read_events_jsonl(spark: SparkSession, in_dir: str) -> DataFrame:
     """,
 )
 def q91_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2 end-to-end: parquet → JSONL staging (fresh private dir) →
-    spark.read.json with declared schema → aggregate. The DuckDB twin
-    aggregates the original parquet directly, so a hash match proves
-    the serialize→parse round trip lost nothing."""
+    """A2 end-to-end: parquet → JSONL staging (per-process private
+    dir) → spark.read.json with declared schema → aggregate. The
+    DuckDB twin aggregates the original parquet directly, so a hash
+    match proves the serialize→parse round trip lost nothing."""
     stage_dir = stage_events_jsonl(spark, sf_dir)
     ev = read_events_jsonl(spark, stage_dir)
     return (

@@ -32,7 +32,12 @@ def q12_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is far below the broadcast ceiling so the EXACT blocked-GEMM
     tier runs (~25× faster than per-pair higher-order folds); past the
     driver-memory-derived ceiling the same call routes to LSH-bucketed
-    candidates instead of OOMing the driver."""
+    candidates instead of OOMing the driver. The exact-hash oracle
+    contract therefore holds at the fixture SFs (where the gate always
+    selects GEMM); at corpus sizes that trip the gate the result is
+    intentionally approximate — recall-bounded, memory-feasible — and
+    the exact oracle no longer applies (documented tradeoff, tested by
+    the recall suite)."""
     from morphl_community_edition_spark.catalog import table_path
     from morphl_community_edition_spark.plans.hints import dataset_file_bytes
 

@@ -699,18 +699,21 @@ def q81_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(sum(val) OVER () AS BIGINT) AS s,
                  CAST(count(*) OVER () AS BIGINT) AS cnt
           FROM t) z
-    WHERE val * cnt > s
+    WHERE CAST(val AS DOUBLE) > CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE)
     ORDER BY part_value DESC, l_partkey
     """,
 )
 def q82_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 (important stock): per-key value share vs a global
     scalar. Adapted: no partsupp → per-partkey lineitem revenue vs
-    the AVERAGE per-part revenue (val·cnt > total, pure integer
-    arithmetic — no float threshold at all). Above-average is
-    sf-invariant: the fixed 0.1%-of-total cut selected nothing at
-    sf0.01 (round-1 verdict "What's wrong" #1 — a 0-row hash match
-    verifies nothing), while above-average parts exist at every SF.
+    the AVERAGE per-part revenue. The compare is double-vs-double
+    (val > s/cnt, the same two IEEE casts + one divide on both
+    engines — deterministic cross-engine) rather than the integer form
+    val·cnt > s, which overflows BIGINT under ANSI mode once
+    val·cnt crosses 2⁶³ at extreme scale (round-3 review). Above-
+    average is sf-invariant: the fixed 0.1%-of-total cut selected
+    nothing at sf0.01 (round-1 verdict — a 0-row hash match verifies
+    nothing), while above-average parts exist at every SF.
 
     Scale shape: ONE aggregation of the fact produces the per-part
     values; the global total is an unpartitioned window sum over THAT
@@ -730,7 +733,7 @@ def q82_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy()
     t = t.withColumn("s", F.sum("val").over(w)).withColumn("cnt", F.count(F.lit(1)).over(w))
     return (
-        t.filter(F.col("val") * F.col("cnt") > F.col("s"))
+        t.filter(F.col("val").cast("double") > F.col("s").cast("double") / F.col("cnt").cast("double"))
         .select("l_partkey", (F.col("val").cast("double") / F.lit(1e2)).alias("part_value"))
         .orderBy(F.col("part_value").desc(), "l_partkey")
     )
@@ -789,7 +792,8 @@ def q83_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
                       WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
                         AND l_shipdate >= TIMESTAMP '1997-01-01'
                       GROUP BY l_suppkey) a) z
-          WHERE total_qty * cnt > s) q ON q.l_suppkey = s_suppkey
+          WHERE CAST(total_qty AS DOUBLE) > CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE)) q
+      ON q.l_suppkey = s_suppkey
     ORDER BY s_name
     """,
 )
@@ -797,8 +801,9 @@ def q84_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 (potential part promotion): nested IN-subquery chain
     — suppliers who moved above-average volume of pattern-matched
     parts in the window. Adapted: no partsupp availqty → above-average
-    shipped quantity (val·cnt > total, pure integer — no float
-    threshold), '%red%' part pattern. Both replace fixed cuts that
+    shipped quantity (double compare, same IEEE ops both engines — the
+    integer val·cnt form overflows BIGINT under ANSI at extreme
+    scale), '%red%' part pattern. Both replace fixed cuts that
     selected nothing at sf0.01 (round-1 verdict: 0-row hash matches
     verify nothing; '%<digit>%' matches no adjective-noun part name at
     ANY fixture SF).
@@ -820,7 +825,10 @@ def q84_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(to_scaled_long(F.col("l_quantity"))).alias("total_qty"))
         .withColumn("s", F.sum("total_qty").over(w))
         .withColumn("cnt", F.count(F.lit(1)).over(w))
-        .filter(F.col("total_qty") * F.col("cnt") > F.col("s"))
+        .filter(
+            F.col("total_qty").cast("double")
+            > F.col("s").cast("double") / F.col("cnt").cast("double")
+        )
         .select("l_suppkey", "total_qty")
     )
     return (

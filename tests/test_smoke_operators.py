@@ -340,3 +340,27 @@ def test_c8_asof_directions_and_tolerance(spark):
     assert run(strict=True, direction="forward", tolerance_seconds=1.5) == {
         "a": 200, "b": None, "c": None,
     }
+
+
+def test_c8_asof_null_payload_match_not_skipped(spark):
+    """Regression (round-3 review): when the true as-of match carries a
+    NULL payload, the join must return NULL — not smuggle in a farther
+    row's value — and the tolerance check must measure the gap against
+    the MATCH row's timestamp."""
+    from morphl_community_edition_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 5.5, "L")], "k int, t double, lid string").withColumn(
+        "t", F.col("t").cast("timestamp")
+    )
+    right = spark.createDataFrame(
+        [(1, 1.0, 100), (1, 5.0, None)], "k int, t double, p int"
+    ).withColumn("t", F.col("t").cast("timestamp"))
+
+    out = asof_join(left, right, key="k", ts="t", right_payload=["p"], strict=True)
+    assert out.collect()[0]["asof_p"] is None  # t=5 row IS the match
+
+    # tolerance vs the match row (gap 0.5s), not the farther t=1 row
+    tol = asof_join(
+        left, right, key="k", ts="t", right_payload=["p"], strict=True, tolerance_seconds=1.0
+    )
+    assert tol.collect()[0]["asof_p"] is None
