@@ -196,3 +196,66 @@ def test_fuzz_components_match_union_find(edges):
     # self-loop-only nodes labeled as singletons
     got_star = {r["n"]: r["comp"] for r in connected_components_star(df).collect()}
     assert got_star == want
+
+
+def _brute_asof(left_rows, right_rows, strict, direction):
+    """Reference as-of: per left row, scan all right rows of the key."""
+    out = {}
+    for k, lt, lid in left_rows:
+        best = None
+        for rk, rt, p in right_rows:
+            if rk != k:
+                continue
+            if direction == "backward":
+                ok = rt < lt if strict else rt <= lt
+                better = best is None or rt > best[0] or (rt == best[0] and (p is not None and (best[1] is None or p > best[1])))
+            else:
+                ok = rt > lt if strict else rt >= lt
+                better = best is None or rt < best[0] or (rt == best[0] and (p is not None and (best[1] is None or p > best[1])))
+            if ok and better:
+                best = (rt, p)
+        out[lid] = None if best is None else best[1]
+    return out
+
+
+def test_asof_differential_vs_brute_force(spark):
+    """Randomized differential check of every direction/strictness
+    combination against an O(n·m) reference, including duplicate
+    timestamps and NULL payloads (the round-3 review bug class).
+    Deterministic seed; ties broken by max payload (the operator's
+    struct-ordered window tie-break)."""
+    import random
+
+    from morphl_community_edition_spark.operators.asof import asof_join
+
+    rng = random.Random(20260813)
+    for trial in range(5):
+        left_rows = [
+            (rng.randint(1, 3), float(rng.randint(0, 12)), f"L{trial}_{i}")
+            for i in range(12)
+        ]
+        right_rows = [
+            (
+                rng.randint(1, 3),
+                float(rng.randint(0, 12)),
+                rng.choice([None, 1, 2, 3, 5, 8]),
+            )
+            for i in range(15)
+        ]
+        left = spark.createDataFrame(left_rows, "k int, t double, lid string").withColumn(
+            "t", F.col("t").cast("timestamp")
+        )
+        right = spark.createDataFrame(right_rows, "k int, t double, p int").withColumn(
+            "t", F.col("t").cast("timestamp")
+        )
+        for strict in (True, False):
+            for direction in ("backward", "forward"):
+                got = {
+                    r["lid"]: r["asof_p"]
+                    for r in asof_join(
+                        left, right, key="k", ts="t", right_payload=["p"],
+                        strict=strict, direction=direction,
+                    ).collect()
+                }
+                want = _brute_asof(left_rows, right_rows, strict, direction)
+                assert got == want, (trial, strict, direction, got, want)
