@@ -204,3 +204,46 @@ def q100_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").cast("long").alias("active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "q101_rolling_dau",
+    oracle=f"""
+    WITH d AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+               FROM {EVENTS_US} e),
+    contrib AS (SELECT CAST(day + CAST(gs AS INTEGER) AS DATE) AS win_day, user_id
+                FROM d, LATERAL unnest(generate_series(0, 6)) AS t(gs)),
+    days AS (SELECT DISTINCT day FROM d)
+    SELECT c.win_day AS day,
+           CAST(count(DISTINCT c.user_id) AS BIGINT) AS rolling_7d_users
+    FROM contrib c JOIN days ON days.day = c.win_day
+    GROUP BY c.win_day
+    ORDER BY day
+    """,
+)
+def q101_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day — the sliding-
+    window DISTINCT aggregate (plain window functions can't express
+    windowed COUNT DISTINCT). Re-expressed as a scatter: each
+    (day, user) fact contributes to the 7 window-end days it falls in
+    (explode of a 7-element sequence — rows grow 7×, but over the
+    DEDUPLICATED (day, user) set, not raw events), then one distinct
+    count per window day; days with no activity are dropped by the
+    semi join. At 100 TB the pre-dedup keeps the scatter bounded by
+    |days|·|users|, and the final agg shuffles on day — ~|days|
+    groups. The same shape handles any trailing-window distinct
+    (28-day MAU, rolling uniques per segment)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id"
+    ).distinct()
+    contrib = d.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("gs"), "day", "user_id"
+    ).select(F.date_add(F.col("day"), F.col("gs")).alias("win_day"), "user_id")
+    days = d.select("day").distinct()
+    return (
+        contrib.join(days, contrib["win_day"] == days["day"], "left_semi")
+        .groupBy(F.col("win_day").alias("day"))
+        .agg(F.countDistinct("user_id").cast("long").alias("rolling_7d_users"))
+        .orderBy("day")
+    )
