@@ -247,3 +247,54 @@ def q101_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").cast("long").alias("rolling_7d_users"))
         .orderBy("day")
     )
+
+
+@query(
+    "q102_purchase_intervals",
+    oracle=f"""
+    WITH p AS (SELECT user_id, ts,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+               FROM {EVENTS_US} e WHERE event_type = 'purchase'),
+    g AS (SELECT user_id,
+                 CAST(epoch_us(ts) - epoch_us(prev_ts) AS BIGINT) AS gap_us
+          FROM p WHERE prev_ts IS NOT NULL)
+    SELECT user_id,
+           count(*) AS n_gaps,
+           CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
+    FROM g
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q102_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval stats per user (L-family: the recency /
+    frequency features intent models consume): lag over each user's
+    purchase stream, then exact integer microsecond gap aggregates
+    (sum instead of a float mean keeps the check hash-exact; mean =
+    sum/n is a display-side divide). One shuffle on user_id for the
+    window; the agg reuses the same partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+    )
+    g = p.filter(F.col("prev_ts").isNotNull()).select(
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros("prev_ts")).alias("gap_us"),
+    )
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+            F.sum("gap_us").alias("sum_gap_us"),
+        )
+        .orderBy("user_id")
+    )
