@@ -10,10 +10,13 @@ Every knob here is load-bearing:
 - ``spark.sql.session.timeZone=UTC``: fixture timestamps are naive
   (parquet isAdjustedToUTC=false); pinning UTC makes year()/datediff()
   and toPandas() deterministic and identical to DuckDB's naive reads.
-- ``spark.sql.legacy.parquet.nanosAsLong``: events.parquet carries
-  INT64 TIMESTAMP(NANOS) which pyspark 4.x refuses to read by default
-  (PARQUET_TYPE_ILLEGAL). With this flag the column arrives as a long
-  and catalog.load_table() rebuilds a proper microsecond timestamp.
+- ``spark.sql.legacy.parquet.nanosAsLong``: events.parquet has
+  shipped with INT64 TIMESTAMP(NANOS), which pyspark 4.x refuses to
+  read by default (PARQUET_TYPE_ILLEGAL). With this flag a ns file's
+  column arrives as a long and catalog.load_table() rebuilds a proper
+  microsecond timestamp; for µs/ms fixture generations the flag is
+  inert and the catalog reads TimestampType natively (footer-sniffed
+  per file — see catalog.py).
 - ``spark.sql.shuffle.partitions``: sized for the local test harness
   (32 cores); on a real cluster this is set per-job to ~2-3× total
   cores, and AQE coalesces down after each shuffle.
@@ -78,8 +81,8 @@ def apply_runtime_conf(spark: SparkSession) -> None:
 
     Called defensively from catalog.load_table too, because the driver
     harness may construct its own SparkSession without our builder —
-    most critically the nanosAsLong flag, without which events.parquet
-    is unreadable.
+    most critically the nanosAsLong flag, without which a
+    ns-generation events.parquet is unreadable.
     """
     for key, value in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
