@@ -23,6 +23,33 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _orderable(dt: T.DataType) -> bool:
+    """Can ORDER BY sort this type? (MapType cannot, anywhere in the
+    tree — Spark raises EXPRESSION_TYPE_IS_NOT_ORDERABLE.)"""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
+def _r_struct_type(
+    right: DataFrame, ts: str, right_payload: list[str], payload_tagged: list[str]
+) -> T.StructType:
+    """The __r carry-struct type, built as a DataType (never via a DDL
+    string round-trip)."""
+    return T.StructType(
+        [T.StructField("__match_ts", right.schema[ts].dataType)]
+        + [
+            T.StructField(p, right.schema[c].dataType)
+            for c, p in zip(right_payload, payload_tagged)
+        ]
+    )
 
 
 def asof_join(
@@ -67,18 +94,11 @@ def asof_join(
         # rows fall outside the left row's frame (both directions)
         F.lit(0 if strict else 1).alias("__side"),
         F.struct(*[F.col(c) for c in left_cols]).alias("__left"),
-        F.lit(None)
-        .cast(
-            "struct<__match_ts:"
-            + right.schema[ts].dataType.simpleString()
-            + ","
-            + ",".join(
-                f"{p}:{right.schema[c].dataType.simpleString()}"
-                for c, p in zip(right_payload, payload_tagged)
-            )
-            + ">"
-        )
-        .alias("__r"),
+        # typed-DataType cast (NOT a DDL string — simpleString() output
+        # is unparseable for field names that need quoting). Must stay
+        # a NULL struct, not a struct of null fields: the ignorenulls
+        # carry keys off __r itself being null on left rows.
+        F.lit(None).cast(_r_struct_type(right, ts, right_payload, payload_tagged)).alias("__r"),
     )
     r_tag = right.select(
         F.col(key).alias("__key"),
@@ -92,12 +112,27 @@ def asof_join(
     )
     unioned = l_tag.unionByName(r_tag)
     ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
-    # __r as the final sort key makes right-rows tied on (ts, side)
-    # deterministic (repo rule: no last() without a total order);
-    # left rows all carry null __r, so their relative order is inert.
+    # A deterministic tie-break over right-rows tied on (ts, side)
+    # (repo rule: no last() without a total order); left rows all carry
+    # null __r, so their relative order is inert. When every payload
+    # type is orderable the whole __r struct is the cheapest total
+    # order; otherwise (MapType anywhere in the payload would make
+    # ORDER BY raise) sort by __match_ts + the orderable payload
+    # fields + a JSON rendering of the full struct as the last resort.
+    r_type = l_tag.schema["__r"].dataType
+    if _orderable(r_type):
+        tie = [F.col("__r").asc_nulls_first()]
+    else:
+        tie = [F.col("__r").getField("__match_ts").asc_nulls_first()]
+        tie += [
+            F.col("__r").getField(f.name).asc_nulls_first()
+            for f in r_type.fields
+            if f.name != "__match_ts" and _orderable(f.dataType)
+        ]
+        tie.append(F.to_json(F.col("__r")).asc_nulls_first())
     w = (
         Window.partitionBy("__key")
-        .orderBy(ts_order, F.col("__side").asc(), F.col("__r").asc_nulls_first())
+        .orderBy(ts_order, F.col("__side").asc(), *tie)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
@@ -107,11 +142,13 @@ def asof_join(
     ).filter(F.col("__left").isNotNull())
     if tolerance_seconds is not None:
         gap = F.abs(
-            F.col("__lts").cast("double") - F.col("__m.__match_ts").cast("double")
+            F.col("__lts").cast("double") - F.col("__m").getField("__match_ts").cast("double")
         )
         in_tol = F.col("__m").isNotNull() & (gap <= F.lit(float(tolerance_seconds)))
         carried = carried.select("__left", F.when(in_tol, F.col("__m")).alias("__m"))
+    # getField (not dotted-path strings): payload/left column names are
+    # user-supplied and may need quoting
     return carried.select(
-        *[F.col(f"__left.{c}").alias(c) for c in left_cols],
-        *[F.col(f"__m.{p}").alias(p) for p in payload_tagged],
+        *[F.col("__left").getField(c).alias(c) for c in left_cols],
+        *[F.col("__m").getField(p).alias(p) for p in payload_tagged],
     )

@@ -28,9 +28,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def merge_upsert(base: DataFrame, delta: DataFrame, keys: list[str]) -> DataFrame:
+def merge_upsert(
+    base: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    assert_unique_delta: bool = False,
+) -> DataFrame:
     """SCD-1 keyed merge: delta wins on collision, base survives
-    otherwise. Both inputs must share a schema; output keeps it."""
+    otherwise. Both inputs must share a schema; output keeps it.
+
+    PRECONDITION: ``delta`` must be key-unique. SQL MERGE raises on a
+    second WHEN MATCHED hit; a full-outer join instead MULTIPLIES the
+    matched base row per duplicate delta key, silently. Callers whose
+    delta is not unique-by-construction (ours are: one prediction row
+    per user per batch) should pass ``assert_unique_delta=True`` —
+    one cheap aggregate job (count vs distinct-key count, both
+    map-side combinable) that raises instead of corrupting."""
+    if assert_unique_delta:
+        row = delta.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(*[F.col(k) for k in keys]).alias("nk"),
+        ).first()
+        if row["n"] != row["nk"]:
+            raise ValueError(
+                f"merge_upsert delta is not key-unique on {keys}: "
+                f"{row['n']} rows over {row['nk']} distinct keys"
+            )
     if [(f.name, f.dataType) for f in base.schema.fields] != [
         (f.name, f.dataType) for f in delta.schema.fields
     ]:

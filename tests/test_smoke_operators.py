@@ -364,3 +364,50 @@ def test_c8_asof_null_payload_match_not_skipped(spark):
         left, right, key="k", ts="t", right_payload=["p"], strict=True, tolerance_seconds=1.0
     )
     assert tol.collect()[0]["asof_p"] is None
+
+
+def test_c8_asof_map_payload_and_quoted_names(spark):
+    """Regression (round-3 advice): a MapType payload column must not
+    make the tie-break ORDER BY raise (maps are non-orderable), and a
+    payload column whose name needs quoting must survive the null-
+    struct construction (typed DataType cast, no DDL string)."""
+    from morphl_community_edition_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 5.0, "L")], "k int, t double, lid string").withColumn(
+        "t", F.col("t").cast("timestamp")
+    )
+    right = (
+        spark.createDataFrame([(1, 1.0, "x", 7), (1, 3.0, "y", 8)], "k int, t double, mv string, `odd name` int")
+        .withColumn("t", F.col("t").cast("timestamp"))
+        .withColumn("m", F.create_map(F.lit("tag"), F.col("mv")))
+    )
+    out = asof_join(
+        left, right, key="k", ts="t", right_payload=["m", "odd name"], strict=True
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["asof_m"] == {"tag": "y"}  # t=3 is the as-of match
+    assert out[0]["asof_odd name"] == 8
+    # no-match side still yields typed nulls
+    far = spark.createDataFrame([(2, 5.0, "Z")], "k int, t double, lid string").withColumn(
+        "t", F.col("t").cast("timestamp")
+    )
+    row = asof_join(far, right, key="k", ts="t", right_payload=["m"], strict=True).collect()[0]
+    assert row["asof_m"] is None
+
+
+def test_l6_merge_upsert_unique_delta_guard(spark):
+    """Round-3 advice: a duplicate-keyed delta multiplies matched rows
+    through the full-outer join (SQL MERGE would raise). The opt-in
+    guard turns that silent corruption into an error."""
+    import pytest as _pytest
+
+    from morphl_community_edition_spark.operators.upsert import merge_upsert
+
+    base = spark.createDataFrame([(1, "old")], "k int, v string")
+    dup = spark.createDataFrame([(1, "a"), (1, "b")], "k int, v string")
+    ok = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+
+    with _pytest.raises(ValueError, match="not key-unique"):
+        merge_upsert(base, dup, ["k"], assert_unique_delta=True)
+    out = merge_upsert(base, ok, ["k"], assert_unique_delta=True)
+    assert {(r["k"], r["v"]) for r in out.collect()} == {(1, "a"), (2, "b")}
