@@ -95,23 +95,32 @@ def q32_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q92_shopping_stage",
     oracle=f"""
-    SELECT user_id,
-           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
-           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
-           CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0 THEN 2
-                     WHEN sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) > 0 THEN 1
+    WITH pd AS (
+      SELECT user_id, date_trunc('day', ts) AS d,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases
+      FROM {EVENTS_US} e
+      GROUP BY user_id, date_trunc('day', ts)),
+    last AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY d DESC) AS rn FROM pd)
+    SELECT user_id, clicks, purchases,
+           CAST(CASE WHEN purchases > 0 THEN 2
+                     WHEN clicks > 0 THEN 1
                      ELSE 0 END AS INTEGER) AS stage
-    FROM {EVENTS_US} e
-    GROUP BY user_id
+    FROM last WHERE rn = 1
     ORDER BY user_id
     """,
 )
 def q92_shopping_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5/M2 bridge: the multiclass shopping-stage LABEL (the
     reference's second flagship pipeline's target) as an oracle-checked
-    query — per-user furthest funnel stage (0 browse / 1 engaged /
-    2 purchased) via ml/stages.shopping_stage_label. The multinomial
-    model that consumes it is the M-suite's job (tests/test_ml.py)."""
+    query — per-user funnel stage at the most recent active day
+    (0 browse / 1 engaged / 2 purchased) via
+    ml/stages.shopping_stage_label. Last-day scoping keeps the label
+    non-constant at every fixture SF (round-3 verdict #4's hazard:
+    all-history furthest-stage is constant=2 because every synthetic
+    user eventually purchases). The multinomial model that consumes it
+    is the M-suite's job (tests/test_ml.py)."""
     from morphl_community_edition_spark.ml.stages import shopping_stage_label
 
     ev = load_table(spark, sf_dir, "events")
