@@ -13,6 +13,19 @@ Three timing tiers per query, labeled by what they reuse:
   production pipeline runs a parameterized query repeatedly, but
   never used as the headline.
 - ``queries_cold_first_run``: first build+plan+execute.
+- ``queries_default_conf``: the same honest-warm rebuild measured
+  under the ENGINE DEFAULT config (AQE on, 32 shuffle partitions, 2m
+  splits) — the out-of-the-box experience, reported alongside the
+  bench profile so the profile's benefit is visible per round.
+
+Ambient-load defense: the whole best-of-N block suite is repeated
+``PASSES`` times and every per-pass suite total is reported. A
+shared-VM load episode poisons one pass, not all of them, so a
+poisoned sample is visible in the JSON instead of silently inflating
+the headline (round-3 postmortem: +32% uniform drift across queries
+whose code did not change). Blocked best-of-N per query is kept
+within each pass — on this machine blocked beats interleaved
+per-query timing (measured round 3).
 
 Bench profile: AQE off + 8 shuffle partitions for the timed section —
 at sf0.1 on one host, AQE's per-stage scheduling adds ~0.3-0.5s/query
@@ -59,12 +72,15 @@ EXTRA = {
     "tpch_q9_profit": "q79_tpch_q9",
 }
 
-# best-of-7: single-JVM local mode has real run-to-run jitter (GC,
-# JIT recompilation, VM CPU scheduling) — 3 runs left ±30% noise in
-# back-to-back suite totals; 5 mostly stabilized the minimum, 7 also
-# covers rounds where an external VM stall hits mid-measurement
-# (observed: identical configs reading 2.98s vs 3.36s suite total)
-RUNS = 7
+# best-of-5 blocks × 3 full-suite passes: single-JVM local mode has
+# real run-to-run jitter (GC, JIT recompilation, VM CPU scheduling),
+# and rounds 1/3 showed whole-suite ambient drift (identical configs
+# reading 2.03s vs 2.67s totals). Repeating the entire block suite
+# catches a load episode that spans one pass; the per-query minimum
+# across all passes (15 samples) is the headline, and every pass
+# total is emitted so a poisoned pass is visible.
+RUNS = 5
+PASSES = 3
 
 
 def main() -> None:
@@ -79,7 +95,13 @@ def main() -> None:
 
     # bench profile (see module docstring); engine default keeps AQE on
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # 2 shuffle partitions: at sf0.1 every post-shuffle stage holds
+    # KB-scale aggregates, so task-launch overhead dominates — a
+    # round-4 sweep (8/4/2/1) measured ~13-19% suite improvement at 2
+    # vs 8 with identical results. AQE's runtime coalescing makes the
+    # same call automatically at scale; the default-conf tier below
+    # reports that configuration every round.
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     # At sf0.1 task-launch overhead dominates scan parallelism: 16m
     # splits (≈1-2 tasks/table) beat the session default 2m (≈10-20
     # tasks) by ~0.3s across the suite, measured best-of-5 per query.
@@ -90,6 +112,7 @@ def main() -> None:
     warm: dict[str, float] = {}
     prepared: dict[str, float] = {}
     cold: dict[str, float] = {}
+    pass_totals: list[float] = []
     try:
         dfs = {}
         for name, key in HEADLINE.items():
@@ -102,27 +125,31 @@ def main() -> None:
         # paths (scan, hash-agg, exchange) for ALL of them, so without
         # this the earliest-benched queries systematically read ~0.15s
         # slower than the same query timed later in the session.
+        # (Also the C2-JIT ramp equalizer vs DuckDB's AOT C++ warm.)
         for key in HEADLINE.values():
             QUERIES[key](spark, SF_DIR).collect()
-        for name, key in HEADLINE.items():
-            # honest warm: rebuild + re-plan + fully re-execute.
-            # Two untimed runs first: the JVM's C2 JIT needs a few
-            # executions of a code path before it compiles it — the
-            # baseline's "warm" (DuckDB second consecutive run) has no
-            # such ramp because DuckDB is AOT-compiled C++. Untimed
-            # warm-ups equalize the comparison without changing what
-            # is measured (every timed run is still a full
-            # re-plan + re-execution, no plan/shuffle reuse).
-            for _ in range(2):
-                QUERIES[key](spark, SF_DIR).collect()
-            best = 1e9
-            for _ in range(RUNS):
-                t0 = time.perf_counter()
-                QUERIES[key](spark, SF_DIR).collect()
-                best = min(best, time.perf_counter() - t0)
-            warm[name] = round(best, 4)
-            # prepared: re-execute the planned DataFrame (reuses plan +
-            # materialized shuffle stages)
+            QUERIES[key](spark, SF_DIR).collect()
+
+        # PASSES full suite passes; each pass times every query as a
+        # best-of-RUNS block (honest warm: rebuild + re-plan + full
+        # re-execution each run, no plan or shuffle reuse).
+        for pnum in range(PASSES):
+            pass_warm: dict[str, float] = {}
+            for name, key in HEADLINE.items():
+                best = 1e9
+                for _ in range(RUNS):
+                    t0 = time.perf_counter()
+                    QUERIES[key](spark, SF_DIR).collect()
+                    best = min(best, time.perf_counter() - t0)
+                pass_warm[name] = best
+                warm[name] = round(min(warm.get(name, 1e9), best), 4)
+            total = round(sum(pass_warm.values()), 4)
+            pass_totals.append(total)
+            print(f"# pass {pnum + 1}/{PASSES}: suite total {total:.3f}s", file=sys.stderr)
+
+        # prepared tier: re-execute the planned DataFrame (reuses plan
+        # + materialized shuffle stages)
+        for name in HEADLINE:
             best = 1e9
             for _ in range(RUNS):
                 t0 = time.perf_counter()
@@ -148,13 +175,31 @@ def main() -> None:
         spark.conf.unset("spark.sql.shuffle.partitions")
         spark.conf.unset("spark.sql.files.maxPartitionBytes")
 
+    # default-config tier: engine defaults (AQE on, session shuffle
+    # partitions and split size), same honest-warm rebuild, best-of-3
+    # to bound wall time. Reported so the bench-profile delta is
+    # visible per round instead of only documented.
+    default_conf: dict[str, float] = {}
+    for name, key in HEADLINE.items():
+        QUERIES[key](spark, SF_DIR).collect()
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            QUERIES[key](spark, SF_DIR).collect()
+            best = min(best, time.perf_counter() - t0)
+        default_conf[name] = round(best, 4)
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     out = {
         "metric": "headline_suite_warm_total",
         "value": round(sum(warm.values()), 4),
         "unit": "sec",
-        "semantics": f"best-of-{RUNS} full re-plan + re-execution per query, one warm session (no plan or shuffle reuse)",
+        "semantics": f"per-query min across {PASSES} passes of best-of-{RUNS} full re-plan + re-execution blocks, one warm session (no plan or shuffle reuse)",
         "queries": warm,
+        "suite_pass_totals": pass_totals,
+        "suite_pass_min": round(min(pass_totals), 4) if pass_totals else None,
+        "queries_default_conf": default_conf,
+        "default_conf_total": round(sum(default_conf.values()), 4),
         "queries_prepared": prepared,
         "prepared_total": round(sum(prepared.values()), 4),
         "queries_cold_first_run": cold,
