@@ -27,7 +27,7 @@ whose code did not change). Blocked best-of-N per query is kept
 within each pass — on this machine blocked beats interleaved
 per-query timing (measured round 3).
 
-Bench profile: AQE off + 8 shuffle partitions for the timed section —
+Bench profile: AQE off + 2 shuffle partitions for the timed section —
 at sf0.1 on one host, AQE's per-stage scheduling adds ~0.3-0.5s/query
 of pure orchestration; on a real cluster AQE pays for itself and the
 engine default keeps it on (session.py). Spark's ~0.5s/query re-plan
@@ -102,12 +102,12 @@ def main() -> None:
     # same call automatically at scale; the default-conf tier below
     # reports that configuration every round.
     spark.conf.set("spark.sql.shuffle.partitions", "2")
-    # At sf0.1 task-launch overhead dominates scan parallelism: 16m
-    # splits (≈1-2 tasks/table) beat the session default 2m (≈10-20
-    # tasks) by ~0.3s across the suite, measured best-of-5 per query.
-    # The 2m default stays right for functional runs (it exercises
-    # multi-task scans); at real scale the knob is ~128m regardless.
-    spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
+    # Round-4 re-sweep (16m/8m/4m/2m/1m at sp=2): the session-default
+    # 2m splits now WIN (~16% suite) — with only 2 shuffle tasks the
+    # freed scheduling budget goes to parallel scan decode, inverting
+    # round-2's 16m finding (measured under sp=8). Keep the engine
+    # default; at real scale the knob is ~128m regardless.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2m")
 
     warm: dict[str, float] = {}
     prepared: dict[str, float] = {}

@@ -187,3 +187,100 @@ def q106_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("contaminated_docs"))
         .orderBy("source")
     )
+
+
+CHUNK_TOKENS = 64  # tokens per chunk
+CHUNK_STRIDE = 48  # chunk start stride (CHUNK_TOKENS - overlap)
+
+
+@query(
+    "q107_chunk_documents",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    c AS (SELECT doc_id, CAST(off / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+                 ws[off + 1 : off + {CHUNK_TOKENS}] AS chunk
+          FROM w, LATERAL unnest(generate_series(0, len(ws) - 1, {CHUNK_STRIDE})) AS t(off))
+    SELECT doc_id, chunk_id,
+           CAST(len(chunk) AS BIGINT) AS n_chunk_tok,
+           md5(array_to_string(chunk, ' ')) AS chunk_md5
+    FROM c
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def q107_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token chunking (the RAG / pretraining chunker):
+    chunks of CHUNK_TOKENS tokens starting every CHUNK_STRIDE, the
+    trailing short chunk kept. 1->N row explosion stays JVM-side
+    (sequence + transform + explode); md5 of each chunk proves byte
+    equality with the oracle without hauling chunk text through the
+    comparator. Linear in corpus size, no shuffle until the output
+    sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    offs = F.sequence(F.lit(0), F.size(ws) - 1, F.lit(CHUNK_STRIDE))
+    chunks = F.transform(
+        offs,
+        lambda off: F.struct(
+            (off / CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+            F.slice(ws, off + 1, CHUNK_TOKENS).alias("chunk"),
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.size("c.chunk").cast("bigint").alias("n_chunk_tok"),
+            F.md5(F.array_join("c.chunk", " ").cast("binary")).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@query(
+    "q108_token_rarity",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    freq AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+    tot AS (SELECT count(*) AS n_total FROM tok),
+    scored AS (SELECT t.doc_id, (tot.n_total * 1000000) // f.cnt AS rarity_ppm
+               FROM tok t JOIN freq f ON t.w = f.w CROSS JOIN tot)
+    SELECT doc_id, count(*) AS n_tok,
+           floor((CAST(sum(rarity_ppm) AS DOUBLE) / count(*) / 1e6) * 1e6 + 0.5) / 1e6 AS rarity
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q108_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency rarity score per document (the shape of a
+    unigram-LM quality/filter pass, with exact arithmetic instead of
+    log-probs: per-token rarity = floor(total_tokens*1e6 / cnt(w)) —
+    bigint floor-division is bit-identical on both engines, where
+    ln() could differ in the last ulp). Token->frequency is a join
+    against the (vocabulary-sized, broadcast) frequency table; the
+    corpus total rides along as a broadcast scalar row."""
+    from morphl_community_edition_spark.functions.rounding import crnd
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        tok.join(F.broadcast(freq), "w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.expr("CAST(n_total * 1000000 AS BIGINT) div cnt").alias("rarity_ppm"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            crnd(
+                F.sum("rarity_ppm").cast("double") / F.count(F.lit(1)) / F.lit(1e6), 6
+            ).alias("rarity"),
+        )
+        .orderBy("doc_id")
+    )
