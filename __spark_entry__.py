@@ -8,6 +8,12 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 The engine lives in ``morphl_community_edition_spark/``; the query
 registry (morphl_community_edition_spark/queries) carries both sides
 of every contract entry, so this file just re-exports it.
+
+Registry order is the disclosed coverage-rotation protocol
+(queries/__init__._sort_registry): least-recently-verified-first,
+derived deterministically from the committed CORRECTNESS_r*.json
+artifacts, so a prefix-sampling consumer walks the whole registry
+across rounds. See README "Verification-evidence rotation".
 """
 
 from __future__ import annotations

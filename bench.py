@@ -70,6 +70,9 @@ EXTRA = {
     "det_hash_split": "q75_det_hash_split",
     "tfidf_topterms": "q85_tfidf_topterms",
     "tpch_q9_profit": "q79_tpch_q9",
+    "pack_sequences": "q103_pack_sequences",
+    "contamination_screen": "q106_contamination_screen",
+    "token_rarity": "q108_token_rarity",
 }
 
 # best-of-5 blocks × 3 full-suite passes: single-JVM local mode has
