@@ -84,7 +84,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured 0.9s → 0.7s per honest-warm rebuild at sf0.1
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.filter(F.col("l_shipdate") <= _ts("2001-09-01"))
+        li.filter("l_shipdate <= timestamp'2001-09-01'")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             xdsum("l_quantity").alias("sum_qty"),
@@ -146,16 +146,19 @@ def q03_star_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from morphl_community_edition_spark.catalog import table_path
     from morphl_community_edition_spark.plans.hints import broadcast_if_small, dataset_file_bytes
 
-    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < _ts("1998-03-15"))
+    # string predicates / F.expr join conditions: one Py4J call each
+    # instead of a Column-tree walk (round-3 advice #3; measured
+    # -40-50ms build per rebuild on the q05 twin)
+    cust = load_table(spark, sf_dir, "customer").filter("c_mktsegment = 'BUILDING'")
+    orders = load_table(spark, sf_dir, "orders").filter("o_orderdate < timestamp'1998-03-15'")
     li = load_table(spark, sf_dir, "lineitem")
-    build = orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")).select(
+    build = orders.join(F.broadcast(cust), F.expr("c_custkey = o_custkey")).select(
         "o_orderkey", "o_orderdate"
     )
     return (
         li.join(
             broadcast_if_small(build, dataset_file_bytes(table_path(sf_dir, "orders"))),
-            F.col("l_orderkey") == F.col("o_orderkey"),
+            F.expr("l_orderkey = o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate")
         .agg(xcrnd(SQL_DISC_PRICE_SUM, 2).alias("rev"))
@@ -207,22 +210,24 @@ def q04_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q05_six_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = {n: load_table(spark, sf_dir, n) for n in ("customer", "orders", "lineitem", "supplier", "nation", "region")}
+    # expr-text conditions: one Py4J call per join predicate (round-3
+    # advice #3; measured build 117ms -> 68ms per honest-warm rebuild)
     asia_nations = t["nation"].join(
-        F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
-        F.col("n_regionkey") == F.col("r_regionkey"),
+        F.broadcast(t["region"].filter("r_name = 'ASIA'")),
+        F.expr("n_regionkey = r_regionkey"),
     )
-    supp = t["supplier"].join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+    supp = t["supplier"].join(F.broadcast(asia_nations), F.expr("s_nationkey = n_nationkey"))
     return (
         t["lineitem"]
         .join(
             F.broadcast(
-                t["orders"].join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey")).select(
+                t["orders"].join(F.broadcast(t["customer"]), F.expr("c_custkey = o_custkey")).select(
                     "o_orderkey"
                 )
             ),
-            F.col("l_orderkey") == F.col("o_orderkey"),
+            F.expr("l_orderkey = o_orderkey"),
         )
-        .join(F.broadcast(supp.select("s_suppkey", "n_name")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "n_name")), F.expr("l_suppkey = s_suppkey"))
         .groupBy("n_name")
         .agg(xcrnd(SQL_DISC_PRICE_SUM, 2).alias("rev"))
         .orderBy(F.col("rev").desc(), "n_name")
