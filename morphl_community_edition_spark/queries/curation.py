@@ -1,8 +1,8 @@
 """Training-data curation operators, round 4 (K-family widening).
 
-Four ops a large-scale LLM data pipeline runs between raw corpus and
-tokenizer — each as an oracle-checked contract query over the
-``documents`` fixture:
+The ops a large-scale LLM data pipeline runs between raw corpus and
+tokenizer — each an oracle-checked contract query over the
+``documents`` fixture unless noted:
 
 - q103 sequence packing: pack documents into fixed token-budget bins
   (the pretraining sequence-packing step), per source shard.
@@ -13,6 +13,13 @@ tokenizer — each as an oracle-checked contract query over the
   — same device as pipeline_ops' det_hash_split).
 - q106 contamination screen: n-gram overlap of train sources against
   a held-out benchmark source (the eval-contamination check).
+- q107 document chunking: overlapping token windows, md5-verified.
+- q108 token rarity: unigram-LM-shaped scoring via exact integer
+  rationals.
+- q109 fingerprint screen: q106 on 8-byte hashes (no-oracle sketch;
+  tolerance-tested superset of exact).
+- q110 cross-modal neighbors: embedding KNN joined back to document
+  metadata (the retrieval serving shape).
 
 Scale notes (100 TB):
 - q103's running sum windows per SOURCE (shard), never globally — a
@@ -283,4 +290,93 @@ def q108_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rarity"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query("q109_contamination_fingerprint")
+def q109_contamination_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-fingerprint contamination screen — q106's 100 TB twin.
+
+    The exact screen (q106) joins train shingles against benchmark
+    shingles as STRINGS (~40 bytes each). At corpus scale the join
+    should move 8-byte fingerprints instead: xxhash64(shingle) mod
+    2^26. Like a Bloom filter this has no false negatives and a
+    bounded false-positive rate (hash collisions: ~n_bench/2^26 per
+    probe); unlike one it keeps the plan a plain broadcast semi-join,
+    so AQE/codegen treat it exactly like q106 while shuffle/broadcast
+    bytes collapse ~5x. (Spark's own bloom_filter_agg is not a
+    SQL-registered function — it exists only inside the runtime
+    bloom-join injection rule, which the plans suite gates
+    separately.)
+
+    No SQL oracle by design (xxhash64 is engine-specific); the
+    tolerance suite pins the two sketch properties instead: per-source
+    counts are a SUPERSET of q106's exact counts, and the overcount is
+    bounded. The driver records the rows-only check like the other
+    sketch queries (q18/q28/q41).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    grams = F.when(F.size(ws) >= 5, F.transform(
+        F.sequence(F.lit(0), F.size(ws) - 5),
+        lambda i: F.array_join(F.slice(ws, i + 1, 5), " "),
+    )).otherwise(F.array().cast("array<string>"))
+    sh = docs.select(
+        "doc_id", "source", F.explode(F.array_distinct(grams)).alias("s")
+    ).select(
+        "doc_id", "source", (F.xxhash64("s") % (1 << 26)).alias("fp")
+    )
+    bench = sh.filter(F.col("source") == "src0").select("fp").distinct()
+    hit = (
+        sh.filter(F.col("source") != "src0")
+        .join(F.broadcast(bench), "fp", "left_semi")
+        .select("doc_id", "source")
+        .distinct()
+    )
+    return (
+        hit.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("contaminated_docs"))
+        .orderBy("source")
+    )
+
+
+@query(
+    "q110_crossmodal_neighbors",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 5),
+    p AS (SELECT q.vec_id AS q_vec, c.vec_id AS n_vec,
+                 floor((list_dot_product(q.emb, c.emb)
+                       / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(c.emb, c.emb)))) * 1e6 + 0.5) / 1e6 AS sim
+          FROM q JOIN e c ON c.vec_id != q.vec_id),
+    k AS (SELECT *, row_number() OVER (PARTITION BY q_vec ORDER BY sim DESC, n_vec) AS rnk FROM p)
+    SELECT k.q_vec, k.n_vec, k.sim, CAST(k.rnk AS INTEGER) AS rnk,
+           d.lang AS n_lang, d.source AS n_source, d.n_chars AS n_chars
+    FROM k JOIN documents d ON d.doc_id = k.n_vec
+    WHERE k.rnk <= 3
+    ORDER BY k.q_vec, k.rnk
+    """,
+)
+def q110_crossmodal_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal retrieval: embedding KNN (K3's exact path, same
+    cosine/rank contract as q39) joined back to the documents table
+    for the neighbors' text metadata — the serving shape of a
+    retrieval pipeline (vector hit -> payload lookup). The metadata
+    join is a broadcast on the k-bounded neighbor set; at scale the
+    payload side is the big table, so the k·|queries|-row hit list is
+    always the broadcast side."""
+    from morphl_community_edition_spark.operators.similarity import cosine_topk_per_query
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    hits = cosine_topk_per_query(emb, emb.filter("vec_id < 5"), k=3)
+    return (
+        docs.join(F.broadcast(hits), F.expr("doc_id = n_vec"))
+        .select(
+            "q_vec", "n_vec", "sim", "rnk",
+            F.col("lang").alias("n_lang"),
+            F.col("source").alias("n_source"),
+            F.col("n_chars").alias("n_chars"),
+        )
+        .orderBy("q_vec", "rnk")
     )

@@ -223,3 +223,21 @@ def test_mem_string_parser_accepts_spark_forms():
     assert _parse_mem_bytes(" 2 GB ") == 2 << 30
     with _pytest.raises(ValueError):
         _parse_mem_bytes("abc")
+
+
+def test_q109_fingerprint_screen_superset_of_exact(spark):
+    """q109 hash-fingerprint contamination screen vs q106 exact: no
+    false negatives (per-source counts are a superset) and the
+    collision overcount is tiny (expected <1 doc at fixture scale for
+    2^26 buckets; bound at 5)."""
+    fp = {
+        r["source"]: r["contaminated_docs"]
+        for r in QUERIES["q109_contamination_fingerprint"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r["source"]: r["contaminated_docs"]
+        for r in QUERIES["q106_contamination_screen"](spark, SF_DIR).collect()
+    }
+    for src, n in exact.items():
+        assert fp.get(src, 0) >= n, f"{src}: fingerprint screen missed exact hits"
+    assert sum(fp.values()) - sum(exact.values()) <= 5
