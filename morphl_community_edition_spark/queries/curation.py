@@ -20,6 +20,9 @@ tokenizer — each an oracle-checked contract query over the
   tolerance-tested superset of exact).
 - q110 cross-modal neighbors: embedding KNN joined back to document
   metadata (the retrieval serving shape).
+- q111 session funnel: 30-min-gap sessionization -> per-session
+  furthest stage -> per-day outcome counts (events table; the
+  composed L4+L5+M2 shape).
 
 Scale notes (100 TB):
 - q103's running sum windows per SOURCE (shard), never globally — a
@@ -379,4 +382,62 @@ def q110_crossmodal_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").alias("n_chars"),
         )
         .orderBy("q_vec", "rnk")
+    )
+
+
+@query(
+    "q111_session_funnel",
+    oracle="""
+    WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+               FROM events),
+    g AS (SELECT user_id, ts, event_id, event_type,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, ts, event_type,
+            CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS sess
+          FROM g),
+    per AS (SELECT user_id, sess, CAST(min(ts) AS DATE) AS day,
+                   CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0 THEN 2
+                             WHEN sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) > 0 THEN 1
+                             ELSE 0 END AS INTEGER) AS stage
+            FROM s GROUP BY user_id, sess)
+    SELECT day, count(*) AS n_sessions,
+           CAST(sum(CASE WHEN stage = 1 THEN 1 ELSE 0 END) AS BIGINT) AS engaged,
+           CAST(sum(CASE WHEN stage = 2 THEN 1 ELSE 0 END) AS BIGINT) AS converted
+    FROM per
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def q111_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-outcome funnel per day: 30-minute-gap sessionization
+    (operators/sessionize — q16's exact break semantics), each
+    session labeled by its furthest funnel stage, counted per the
+    session's START day. This is the composed L4+L5+M2 shape the
+    reference's intent pipeline consumes (per-session stage is the
+    thing its model predicts), and the session-scoped stage is
+    naturally non-constant (sessions are short). One user-keyed sort
+    (sessionize) + two hash aggs; nothing fact-sized crosses an
+    unpartitioned window."""
+    from morphl_community_edition_spark.operators.sessionize import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, user_col="user_id", ts_col="ts", gap_minutes=30, order_tiebreak="event_id")
+    per = s.groupBy("user_id", "sess").agg(
+        F.min("ts").cast("date").alias("day"),
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) > 0, 2
+        ).when(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)) > 0, 1
+        ).otherwise(0).cast("int").alias("stage"),
+    )
+    return (
+        per.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(F.when(F.col("stage") == 1, 1).otherwise(0)).cast("bigint").alias("engaged"),
+            F.sum(F.when(F.col("stage") == 2, 1).otherwise(0)).cast("bigint").alias("converted"),
+        )
+        .orderBy("day")
     )
