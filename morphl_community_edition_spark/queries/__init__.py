@@ -120,7 +120,7 @@ def _sort_registry() -> None:
     so they are verified first rather than last. After enough rounds
     every query's most-recent-verification round equalizes and the
     rotation becomes a plain round-robin over the registry. A checkout
-    without the artifacts falls back to numeric-id order (q01…q102).
+    without the artifacts falls back to plain numeric-id order.
     """
     last = _last_verified_round()
     ordered = {
