@@ -1,11 +1,15 @@
 """The registry's disclosed coverage-rotation protocol.
 
-The registry is presented least-recently-driver-verified-first (see
-queries/__init__._sort_registry): sort key = (round of the query's
-most recent CORRECTNESS_r*.json row, numeric id). These tests pin the
+The registry is presented least-recently-verified-first (see
+queries/__init__._sort_registry): sort key = (verification credit,
+numeric id), where credit is the round of the query's most recent
+PASSING CORRECTNESS_r*.json row — and only while the query's current
+source still hashes to the fingerprint snapshotted at that
+verification (tools/verified_fingerprints.json). These tests pin the
 properties the protocol promises — determinism, never-verified-first,
-numeric (not lexicographic) tie-break, and full-registry coverage
-under repeated prefix sampling.
+failed-row and edited-source credit revocation (ADVICE r4), numeric
+(not lexicographic) tie-break, and full-registry coverage under
+repeated prefix sampling.
 """
 
 from __future__ import annotations
@@ -15,32 +19,78 @@ import json
 from morphl_community_edition_spark import queries as qmod
 
 
-def _simulated_order(last: dict[str, int], names: list[str]) -> list[str]:
-    return sorted(names, key=lambda s: (last.get(s, 0), qmod._query_number(s)))
+def _simulated_order(credit: dict[str, int], names: list[str]) -> list[str]:
+    return sorted(names, key=lambda s: (credit.get(s, 0), qmod._query_number(s)))
 
 
-def test_never_verified_sort_first():
-    last = qmod._last_verified_round()
+def test_zero_credit_sorts_first():
+    credit = qmod._verification_credit()
     names = list(qmod.QUERIES)
-    never = [n for n in names if n not in last]
-    if not never:  # all queries have been verified at least once
+    zero = [n for n in names if credit.get(n, 0) == 0]
+    if not zero:  # every query currently holds valid credit
         return
-    # every never-verified query precedes every verified one
+    # every zero-credit query precedes every credited one
     pos = {n: i for i, n in enumerate(names)}
-    max_never = max(pos[n] for n in never)
-    min_seen = min(pos[n] for n in names if n in last)
-    assert max_never < min_seen
+    assert max(pos[n] for n in zero) < min(
+        pos[n] for n in names if credit.get(n, 0) > 0
+    )
 
 
 def test_order_matches_protocol_exactly():
-    last = qmod._last_verified_round()
-    assert list(qmod.QUERIES) == _simulated_order(last, list(qmod.QUERIES))
+    credit = qmod._verification_credit()
+    assert list(qmod.QUERIES) == _simulated_order(credit, list(qmod.QUERIES))
 
 
 def test_numeric_tiebreak_not_lexicographic():
-    # q100 must NOT land between q09 and q10 within an equal-round tier
+    # q100 must NOT land between q09 and q10 within an equal-credit tier
     names = ["q09_a", "q100_b", "q10_c", "q02_d"]
     assert _simulated_order({}, names) == ["q02_d", "q09_a", "q10_c", "q100_b"]
+
+
+def test_failed_row_confers_no_credit():
+    """ADVICE r4 (medium): a query whose latest driver row FAILED must
+    sort first for re-check, not rotate to the back."""
+    assert not qmod._row_passed(
+        {"rows_match": True, "schema_match": True, "hash_match": False}
+    )
+    assert not qmod._row_passed({"rows_match": False})
+    assert qmod._row_passed(
+        {"rows_match": True, "schema_match": True, "hash_match": True}
+    )
+    # no-oracle tier: pass requires a NON-EMPTY result
+    assert qmod._row_passed({"err": "no_oracle", "spark_rows": 50})
+    assert not qmod._row_passed({"err": "no_oracle", "spark_rows": 0})
+    assert not qmod._row_passed({"err": "no_oracle", "spark_rows": None})
+
+
+def test_edited_source_loses_credit():
+    """ADVICE r4 (high): code changed since its snapshotted
+    verification must drop to credit 0 — stale evidence cannot shield
+    a modified implementation from re-verification."""
+    fps = qmod._load_fingerprints()
+    if fps is None:  # fresh checkout without the snapshot — degraded mode
+        return
+    latest = qmod._latest_rows()
+    credit = qmod._verification_credit()
+    for name, fn in qmod.QUERIES.items():
+        ent = latest.get(name)
+        if ent is None or not qmod._row_passed(ent[1]):
+            assert credit[name] == 0
+        elif name not in fps or fps[name]["fp"] != qmod._source_fingerprint(fn):
+            # edited (or never-snapshotted) implementation: revoked
+            assert credit[name] == 0
+        else:
+            assert credit[name] == int(fps[name]["round"]) > 0
+
+
+def test_fingerprint_covers_oracle_sql():
+    """getsource includes the @query(...) decorator block, so editing
+    only the registered oracle SQL also changes the fingerprint."""
+    import inspect
+
+    fn = next(iter(qmod.QUERIES.values()))
+    src = inspect.getsource(fn)
+    assert src.lstrip().startswith("@query")
 
 
 def test_prefix_sampling_covers_all_queries_across_rounds():
@@ -50,27 +100,29 @@ def test_prefix_sampling_covers_all_queries_across_rounds():
     simulated rounds, for any starting history."""
     names = [f"q{i:02d}_x" for i in range(1, 103)]
     w = 50
-    last = {n: 3 for n in names[:50]}  # arbitrary initial history
-    seen: set[str] = set(last)
+    credit = {n: 3 for n in names[:50]}  # arbitrary initial history
+    seen: set[str] = set(credit)
     for rnd in range(4, 9):
-        window = _simulated_order(last, names)[:w]
+        window = _simulated_order(credit, names)[:w]
         seen.update(window)
         for n in window:
-            last[n] = rnd
+            credit[n] = rnd
     assert seen == set(names)
     # and steady state is a strict round-robin: two consecutive
     # windows never overlap when N >= 2W
-    w1 = set(_simulated_order(last, names)[:w])
+    w1 = set(_simulated_order(credit, names)[:w])
     for n in w1:
-        last[n] = 9
-    w2 = set(_simulated_order(last, names)[:w])
+        credit[n] = 9
+    w2 = set(_simulated_order(credit, names)[:w])
     assert not (w1 & w2)
 
 
-def test_last_verified_round_parses_committed_artifacts():
-    last = qmod._last_verified_round()
+def test_latest_rows_parses_committed_artifacts():
+    latest = qmod._latest_rows()
     # r3 artifact exists in-repo; its keys must be mapped to >= 3
-    with open(qmod.Path(qmod.__file__).resolve().parents[2] / "CORRECTNESS_r03.json") as f:
+    with open(
+        qmod.Path(qmod.__file__).resolve().parents[2] / "CORRECTNESS_r03.json"
+    ) as f:
         r3 = json.load(f)
     for k in r3:
-        assert last.get(k, 0) >= 3
+        assert k in latest and latest[k][0] >= 3
