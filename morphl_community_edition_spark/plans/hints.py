@@ -49,3 +49,23 @@ def broadcast_if_small(
     is small on disk; otherwise return the plan unhinted so AQE's
     runtime stats choose (and can demote) the join strategy."""
     return F.broadcast(df) if source_bytes <= limit_bytes else df
+
+
+def fan_out_narrow_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a scan whose physical split count is
+    below the cluster's parallelism, so CPU-heavy per-row derivation
+    (shingling, chunking, per-token hashing) runs on every core.
+
+    A 100 TB table arrives as many thousands of row-group splits and
+    this is a no-op — the gate reads the ACTUAL partition count of the
+    physical scan, not a config. It fires exactly in the case Spark
+    cannot help by itself: a small/medium file whose single row group
+    pins the entire downstream explode to one task (maxPartitionBytes
+    splits cannot cut INSIDE a row group, so the extra scan partitions
+    come up empty). The shuffle it introduces moves only the narrow
+    pre-explode rows, never the derived ones."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -29,9 +29,12 @@ Scale notes (100 TB):
   global pack order over 100 TB is a single-partition sort; per-shard
   packing is how distributed packers actually run.
 - q105's quota rank windows per source; skew bounded by quota.
-- q106 is an inverted-index semi-join: shingles of the (small)
+- q106/q109 are inverted-index semi-joins: shingles of the (small)
   benchmark side broadcast; train side never self-joins. The
-  df-valve caveat from operators/dedup.py applies to stop-shingles.
+  stop-shingle df-valve (STOP_SHINGLE_MAX_DF, same device as
+  operators/dedup.py max_doc_freq) removes boilerplate shingles from
+  the bench set, bounding per-shingle hit volume; its own frequency
+  aggregation is |bench|-bounded by map-side partial agg.
 """
 
 from __future__ import annotations
@@ -40,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from morphl_community_edition_spark.catalog import load_table
+from morphl_community_edition_spark.plans.hints import fan_out_narrow_scan
 from morphl_community_edition_spark.queries import query
 
 PACK_BUDGET = 512  # tokens per packed sequence bin
@@ -152,29 +156,17 @@ def q105_source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q106_contamination_screen",
-    oracle="""
-    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
-    sh AS (SELECT DISTINCT doc_id, source, array_to_string(ws[gs:gs+4], ' ') AS s
-           FROM w, LATERAL unnest(generate_series(1, len(ws) - 4)) AS t(gs)),
-    bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
-    hit AS (SELECT DISTINCT sh.doc_id, sh.source
-            FROM sh JOIN bench ON sh.s = bench.s
-            WHERE sh.source <> 'src0')
-    SELECT source, count(*) AS contaminated_docs
-    FROM hit
-    GROUP BY source
-    ORDER BY source
-    """,
-)
-def q106_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Eval-contamination check: a train doc is contaminated if it
-    shares any 5-gram shingle with the benchmark source (src0).
-    Inverted-index LEFT SEMI join, benchmark shingles broadcast (the
-    benchmark set is small by construction — that is what makes it a
-    benchmark); train docs are never pairwise-joined."""
-    docs = load_table(spark, sf_dir, "documents")
+STOP_SHINGLE_MAX_DF = 2  # bench shingles in more docs than this are stop-shingles
+
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """Distinct 5-gram word shingles per document: (doc_id, source, s).
+
+    The scan is fanned out first: shingling is ~0.25 ms of string work
+    per document, and a single-row-group parquet file would otherwise
+    pin the whole explode to one task (measured 1.3 s -> parallel at
+    sf0.1; no-op on a many-split table)."""
+    docs = fan_out_narrow_scan(docs)
     ws = F.split(F.col("text"), " ")
     # guard: F.sequence(0, n) with n<0 counts DOWN, not empty — a
     # short doc must yield zero shingles like DuckDB's generate_series
@@ -182,19 +174,72 @@ def q106_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.size(ws) - 5),
         lambda i: F.array_join(F.slice(ws, i + 1, 5), " "),
     )).otherwise(F.array().cast("array<string>"))
-    sh = docs.select(
+    return docs.select(
         "doc_id", "source", F.explode(F.array_distinct(grams)).alias("s")
     )
-    bench = sh.filter(F.col("source") == "src0").select("s").distinct()
-    hit = (
+
+
+def _valved_bench_shingles(sh: DataFrame) -> DataFrame:
+    """Benchmark (src0) shingle set minus stop-shingles — the df-valve.
+
+    A bench shingle whose corpus-wide document frequency exceeds
+    STOP_SHINGLE_MAX_DF is boilerplate ("in the beginning of"), not
+    contamination evidence: unvalved, ONE such shingle makes the
+    screen's hit volume approach corpus size. The valve is the same
+    device as operators/dedup.py's ``max_doc_freq``.
+
+    Scale shape (100 TB): df is computed ONLY for shingles already in
+    the bench set — train shingles probe the broadcast bench0 hash and
+    non-matches never reach the aggregation. The match stream CAN be
+    huge (that is exactly the explosion being valved), but it feeds a
+    count keyed by shingle, so map-side partial aggregation collapses
+    it to at most |bench| rows per task before anything crosses an
+    exchange. The valve therefore never materializes the volume it
+    exists to prevent."""
+    bench0 = sh.filter(F.col("source") == "src0").select("s").distinct()
+    df_bench = (
+        sh.join(F.broadcast(bench0), "s")
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return df_bench.filter(F.col("df") <= STOP_SHINGLE_MAX_DF).select("s")
+
+
+@query(
+    "q106_contamination_screen",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT DISTINCT doc_id, source, array_to_string(ws[gs:gs+4], ' ') AS s
+           FROM w, LATERAL unnest(generate_series(1, len(ws) - 4)) AS t(gs)),
+    bench0 AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+    df AS (SELECT sh.s, count(*) AS df
+           FROM sh JOIN bench0 ON sh.s = bench0.s GROUP BY sh.s),
+    bench AS (SELECT s FROM df WHERE df <= {STOP_SHINGLE_MAX_DF})
+    SELECT source, count(DISTINCT doc_id) AS contaminated_docs
+    FROM sh JOIN bench ON sh.s = bench.s
+    WHERE source <> 'src0'
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q106_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-contamination check: a train doc is contaminated if it
+    shares any NON-stop 5-gram shingle with the benchmark source
+    (src0). Inverted-index LEFT SEMI join, benchmark shingles
+    broadcast (the benchmark set is small by construction — that is
+    what makes it a benchmark); train docs are never pairwise-joined.
+    The stop-shingle df-valve (_valved_bench_shingles) bounds the
+    per-shingle hit volume at STOP_SHINGLE_MAX_DF docs — without it a
+    single boilerplate shingle in the benchmark makes the semi-join
+    output grow with corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _doc_shingles(docs)
+    bench = _valved_bench_shingles(sh)
+    return (
         sh.filter(F.col("source") != "src0")
         .join(F.broadcast(bench), "s", "left_semi")
-        .select("doc_id", "source")
-        .distinct()
-    )
-    return (
-        hit.groupBy("source")
-        .agg(F.count(F.lit(1)).alias("contaminated_docs"))
+        .groupBy("source")
+        .agg(F.count_distinct("doc_id").alias("contaminated_docs"))
         .orderBy("source")
     )
 
@@ -312,6 +357,16 @@ def q109_contamination_fingerprint(spark: SparkSession, sf_dir: str) -> DataFram
     bloom-join injection rule, which the plans suite gates
     separately.)
 
+    The stop-shingle df-valve is shared with q106 and applied on the
+    shingle STRINGS (before fingerprinting): the valve's aggregation
+    ships only (shingle, partial-count) pairs for bench-matching
+    shingles — map-side combine keeps that exchange |bench|-bounded —
+    while the repeated cost (the per-train-shingle probe and the hit
+    stream) runs on 8-byte fingerprints. Valving on strings also
+    preserves the superset guarantee exactly: both screens drop the
+    SAME shingles, so a hash collision can only ADD q109 hits, never
+    remove one q106 found.
+
     No SQL oracle by design (xxhash64 is engine-specific); the
     tolerance suite pins the two sketch properties instead: per-source
     counts are a SUPERSET of q106's exact counts, and the overcount is
@@ -319,26 +374,17 @@ def q109_contamination_fingerprint(spark: SparkSession, sf_dir: str) -> DataFram
     sketch queries (q18/q28/q41).
     """
     docs = load_table(spark, sf_dir, "documents")
-    ws = F.split(F.col("text"), " ")
-    grams = F.when(F.size(ws) >= 5, F.transform(
-        F.sequence(F.lit(0), F.size(ws) - 5),
-        lambda i: F.array_join(F.slice(ws, i + 1, 5), " "),
-    )).otherwise(F.array().cast("array<string>"))
-    sh = docs.select(
-        "doc_id", "source", F.explode(F.array_distinct(grams)).alias("s")
-    ).select(
+    sh = _doc_shingles(docs)
+    bench_fp = _valved_bench_shingles(sh).select(
+        (F.xxhash64("s") % (1 << 26)).alias("fp")
+    ).distinct()
+    train = sh.filter(F.col("source") != "src0").select(
         "doc_id", "source", (F.xxhash64("s") % (1 << 26)).alias("fp")
     )
-    bench = sh.filter(F.col("source") == "src0").select("fp").distinct()
-    hit = (
-        sh.filter(F.col("source") != "src0")
-        .join(F.broadcast(bench), "fp", "left_semi")
-        .select("doc_id", "source")
-        .distinct()
-    )
     return (
-        hit.groupBy("source")
-        .agg(F.count(F.lit(1)).alias("contaminated_docs"))
+        train.join(F.broadcast(bench_fp), "fp", "left_semi")
+        .groupBy("source")
+        .agg(F.count_distinct("doc_id").alias("contaminated_docs"))
         .orderBy("source")
     )
 
