@@ -3,7 +3,9 @@ SparkSession. Prints ONE JSON line.
 
 Three timing tiers per query, labeled by what they reuse:
 
-- ``queries`` (headline): best of 3 runs where each run REBUILDS the
+- ``queries`` (headline): per-query MINIMUM across ``PASSES`` suite
+  passes, each timing the query as a best-of-``RUNS`` block (so
+  PASSES×RUNS samples total), where every run REBUILDS the
   DataFrame — full Catalyst re-plan + full execution including
   shuffles; only the session (JVM, codegen cache, OS page cache) is
   warm. This is the honest analogue of DuckDB's warm number.

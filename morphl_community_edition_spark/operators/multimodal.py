@@ -201,3 +201,64 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mode", T.StringType()),
+        T.StructField("mean_pixel", T.DoubleType()),
+    ]
+)
+
+
+def decode_image_real(payload: bytes) -> dict:
+    """REAL image decode — the K5 seam, PIL-backed.
+
+    Raises NotImplementedError when pillow is absent (this container),
+    with the stub path named as the fallback; when pillow IS present
+    the function decodes any PIL-readable format and the skipif-gated
+    integration test (tests/test_integration_seams.py) drives the full
+    mapInPandas pipeline on generated PNGs. Malformed payloads
+    propagate PIL's error — a real decoder failing on garbage is
+    signal, not something to mask."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real image decode requires pillow (pip install pillow); "
+            "decode_image_stub / extract_features is the deterministic "
+            "fake path that keeps the plumbing testable without it"
+        ) from exc
+    img = Image.open(io.BytesIO(payload))
+    px = list(img.convert("L").getdata())
+    return {
+        "width": int(img.width),
+        "height": int(img.height),
+        "mode": img.mode,
+        "mean_pixel": (sum(px) / len(px)) if px else 0.0,
+    }
+
+
+def extract_image_features(media: DataFrame) -> DataFrame:
+    """mapInPandas REAL-decode stage: identical plumbing to
+    extract_features (Arrow batches, fixed output schema, one Python
+    worker per partition) with decode_image_real doing the pixel work.
+    Import-gated: on a cluster without pillow every task raises the
+    NotImplementedError above instead of failing obscurely."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode_image_real(p if p is not None else b"")
+                for p in pdf["payload"]
+            ]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return media.mapInPandas(run, schema=IMAGE_SCHEMA)

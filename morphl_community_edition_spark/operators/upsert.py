@@ -43,11 +43,18 @@ def merge_upsert(
     delta is not unique-by-construction (ours are: one prediction row
     per user per batch) should pass ``assert_unique_delta=True`` —
     one cheap aggregate job (count vs distinct-key count, both
-    map-side combinable) that raises instead of corrupting."""
+    map-side combinable) that raises instead of corrupting.
+
+    The distinct count goes over a STRUCT of the keys: a bare
+    ``count_distinct(k1, k2)`` skips rows where ANY key is NULL (SQL
+    COUNT semantics), so a genuinely key-unique delta containing a
+    NULL-keyed row would miscount and raise a false error. Struct
+    comparison treats NULL fields as equal-to-NULL (group-by
+    semantics), matching how the merge join itself groups keys."""
     if assert_unique_delta:
         row = delta.agg(
             F.count(F.lit(1)).alias("n"),
-            F.count_distinct(*[F.col(k) for k in keys]).alias("nk"),
+            F.count_distinct(F.struct(*[F.col(k) for k in keys])).alias("nk"),
         ).first()
         if row["n"] != row["nk"]:
             raise ValueError(

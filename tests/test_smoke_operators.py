@@ -411,3 +411,17 @@ def test_l6_merge_upsert_unique_delta_guard(spark):
         merge_upsert(base, dup, ["k"], assert_unique_delta=True)
     out = merge_upsert(base, ok, ["k"], assert_unique_delta=True)
     assert {(r["k"], r["v"]) for r in out.collect()} == {(1, "a"), (2, "b")}
+
+    # ADVICE r4: count_distinct(k) skips NULL keys — a key-unique
+    # delta containing ONE NULL-keyed row must NOT raise (the struct
+    # form counts it), and a DUPLICATED NULL key must still raise.
+    null_ok = spark.createDataFrame([(None, "n"), (2, "b")], "k int, v string")
+    out2 = merge_upsert(base, null_ok, ["k"], assert_unique_delta=True)
+    assert {(r["k"], r["v"]) for r in out2.collect()} == {
+        (1, "old"), (None, "n"), (2, "b"),
+    }
+    null_dup = spark.createDataFrame(
+        [(None, "n1"), (None, "n2")], "k int, v string"
+    )
+    with _pytest.raises(ValueError, match="not key-unique"):
+        merge_upsert(base, null_dup, ["k"], assert_unique_delta=True)

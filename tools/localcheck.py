@@ -84,7 +84,10 @@ def main() -> int:
                 ok = rec["rows_match"] and rec["schema_match"] and rec["hash_match"]
             else:
                 rec["err"] = None
-                ok = rec["spark_rows"] >= 0
+                # a no-oracle sketch must still produce a NON-EMPTY
+                # result — `>= 0` was vacuously true for any
+                # non-raising query (ADVICE r4)
+                ok = rec["spark_rows"] > 0
                 rec["no_oracle"] = True
         except Exception as e:  # noqa: BLE001 — record, keep walking
             rec["err"] = f"{type(e).__name__}: {e}"[:500]
