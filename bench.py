@@ -113,6 +113,12 @@ def main() -> None:
     # round-2's 16m finding (measured under sp=8). Keep the engine
     # default; at real scale the knob is ~128m regardless.
     spark.conf.set("spark.sql.files.maxPartitionBytes", "2m")
+    # NOT tuned here: spark.sql.parquet.columnarReaderBatchSize. A
+    # sequential 4k/8k/16k/32k sweep read as 167/120/96/89 ms on the
+    # q1 scan, but an INTERLEAVED A/B (drift-immune) showed no
+    # difference at full-query level — the sweep was ambient-load
+    # drift, not a real effect. Kept at default; see SCALE.md
+    # "headline floor" for the round-5 decomposition.
 
     warm: dict[str, float] = {}
     prepared: dict[str, float] = {}

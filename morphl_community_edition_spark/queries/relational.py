@@ -61,9 +61,14 @@ def disc_price_scaled() -> F.Column:
     )
 
 
-@query(
-    "q01_pricing_summary",
-    oracle=f"""
+# One SQL body, two engines: the canonical-rounding expression text is
+# dialect-portable, so the DuckDB oracle and the Spark build share it
+# verbatim (only the table name differs). Handing Spark the whole
+# statement in ONE spark.sql call replaces a ~30-operator DataFrame
+# composition — one Py4J round trip + one analysis pass instead of one
+# per operator; measured build 65 ms → 21 ms and ~150 ms off the
+# honest-warm rebuild at sf0.1 (round-4 advice: the re-plan floor).
+_Q01_BODY = f"""
     SELECT l_returnflag, l_linestatus,
            {sql_crnd(sql_dsum("l_quantity"), 2)}       AS sum_qty,
            {sql_crnd(sql_dsum("l_extendedprice"), 2)}  AS sum_base_price,
@@ -72,31 +77,19 @@ def disc_price_scaled() -> F.Column:
            {sql_crnd(sql_davg("l_quantity"), 6)}       AS avg_qty,
            {sql_crnd(sql_davg("l_discount"), 6)}       AS avg_disc,
            count(*)                                    AS count_order
-    FROM lineitem
+    FROM {{li}}
     WHERE l_shipdate <= TIMESTAMP '2001-09-01'
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
-    """,
-)
+"""
+
+
+@query("q01_pricing_summary", oracle=_Q01_BODY.format(li="lineitem"))
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # aggregates built from the oracle's own SQL text (rounding.xdsum
-    # et al.): one Py4J call each instead of a Column-tree walk —
-    # measured 0.9s → 0.7s per honest-warm rebuild at sf0.1
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.filter("l_shipdate <= timestamp'2001-09-01'")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            xdsum("l_quantity").alias("sum_qty"),
-            xdsum("l_extendedprice").alias("sum_base_price"),
-            xcrnd(SQL_DISC_PRICE_SUM, 2).alias("sum_disc_price"),
-            xcrnd(SQL_CHARGE_SUM, 2).alias("sum_charge"),
-            xdavg("l_quantity").alias("avg_qty"),
-            xdavg("l_discount").alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
-    )
+    from morphl_community_edition_spark.catalog import ensure_views
+
+    sfx = ensure_views(spark, sf_dir)
+    return spark.sql(_Q01_BODY.format(li=f"lineitem_{sfx}"))
 
 
 @query(
@@ -137,35 +130,37 @@ def q02_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q03_star_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape. The orders⋈customer product entering the
-    lineitem join is a filtered FACT-side table, so its broadcast hint
-    is size-gated on orders' on-disk bytes (plans/hints.py): hinted at
-    fixture scale (where it demonstrably fits and beats the
-    no-stats SMJ estimate), unhinted past the gate so AQE's runtime
-    stats pick — and can demote — the strategy at 100×."""
-    from morphl_community_edition_spark.catalog import table_path
-    from morphl_community_edition_spark.plans.hints import broadcast_if_small, dataset_file_bytes
+    """TPC-H Q3 shape, single-statement spark.sql build (see _Q01_BODY
+    note). The orders⋈customer product entering the lineitem join is a
+    filtered FACT-side table, so its BROADCAST hint is size-gated on
+    orders' on-disk bytes (plans/hints.py rationale): hinted at
+    fixture scale (where it demonstrably fits and beats the no-stats
+    SMJ estimate), no hint past the gate so AQE's runtime stats pick —
+    and can demote — the strategy at 100×. Customer stays hinted
+    unconditionally: it is a true dimension."""
+    from morphl_community_edition_spark.catalog import ensure_views, table_path
+    from morphl_community_edition_spark.plans.hints import (
+        DEFAULT_BROADCAST_FILE_LIMIT,
+        dataset_file_bytes,
+    )
 
-    # string predicates / F.expr join conditions: one Py4J call each
-    # instead of a Column-tree walk (round-3 advice #3; measured
-    # -40-50ms build per rebuild on the q05 twin)
-    cust = load_table(spark, sf_dir, "customer").filter("c_mktsegment = 'BUILDING'")
-    orders = load_table(spark, sf_dir, "orders").filter("o_orderdate < timestamp'1998-03-15'")
-    li = load_table(spark, sf_dir, "lineitem")
-    build = orders.join(F.broadcast(cust), F.expr("c_custkey = o_custkey")).select(
-        "o_orderkey", "o_orderdate"
-    )
-    return (
-        li.join(
-            broadcast_if_small(build, dataset_file_bytes(table_path(sf_dir, "orders"))),
-            F.expr("l_orderkey = o_orderkey"),
-        )
-        .groupBy("l_orderkey", "o_orderdate")
-        .agg(xcrnd(SQL_DISC_PRICE_SUM, 2).alias("rev"))
-        .select("l_orderkey", "rev", "o_orderdate")
-        .orderBy(F.col("rev").desc(), "o_orderdate", "l_orderkey")
-        .limit(10)
-    )
+    sfx = ensure_views(spark, sf_dir)
+    gate = dataset_file_bytes(table_path(sf_dir, "orders")) <= DEFAULT_BROADCAST_FILE_LIMIT
+    hint = "/*+ BROADCAST(b) */ " if gate else ""
+    return spark.sql(f"""
+        SELECT {hint}l_orderkey,
+               {sql_crnd(SQL_DISC_PRICE_SUM, 2)} AS rev,
+               o_orderdate
+        FROM lineitem_{sfx}
+        JOIN (SELECT /*+ BROADCAST(c) */ o_orderkey, o_orderdate
+              FROM orders_{sfx} o
+              JOIN customer_{sfx} c ON c_custkey = o_custkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND o_orderdate < TIMESTAMP '1998-03-15') b
+          ON l_orderkey = o_orderkey
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY rev DESC, o_orderdate, l_orderkey
+        LIMIT 10""")
 
 
 @query(
@@ -209,29 +204,36 @@ def q04_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q05_six_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = {n: load_table(spark, sf_dir, n) for n in ("customer", "orders", "lineitem", "supplier", "nation", "region")}
-    # expr-text conditions: one Py4J call per join predicate (round-3
-    # advice #3; measured build 117ms -> 68ms per honest-warm rebuild)
-    asia_nations = t["nation"].join(
-        F.broadcast(t["region"].filter("r_name = 'ASIA'")),
-        F.expr("n_regionkey = r_regionkey"),
+    """TPC-H Q5 shape, single-statement spark.sql build (see _Q01_BODY
+    note). supplier⋈nation⋈region is a true dimension subtree —
+    hinted unconditionally; the orders⋈customer product is fact-side
+    and size-gated exactly as in q03 (previously it was broadcast
+    unconditionally — the q03 round-1 scale caveat applied here too)."""
+    from morphl_community_edition_spark.catalog import ensure_views, table_path
+    from morphl_community_edition_spark.plans.hints import (
+        DEFAULT_BROADCAST_FILE_LIMIT,
+        dataset_file_bytes,
     )
-    supp = t["supplier"].join(F.broadcast(asia_nations), F.expr("s_nationkey = n_nationkey"))
-    return (
-        t["lineitem"]
-        .join(
-            F.broadcast(
-                t["orders"].join(F.broadcast(t["customer"]), F.expr("c_custkey = o_custkey")).select(
-                    "o_orderkey"
-                )
-            ),
-            F.expr("l_orderkey = o_orderkey"),
-        )
-        .join(F.broadcast(supp.select("s_suppkey", "n_name")), F.expr("l_suppkey = s_suppkey"))
-        .groupBy("n_name")
-        .agg(xcrnd(SQL_DISC_PRICE_SUM, 2).alias("rev"))
-        .orderBy(F.col("rev").desc(), "n_name")
-    )
+
+    sfx = ensure_views(spark, sf_dir)
+    gate = dataset_file_bytes(table_path(sf_dir, "orders")) <= DEFAULT_BROADCAST_FILE_LIMIT
+    oc_hint = "BROADCAST(oc), " if gate else ""
+    return spark.sql(f"""
+        SELECT /*+ {oc_hint}BROADCAST(sn) */ n_name,
+               {sql_crnd(SQL_DISC_PRICE_SUM, 2)} AS rev
+        FROM lineitem_{sfx}
+        JOIN (SELECT /*+ BROADCAST(c) */ o_orderkey
+              FROM orders_{sfx} o
+              JOIN customer_{sfx} c ON c_custkey = o_custkey) oc
+          ON l_orderkey = o_orderkey
+        JOIN (SELECT /*+ BROADCAST(n), BROADCAST(r) */ s_suppkey, n_name
+              FROM supplier_{sfx} s
+              JOIN nation_{sfx} n ON s_nationkey = n_nationkey
+              JOIN region_{sfx} r ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA') sn
+          ON l_suppkey = s_suppkey
+        GROUP BY n_name
+        ORDER BY rev DESC, n_name""")
 
 
 _ROLLUP_ORACLE = f"""

@@ -38,18 +38,26 @@ from morphl_community_edition_spark.queries.windows import EVENTS_US
     """,
 )
 def q17_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            crnd(dsum(F.col("value")), 2).alias("sum_value"),
-            F.countDistinct("user_id").alias("users"),
-            crnd(F.sum(k).cast("double") / F.count(F.lit(1)).cast("double"), 6).alias("avg_k"),
-        )
-        .orderBy("event_type")
+    """Single-statement spark.sql build over the memoized temp views
+    (see relational._Q01_BODY note): identical aggregation semantics
+    to the former DataFrame chain — get_json_object is Spark's twin of
+    the oracle's json_extract; the rounding text is shared."""
+    from morphl_community_edition_spark.catalog import ensure_views
+
+    sfx = ensure_views(spark, sf_dir)
+    avg_k = sql_crnd(
+        "CAST(sum(CAST(get_json_object(props, '$.k') AS INT)) AS DOUBLE)"
+        " / CAST(count(*) AS DOUBLE)",
+        6,
     )
+    return spark.sql(f"""
+        SELECT event_type, count(*) AS cnt,
+               {sql_crnd(sql_dsum("value"), 2)} AS sum_value,
+               count(DISTINCT user_id) AS users,
+               {avg_k} AS avg_k
+        FROM events_{sfx}
+        GROUP BY event_type
+        ORDER BY event_type""")
 
 
 @query(
