@@ -23,6 +23,11 @@ tokenizer — each an oracle-checked contract query over the
 - q111 session funnel: 30-min-gap sessionization -> per-session
   furthest stage -> per-day outcome counts (events table; the
   composed L4+L5+M2 shape).
+- q112 repetition quality: Gopher/FineWeb-style duplicate-word /
+  duplicate-3-gram fractions + mean word length + keep flag (round 5).
+- q113 exact-substring duplication: per-doc fraction of word-10-gram
+  positions shared with ANOTHER document (the ExactSubstr dedup
+  signal, SQL-native n-gram form; round 5).
 
 Scale notes (100 TB):
 - q103's running sum windows per SOURCE (shard), never globally — a
@@ -43,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from morphl_community_edition_spark.catalog import load_table
+from morphl_community_edition_spark.functions.rounding import crnd
 from morphl_community_edition_spark.plans.hints import fan_out_narrow_scan
 from morphl_community_edition_spark.queries import query
 
@@ -486,4 +492,150 @@ def q111_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("stage") == 2, 1).otherwise(0)).cast("bigint").alias("converted"),
         )
         .orderBy("day")
+    )
+
+
+@query(
+    "q112_repetition_quality",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id, array_to_string(ws[gs:gs+2], ' ') AS g3
+          FROM w, LATERAL unnest(generate_series(1, len(ws) - 2)) AS t(gs)),
+    gg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_g3,
+                  CAST(count(DISTINCT g3) AS BIGINT) AS u_g3
+           FROM g GROUP BY doc_id),
+    ww AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tok,
+                  CAST(len(list_distinct(ws)) AS BIGINT) AS n_uniq,
+                  CAST(len(array_to_string(ws, '')) AS BIGINT) AS n_chr
+           FROM w)
+    SELECT ww.doc_id AS doc_id, n_tok,
+           floor((1 - CAST(n_uniq AS DOUBLE) / CAST(n_tok AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS dup_word_frac,
+           floor((1 - CAST(u_g3 AS DOUBLE) / CAST(n_g3 AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS dup_3gram_frac,
+           floor((CAST(n_chr AS DOUBLE) / CAST(n_tok AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS mean_word_len,
+           CAST(CASE WHEN (1 - CAST(u_g3 AS DOUBLE) / CAST(n_g3 AS DOUBLE)) > 0.5
+                     THEN 0 ELSE 1 END AS INTEGER) AS keep
+    FROM ww JOIN gg ON ww.doc_id = gg.doc_id
+    ORDER BY ww.doc_id
+    """,
+)
+def q112_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/FineWeb-style repetition quality signals, exact form:
+    duplicate-word fraction (1 - distinct/total tokens),
+    duplicate-3-gram fraction (the duplicate-n-gram rule), mean word
+    length, and the resulting keep/reject flag. The fixture corpus has
+    no line structure, so the rules operate at word/n-gram level — the
+    same signals the published filters compute per line+n-gram.
+
+    Fully linear and shuffle-light at 100 TB: the word-level metrics
+    are per-row array expressions (no explode at all); only the 3-gram
+    distinct-count needs an explode + two-phase distinct agg keyed by
+    doc_id, and doc_id is the natural partition key (no skew: one
+    doc's n-grams are one group). All ratios are int/int double
+    divisions — bit-identical on both engines."""
+    docs = fan_out_narrow_scan(load_table(spark, sf_dir, "documents"))
+    ws = F.split(F.col("text"), " ")
+    g3 = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - 3),
+        lambda i: F.array_join(F.slice(ws, i + 1, 3), " "),
+    )
+    gg = (
+        docs.select("doc_id", F.explode(g3).alias("g3"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_g3"),
+            F.count_distinct("g3").alias("u_g3"),
+        )
+    )
+    ww = docs.select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("n_tok"),
+        F.size(F.array_distinct(ws)).cast("bigint").alias("n_uniq"),
+        F.length(F.array_join(ws, "")).cast("bigint").alias("n_chr"),
+    )
+    dup3 = F.lit(1) - F.col("u_g3").cast("double") / F.col("n_g3").cast("double")
+    return (
+        ww.join(gg, "doc_id")
+        .select(
+            "doc_id",
+            "n_tok",
+            crnd(
+                F.lit(1) - F.col("n_uniq").cast("double") / F.col("n_tok").cast("double"), 6
+            ).alias("dup_word_frac"),
+            crnd(dup3, 6).alias("dup_3gram_frac"),
+            crnd(F.col("n_chr").cast("double") / F.col("n_tok").cast("double"), 6).alias(
+                "mean_word_len"
+            ),
+            F.when(dup3 > 0.5, 0).otherwise(1).cast("int").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q113_exact_substring_dup",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    pos AS (SELECT doc_id, array_to_string(ws[gs:gs+9], ' ') AS g
+            FROM w, LATERAL unnest(generate_series(1, len(ws) - 9)) AS t(gs)),
+    df AS (SELECT g, count(DISTINCT doc_id) AS df FROM pos GROUP BY g),
+    dup AS (SELECT g FROM df WHERE df >= 2),
+    per AS (SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_dup_pos
+            FROM pos p JOIN dup ON p.g = dup.g GROUP BY p.doc_id),
+    tot AS (SELECT doc_id, CAST(len(ws) - 9 AS BIGINT) AS n_pos
+            FROM w WHERE len(ws) >= 10)
+    SELECT t.doc_id AS doc_id, n_pos,
+           CAST(coalesce(n_dup_pos, 0) AS BIGINT) AS n_dup_pos,
+           floor((CAST(coalesce(n_dup_pos, 0) AS DOUBLE) / CAST(n_pos AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS dup_frac
+    FROM tot t LEFT JOIN per ON t.doc_id = per.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def q113_exact_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring duplication rate (the shape of
+    Lee et al.'s ExactSubstr dedup, on word 10-grams): per document,
+    the fraction of its 10-gram positions whose 10-gram also occurs in
+    at least one OTHER document. Positions are NOT per-doc
+    deduplicated — a span repeated 5 times counts 5 times, exactly as
+    substring dedup would excise each occurrence.
+
+    Scale shape (100 TB): two linear passes over 10-gram positions.
+    Pass 1 aggregates cross-doc document frequency (two-phase
+    count-distinct keyed by the 10-gram; partial aggregation collapses
+    per-task duplicates before the exchange). Pass 2 joins positions
+    against the duplicated-gram set — both sides shuffle on the gram
+    key, a plain sort-merge join with no skew hazard beyond what a
+    df-valve (as in q106) would cut. Production substring dedup uses
+    suffix arrays for character-exact spans; this is the SQL-native
+    n-gram formulation of the same signal."""
+    docs = fan_out_narrow_scan(load_table(spark, sf_dir, "documents"))
+    ws = F.split(F.col("text"), " ")
+    grams = F.when(F.size(ws) >= 10, F.transform(
+        F.sequence(F.lit(0), F.size(ws) - 10),
+        lambda i: F.array_join(F.slice(ws, i + 1, 10), " "),
+    )).otherwise(F.array().cast("array<string>"))
+    pos = docs.select("doc_id", F.explode(grams).alias("g"))
+    dup = (
+        pos.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("g")
+    )
+    per = pos.join(dup, "g").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_pos")
+    )
+    tot = docs.filter(F.size(ws) >= 10).select(
+        "doc_id", (F.size(ws) - 9).cast("bigint").alias("n_pos")
+    )
+    n_dup = F.coalesce(F.col("n_dup_pos"), F.lit(0)).cast("bigint")
+    return (
+        tot.join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_pos",
+            n_dup.alias("n_dup_pos"),
+            crnd(n_dup.cast("double") / F.col("n_pos").cast("double"), 6).alias(
+                "dup_frac"
+            ),
+        )
+        .orderBy("doc_id")
     )
