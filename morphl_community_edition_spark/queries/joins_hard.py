@@ -153,10 +153,23 @@ def q86_pure_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("win_hi"),
         )
     )
+    from morphl_community_edition_spark.catalog import table_path
     from morphl_community_edition_spark.operators.interval_join import range_join_bucketized
+    from morphl_community_edition_spark.plans.hints import (
+        DEFAULT_BROADCAST_FILE_LIMIT,
+        dataset_file_bytes,
+    )
 
+    # one month of points spans 2-3 buckets: without the broadcast the
+    # bucket-id shuffle join puts ALL match volume on that many cores
+    # (hot-key skew by construction). Size-gated like any broadcast
+    # hint: past the gate the shuffle path + AQE skew split take over.
+    small_points = (
+        dataset_file_bytes(table_path(sf_dir, "lineitem")) <= DEFAULT_BROADCAST_FILE_LIMIT
+    )
     joined = range_join_bucketized(
-        li, orders, ts="l_shipdate", lo="win_lo", hi="win_hi", bucket_width_s=30 * 86400
+        li, orders, ts="l_shipdate", lo="win_lo", hi="win_hi",
+        bucket_width_s=30 * 86400, broadcast_points=small_points,
     )
     return (
         joined.groupBy("o_orderpriority")
