@@ -378,3 +378,104 @@ def q98_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+@query(
+    "q114_incremental_dedup",
+    oracle="""
+    WITH w AS (SELECT doc_id, source, text, string_split(text, ' ') AS ws
+               FROM documents),
+    sh AS (SELECT DISTINCT doc_id, source, array_to_string(ws[gs:gs+2], ' ') AS s
+           FROM w, LATERAL unnest(generate_series(1, len(ws) - 2)) AS t(gs)),
+    sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    i AS (SELECT a.doc_id AS new_doc, b.doc_id AS ex_doc, count(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s
+          WHERE a.source = 'src1' AND b.source <> 'src1'
+          GROUP BY a.doc_id, b.doc_id),
+    near AS (SELECT DISTINCT new_doc
+             FROM i JOIN sz sa ON i.new_doc = sa.doc_id
+                    JOIN sz sb ON i.ex_doc = sb.doc_id
+             WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+    exact AS (SELECT DISTINCT n.doc_id
+              FROM w n JOIN w e ON md5(n.text) = md5(e.text)
+              WHERE n.source = 'src1' AND e.source <> 'src1')
+    SELECT n.doc_id AS doc_id,
+           CASE WHEN exact.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN near.new_doc IS NOT NULL THEN 'near_dup'
+                ELSE 'unique' END AS status
+    FROM w n
+    LEFT JOIN exact ON n.doc_id = exact.doc_id
+    LEFT JOIN near ON n.doc_id = near.new_doc
+    WHERE n.source = 'src1'
+    ORDER BY n.doc_id
+    """,
+)
+def q114_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup — the production pattern for a
+    continuously-fed corpus: classify each NEW-batch document (source
+    'src1' plays the incoming batch) against the EXISTING corpus
+    without ever joining existing docs to each other. Tiers, cheapest
+    first: exact (content-md5 semi-probe against the existing hash
+    set), then near-dup (3-gram inverted-index Jaccard >= 0.5, probe
+    side = new batch only), else unique.
+
+    Scale shape (100 TB corpus + small daily batch): every join is
+    new-batch-sized on one side. The existing corpus contributes its
+    md5 set (one column) and its shingle postings; in production both
+    are PRE-BUILT incremental indexes — here they derive inline from
+    the same table, which only adds a linear pass. The inverted-index
+    intersection cost is sum over shared shingles of
+    (new-df x existing-df), bounded by the batch's shingle count times
+    per-shingle existing-df (dedup.py's max_doc_freq valve applies
+    unchanged when boilerplate appears)."""
+    from morphl_community_edition_spark.operators.dedup import word_shingles
+    from morphl_community_edition_spark.plans.hints import fan_out_narrow_scan
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("source") == "src1"
+
+    sh = word_shingles(
+        fan_out_narrow_scan(docs.select("doc_id", "source", "text")), "text", 3
+    ).select("doc_id", "source", F.explode("shingles").alias("s"))
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.filter(is_new)
+        .select(F.col("doc_id").alias("new_doc"), "s")
+        .join(sh.filter(~is_new).select(F.col("doc_id").alias("ex_doc"), "s"), "s")
+        .groupBy("new_doc", "ex_doc")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    raw_j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    near = (
+        inter.join(sz.select(F.col("doc_id").alias("new_doc"), F.col("n_sh").alias("na")), "new_doc")
+        .join(sz.select(F.col("doc_id").alias("ex_doc"), F.col("n_sh").alias("nb")), "ex_doc")
+        .filter(raw_j >= 0.5)
+        .select("new_doc")
+        .distinct()
+        .withColumn("__near", F.lit(1))
+    )
+    ex_hashes = (
+        docs.filter(~is_new)
+        .select(F.md5(F.col("text").cast("binary")).alias("h"))
+        .distinct()
+        .withColumn("__exact", F.lit(1))
+    )
+    new_docs = docs.filter(is_new).select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    # ex_hashes is EXISTING-CORPUS-sized: never hint it broadcast — at
+    # scale the membership probe is a shuffle on the 16-byte hash
+    # (linear; AQE still broadcast-converts it at fixture size). The
+    # near set IS batch-bounded, so its hint is safe by construction.
+    return (
+        new_docs.join(ex_hashes, "h", "left")
+        .join(F.broadcast(near.withColumnRenamed("new_doc", "doc_id")), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("__exact") == 1, "exact_dup")
+            .when(F.col("__near") == 1, "near_dup")
+            .otherwise("unique")
+            .alias("status"),
+        )
+        .orderBy("doc_id")
+    )

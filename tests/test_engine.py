@@ -47,3 +47,19 @@ def test_stream_entry_is_streaming(engine):
     df = engine.stream("events")
     assert df.isStreaming
     assert "ts" in df.columns
+
+
+def test_ensure_views_multi_sf_coexist(spark):
+    """ensure_views (the single-statement SQL builds' catalog half):
+    two sf_dirs register side by side in one session via the suffix,
+    re-registration is memoized/idempotent, and each view reads its
+    own dataset."""
+    from morphl_community_edition_spark.catalog import ensure_views
+
+    s_small = ensure_views(spark, "/root/testdata/sf0.001")
+    s_big = ensure_views(spark, "/root/testdata/sf0.01")
+    assert s_small != s_big
+    n_small = spark.table(f"lineitem_{s_small}").count()
+    n_big = spark.table(f"lineitem_{s_big}").count()
+    assert 0 < n_small < n_big
+    assert ensure_views(spark, "/root/testdata/sf0.01") == s_big
