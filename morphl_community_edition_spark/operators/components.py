@@ -37,14 +37,59 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _union_find_labels(pairs) -> dict:
+    """Driver-side union-find with union-by-min: after all unions,
+    find(n) IS the canonical minimum-id component label — the same
+    contract as the distributed variants."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    driver_max_edges: int | None = 200_000,
 ) -> DataFrame:
     """(node, comp) for every node appearing in `edges`; comp = the
-    minimum node id reachable through the pair graph."""
+    minimum node id reachable through the pair graph.
+
+    Tier dispatch (same philosophy as the similarity GEMM gate): the
+    edge list is CANDIDATE output — normally orders of magnitude
+    smaller than the corpus — so when it fits under
+    ``driver_max_edges`` (bounded driver memory: 200 k pairs ≈ tens of
+    MB) the closure runs as a driver-side union-find and skips the
+    3-5 shuffle rounds of label propagation entirely. The decision and
+    the fetch are ONE evaluation: collect limit(gate+1) rows — if the
+    limit was not hit, that IS the complete edge set (a separate
+    count-then-collect would evaluate the expensive candidate pipeline
+    twice); if it was hit, the bounded probe is discarded and the
+    distributed iteration below runs unchanged — a 100 TB corpus can
+    emit billions of candidates. Pass ``driver_max_edges=None`` (or 0)
+    to force the distributed path."""
+    if driver_max_edges:
+        probe = edges.select(src, dst).limit(driver_max_edges + 1).collect()
+        if len(probe) <= driver_max_edges:
+            ntype = dict(edges.dtypes)[src]
+            labels = _union_find_labels((r[0], r[1]) for r in probe)
+            return edges.sparkSession.createDataFrame(
+                sorted(labels.items()), schema=f"n {ntype}, comp {ntype}"
+            )
     bi = (
         edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
         .union(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))

@@ -190,8 +190,15 @@ def test_fuzz_components_match_union_find(edges):
     df = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
     if not edges:
         df = df.limit(0)
+    # driver union-find tier (default gate)
     got = {r["n"]: r["comp"] for r in connected_components(df).collect()}
     assert got == want
+    # distributed label-propagation tier (gate forced shut)
+    got_dist = {
+        r["n"]: r["comp"]
+        for r in connected_components(df, driver_max_edges=None).collect()
+    }
+    assert got_dist == want
     # the O(log n) star variant has the SAME contract — including
     # self-loop-only nodes labeled as singletons
     got_star = {r["n"]: r["comp"] for r in connected_components_star(df).collect()}
