@@ -77,6 +77,7 @@ EXTRA = {
     "token_rarity": "q108_token_rarity",
     "repetition_quality": "q112_repetition_quality",
     "exact_substring_dup": "q113_exact_substring_dup",
+    "incremental_dedup": "q114_incremental_dedup",
 }
 
 # best-of-5 blocks × 3 full-suite passes: single-JVM local mode has
