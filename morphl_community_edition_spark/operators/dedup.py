@@ -80,12 +80,45 @@ def exact_jaccard_pairs(
     on the q93 end-to-end pipeline at sf0.1; no-op on real multi-split
     tables.
     """
-    sh = word_shingles(
+    shingled = word_shingles(
         fan_out_narrow_scan(docs.select(id_col, text_col)), text_col, n
-    ).select(F.col(id_col).alias("doc"), F.explode("shingles").alias("s"))
-    if max_doc_freq is not None:
-        df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
-        sh = sh.join(F.broadcast(df_counts.filter(F.col("__df") <= max_doc_freq).select("s")), "s")
+    )
+    raw_j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    if max_doc_freq is None:
+        # fast path: the per-doc set size is known BEFORE the explode
+        # (size of the distinct-shingle array), so it rides the
+        # postings as an 8-byte column and the two sizes joins — plus
+        # a third evaluation of the shingle pipeline — disappear.
+        # min() is exact: na/nb are constant within an (a_doc, b_doc)
+        # group.
+        sh = shingled.select(
+            F.col(id_col).alias("doc"),
+            F.size("shingles").alias("n_sh"),
+            F.explode("shingles").alias("s"),
+        )
+        inter = (
+            sh.select(F.col("doc").alias("a_doc"), F.col("n_sh").alias("na"), "s")
+            .join(
+                sh.select(F.col("doc").alias("b_doc"), F.col("n_sh").alias("nb"), "s"),
+                "s",
+            )
+            .filter(F.col("a_doc") < F.col("b_doc"))
+            .groupBy("a_doc", "b_doc")
+            .agg(
+                F.count(F.lit(1)).alias("inter"),
+                F.min("na").alias("na"),
+                F.min("nb").alias("nb"),
+            )
+        )
+        return inter.filter(raw_j >= threshold).select(
+            "a_doc", "b_doc", crnd(raw_j, 6).alias("jaccard")
+        )
+    # valved path: set sizes must count the PRUNED shingle sets (so the
+    # ratio stays a true Jaccard over the reduced feature space), which
+    # is only known after the df cut — hence the explicit sizes joins.
+    sh = shingled.select(F.col(id_col).alias("doc"), F.explode("shingles").alias("s"))
+    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+    sh = sh.join(F.broadcast(df_counts.filter(F.col("__df") <= max_doc_freq).select("s")), "s")
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc").alias("a_doc"), "s")
     b = sh.select(F.col("doc").alias("b_doc"), "s")
@@ -95,7 +128,6 @@ def exact_jaccard_pairs(
         .groupBy("a_doc", "b_doc")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    raw_j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
         inter.join(sizes.select(F.col("doc").alias("a_doc"), F.col("n_sh").alias("na")), "a_doc")
         .join(sizes.select(F.col("doc").alias("b_doc"), F.col("n_sh").alias("nb")), "b_doc")

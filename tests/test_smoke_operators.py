@@ -425,3 +425,29 @@ def test_l6_merge_upsert_unique_delta_guard(spark):
     )
     with _pytest.raises(ValueError, match="not key-unique"):
         merge_upsert(base, null_dup, ["k"], assert_unique_delta=True)
+
+
+def test_exact_jaccard_valved_path_matches_fast_path(spark):
+    """The max_doc_freq valve with a threshold no shingle exceeds must
+    reproduce the fast (inline-size) path exactly — pins the two code
+    paths of exact_jaccard_pairs to one contract."""
+    from morphl_community_edition_spark.operators.dedup import exact_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e g"),
+            (3, "x y z w v u"),
+            (4, "a b c d e f"),
+        ],
+        "doc_id long, text string",
+    )
+    fast = {
+        (r["a_doc"], r["b_doc"], r["jaccard"])
+        for r in exact_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    valved = {
+        (r["a_doc"], r["b_doc"], r["jaccard"])
+        for r in exact_jaccard_pairs(docs, threshold=0.3, max_doc_freq=10**6).collect()
+    }
+    assert fast == valved and (1, 4, 1.0) in fast
