@@ -466,3 +466,21 @@ def test_q108_frequency_join_broadcast(spark):
     plan = QUERIES["q108_token_rarity"](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastExchange") >= 2, plan[:1500]
     assert "SortMergeJoin" not in plan, "token stream shuffled for the frequency join"
+
+
+def test_fan_out_narrow_scan_gate(spark):
+    """fan_out_narrow_scan fires only below cluster parallelism: a
+    single-row-group scan gets repartitioned to defaultParallelism; an
+    input already at-or-above it passes through untouched (no extra
+    exchange at scale)."""
+    from morphl_community_edition_spark.catalog import load_table
+    from morphl_community_edition_spark.plans.hints import fan_out_narrow_scan
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = load_table(spark, SF_DIR, "documents")
+    assert narrow.rdd.getNumPartitions() < target
+    fanned = fan_out_narrow_scan(narrow)
+    assert fanned.rdd.getNumPartitions() == target
+
+    wide = narrow.repartition(target + 4)
+    assert fan_out_narrow_scan(wide) is wide
