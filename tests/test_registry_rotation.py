@@ -126,3 +126,18 @@ def test_latest_rows_parses_committed_artifacts():
         r3 = json.load(f)
     for k in r3:
         assert k in latest and latest[k][0] >= 3
+
+
+def test_readme_counts_match_registry():
+    """Docs hygiene as a test (round-4 verdict #8): the README's
+    query/oracle counts are contract surface — they must track the
+    live registry exactly, so drift fails the suite instead of
+    surviving a round."""
+    n_q, n_o = len(qmod.QUERIES), len(qmod.ORACLE_SQL)
+    readme = (
+        qmod.Path(qmod.__file__).resolve().parents[2] / "README.md"
+    ).read_text()
+    assert f"{n_q} queries" in readme, f"README should declare {n_q} queries"
+    assert f"{n_q} contract queries ({n_o} DuckDB-hash-" in readme, (
+        f"README should declare {n_o} hash-checked of {n_q}"
+    )
