@@ -12,8 +12,11 @@ of every contract entry, so this file just re-exports it.
 Registry order is the disclosed coverage-rotation protocol
 (queries/__init__._sort_registry): least-recently-verified-first,
 derived deterministically from the committed CORRECTNESS_r*.json
-artifacts, so a prefix-sampling consumer walks the whole registry
-across rounds. See README "Verification-evidence rotation".
+artifacts + the fingerprint snapshot (tools/verified_fingerprints
+.json) + the current query source — failed, edited, and new queries
+sort first — so a prefix-sampling consumer walks the whole registry
+across rounds and stale evidence never shields changed code. See
+README "Verification-evidence rotation".
 """
 
 from __future__ import annotations
