@@ -139,3 +139,68 @@ def q91_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---- A5/F3: partitioned parquet sink, oracle-checked end-to-end ----
+
+_SINK_DIRS: dict[str, str] = {}
+
+
+def _sink_dir_for(sf_dir: str) -> str:
+    d = _SINK_DIRS.get(sf_dir)
+    if d is None:
+        d = tempfile.mkdtemp(prefix="morphl_a5_parquet_sink_")
+        _SINK_DIRS[sf_dir] = d
+    return d
+
+
+@query(
+    "q115_partitioned_sink_roundtrip",
+    oracle="""
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM documents
+    WHERE source IN ('src1', 'src2', 'src3')
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q115_partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/F3 end-to-end, same oracle design as q91: write ``documents``
+    as a source-partitioned parquet table (``sortWithinPartitions``
+    on doc_id — F3's stats-friendly layout), then DYNAMICALLY
+    overwrite one partition with its own rows (the daily-rerun shape:
+    must replace only that partition, never truncate the table), read
+    the table back with a partition-column filter, and aggregate. The
+    DuckDB twin aggregates the ORIGINAL fixture — a hash match proves
+    the write→overwrite→prune→read loop lossless, which a both-sides-
+    read-the-sink variant could not (shared corruption goes green).
+    The read-back filter prunes to 3 of the source= directories at
+    scan planning, so the check also covers partition pruning on the
+    engine's own layout."""
+    from morphl_community_edition_spark.sources.batch import write_parquet_partitioned
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = _sink_dir_for(sf_dir)
+    write_parquet_partitioned(
+        docs, out, partition_by=["source"], sort_within=["doc_id"]
+    )
+    # dynamic overwrite of ONE partition with identical content: the
+    # result must be unchanged — and the other partitions must survive
+    write_parquet_partitioned(
+        docs.filter(F.col("source") == "src2"), out, partition_by=["source"]
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("source").isin("src1", "src2", "src3"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+        .orderBy("source")
+    )

@@ -324,3 +324,42 @@ def q99_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bin")
     )
+
+
+@query(
+    "q116_udtf_shingles",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+               WHERE doc_id < 200),
+    g AS (SELECT doc_id, array_to_string(ws[gs:gs+2], ' ') AS s
+          FROM w, LATERAL unnest(generate_series(1, len(ws) - 2)) AS t(gs))
+    SELECT doc_id, count(*) AS n_shingles,
+           CAST(count(DISTINCT s) AS BIGINT) AS n_distinct,
+           min(s) AS first_shingle
+    FROM g
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q116_udtf_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 with oracle-grade evidence: the Python UDTF's lateral
+    expansion (positions KEPT, duplicates and all) hash-compared
+    against DuckDB's generate_series shingling. Bounded to doc_id <
+    200 on both sides because a UDTF is row-at-a-time Python — the
+    documented slow path (functions/udtfs.py); the engine's real
+    shingle operators are the explode()-based JVM ones, and this query
+    exists to pin the UDTF surface's CORRECTNESS, not to recommend
+    it."""
+    from morphl_community_edition_spark.catalog import ensure_views
+    from morphl_community_edition_spark.functions.udtfs import ShingleUDTF
+
+    spark.udtf.register("shingles", ShingleUDTF)
+    sfx = ensure_views(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT doc_id, count(*) AS n_shingles,
+               count(DISTINCT s.shingle) AS n_distinct,
+               min(s.shingle) AS first_shingle
+        FROM documents_{sfx}, LATERAL shingles(text, 3) s
+        WHERE doc_id < 200
+        GROUP BY doc_id
+        ORDER BY doc_id""")
