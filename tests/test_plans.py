@@ -484,3 +484,43 @@ def test_fan_out_narrow_scan_gate(spark):
 
     wide = narrow.repartition(target + 4)
     assert fan_out_narrow_scan(wide) is wide
+
+
+def test_fan_out_noop_on_multi_rowgroup_file(spark, tmp_path):
+    """A production-layout table (many row groups on disk) arrives
+    with enough scan splits that fan_out_narrow_scan must be a no-op —
+    the gate reads physical splits, so a scale-like layout never pays
+    the extra shuffle."""
+    from morphl_community_edition_spark.catalog import load_table
+    from morphl_community_edition_spark.plans.hints import fan_out_narrow_scan
+
+    out = str(tmp_path / "multi_rg")
+    docs = load_table(spark, SF_DIR, "documents")
+    target = spark.sparkContext.defaultParallelism
+    # many files stand in for many row groups; shrink the split knobs
+    # so the small fixture actually yields >= parallelism splits (the
+    # default openCostInBytes packs tiny files into shared splits)
+    docs.repartition(target + 4).write.mode("overwrite").parquet(out)
+    old_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_cost = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "16k")
+        spark.conf.set("spark.sql.files.openCostInBytes", "16k")
+        back = spark.read.parquet(out)
+        assert back.rdd.getNumPartitions() >= target
+        assert fan_out_narrow_scan(back) is back
+        assert back.count() == docs.count()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_split)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_cost)
+
+
+def test_q86_broadcast_range_join_plan(spark):
+    """q86's gated broadcast_points path: the bucketized range join
+    must be a BroadcastHashJoin (points side broadcast — no
+    hot-bucket shuffle skew) and never a cartesian/nested-loop."""
+    from morphl_community_edition_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["q86_pure_range_join"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
