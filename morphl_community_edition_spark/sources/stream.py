@@ -28,8 +28,11 @@ def stage_stream_input(
     n_chunks: int = 8,
     out_dir: str | None = None,
     flush_horizon_hours: int | None = None,
+    order_col: str = "ts",
 ) -> str:
-    """Split a fixture table into n_chunks parquet files ordered by ts.
+    """Split a fixture table into n_chunks parquet files ordered by
+    ``order_col`` (ts for events — Kafka-like event-time order; pass
+    e.g. doc_id to replay a corpus table as an ingest stream).
 
     With ``flush_horizon_hours`` set, one extra file is written LAST
     (file-source batching is mtime-ordered) holding a dummy event per
@@ -42,8 +45,8 @@ def stage_stream_input(
     if os.path.isdir(out_dir):
         shutil.rmtree(out_dir, ignore_errors=True)
     df = load_table(spark, sf_dir, name)
-    # range-partition on ts → file i holds the i-th time slice
-    df.repartitionByRange(n_chunks, F.col("ts")).write.mode("overwrite").parquet(out_dir)
+    # range-partition on the order column → file i holds the i-th slice
+    df.repartitionByRange(n_chunks, F.col(order_col)).write.mode("overwrite").parquet(out_dir)
     # FileStreamSource batches by modification time; the chunks are all
     # written at once, so stagger mtimes in part-number (= time-slice)
     # order or a later slice may be consumed first, advancing the

@@ -306,3 +306,73 @@ def test_s6_tws_plan_builds_without_protobuf(spark, staged):
     df = running_user_counts_tws(read_stream_dir(spark, staged))
     assert df.isStreaming
     assert df.schema == OUTPUT_SCHEMA
+
+
+# ---- S6: the curation family under streaming ingest ----
+
+
+@pytest.fixture(scope="module")
+def staged_docs(spark):
+    return stage_stream_input(
+        spark, SF_DIR_SMOKE, "documents", n_chunks=N_CHUNKS, order_col="doc_id"
+    )
+
+
+def test_s6_streaming_token_mask_counts(spark, staged_docs):
+    """K4 under A6: q104's denylist-mask accounting over a document
+    ingest stream (complete mode) equals the batch twin exactly — the
+    curation ops are stateless aggregations, so they run unchanged on
+    a stream."""
+    from morphl_community_edition_spark.queries.curation import MASK_RE
+    from morphl_community_edition_spark.sources.stream import read_stream_dir
+
+    stream = read_stream_dir(spark, staged_docs, "documents")
+    hits = F.regexp_count(F.col("text"), F.lit(MASK_RE))
+    agg = (
+        stream.select("source", hits.alias("hits"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("hits") > 0, 1).otherwise(0)).cast("bigint").alias("masked_docs"),
+            F.sum("hits").cast("bigint").alias("total_masks"),
+        )
+    )
+    got = run_stream(spark, agg, "s6_mask", mode="complete")
+    from morphl_community_edition_spark.queries import QUERIES
+
+    want = QUERIES["q104_token_mask"](spark, SF_DIR_SMOKE)
+    assert canonicalize(got.toPandas()).equals(canonicalize(want.toPandas()))
+
+
+def test_s6_streaming_quality_filter_sink(spark, staged_docs, tmp_path):
+    """The ingest-filter pipeline shape: foreachBatch applies the
+    quality cut per micro-batch and appends survivors to a parquet
+    sink; the final sink content equals the batch filter over the
+    whole corpus (stateless row filters commute with micro-batching)."""
+    from morphl_community_edition_spark.operators.textstats import quality_features
+    from morphl_community_edition_spark.sources.stream import read_stream_dir
+
+    out = str(tmp_path / "kept_docs")
+    stream = read_stream_dir(spark, staged_docs, "documents")
+
+    def keep_quality(batch_df, _batch_id):
+        (
+            quality_features(batch_df)
+            .filter(F.col("quality") > 0.40)
+            .select("doc_id", "source", "quality")
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = stream.writeStream.foreachBatch(keep_quality).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(600)
+
+    got = spark.read.parquet(out)
+    want = (
+        quality_features(load_table(spark, SF_DIR_SMOKE, "documents"))
+        .filter(F.col("quality") > 0.40)
+        .select("doc_id", "source", "quality")
+    )
+    assert canonicalize(got.toPandas()).equals(canonicalize(want.toPandas()))
