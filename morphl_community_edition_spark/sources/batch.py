@@ -98,12 +98,15 @@ def write_parquet_partitioned(
     no extra shuffle, but parquet min/max row-group stats become
     selective on those columns, so later range filters skip row groups
     at scan time (the cheap half of a Z-order)."""
-    spark = df.sparkSession
-    if dynamic:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     if sort_within:
         df = df.sortWithinPartitions(*sort_within)
     writer = df.write.mode(mode)
+    if dynamic:
+        # per-WRITE option, not a session conf flip: setting the
+        # session-wide partitionOverwriteMode here would silently
+        # change overwrite semantics for every OTHER writer in the
+        # session for the rest of its lifetime
+        writer = writer.option("partitionOverwriteMode", "dynamic")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)

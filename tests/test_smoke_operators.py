@@ -69,6 +69,9 @@ def test_a5_partitioned_sink_dynamic_overwrite(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == ev.count()
     assert back.filter(F.col("value") == -1.0).count() == one_day.count()
+    # the dynamic overwrite is a per-WRITE option: the session-wide
+    # overwrite mode must be untouched for other writers
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower() == "static"
 
 
 def test_j4_udtf_matches_builtin_shingles(spark):
