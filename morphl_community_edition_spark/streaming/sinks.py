@@ -40,7 +40,6 @@ def foreach_batch_upsert(df: DataFrame, path: str, key_cols: list[str], output_m
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         batch = bucketed(batch)
         touched = [r[0] for r in batch.select("__bucket").distinct().collect()]
         try:
@@ -51,6 +50,10 @@ def foreach_batch_upsert(df: DataFrame, path: str, key_cols: list[str], output_m
             merged = batch
         # materialize before overwriting the files we just read
         merged = merged.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+        # dynamic overwrite as a per-WRITE option (only touched buckets
+        # replaced) — never a session-wide conf flip
+        merged.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("__bucket").parquet(path)
 
     return df.writeStream.foreachBatch(upsert).outputMode(output_mode).trigger(availableNow=True).start()
