@@ -534,10 +534,13 @@ def q112_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     divisions — bit-identical on both engines."""
     docs = fan_out_narrow_scan(load_table(spark, sf_dir, "documents"))
     ws = F.split(F.col("text"), " ")
-    g3 = F.transform(
+    # guard: F.sequence(0, n) with n<0 counts DOWN (then slice(ws, 0, 3)
+    # raises — SQL arrays are 1-indexed); a <3-word doc must yield zero
+    # 3-grams, matching the oracle's empty generate_series + inner join
+    g3 = F.when(F.size(ws) >= 3, F.transform(
         F.sequence(F.lit(0), F.size(ws) - 3),
         lambda i: F.array_join(F.slice(ws, i + 1, 3), " "),
-    )
+    )).otherwise(F.array().cast("array<string>"))
     gg = (
         docs.select("doc_id", F.explode(g3).alias("g3"))
         .groupBy("doc_id")

@@ -380,68 +380,62 @@ def q98_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q114_incremental_dedup",
-    oracle="""
-    WITH w AS (SELECT doc_id, source, text, string_split(text, ' ') AS ws
-               FROM documents),
-    sh AS (SELECT DISTINCT doc_id, source, array_to_string(ws[gs:gs+2], ' ') AS s
-           FROM w, LATERAL unnest(generate_series(1, len(ws) - 2)) AS t(gs)),
-    sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-    i AS (SELECT a.doc_id AS new_doc, b.doc_id AS ex_doc, count(*) AS inter
-          FROM sh a JOIN sh b ON a.s = b.s
-          WHERE a.source = 'src1' AND b.source <> 'src1'
-          GROUP BY a.doc_id, b.doc_id),
-    near AS (SELECT DISTINCT new_doc
-             FROM i JOIN sz sa ON i.new_doc = sa.doc_id
-                    JOIN sz sb ON i.ex_doc = sb.doc_id
-             WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5),
-    exact AS (SELECT DISTINCT n.doc_id
-              FROM w n JOIN w e ON md5(n.text) = md5(e.text)
-              WHERE n.source = 'src1' AND e.source <> 'src1')
-    SELECT n.doc_id AS doc_id,
-           CASE WHEN exact.doc_id IS NOT NULL THEN 'exact_dup'
-                WHEN near.new_doc IS NOT NULL THEN 'near_dup'
-                ELSE 'unique' END AS status
-    FROM w n
-    LEFT JOIN exact ON n.doc_id = exact.doc_id
-    LEFT JOIN near ON n.doc_id = near.new_doc
-    WHERE n.source = 'src1'
-    ORDER BY n.doc_id
-    """,
-)
-def q114_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental-ingest dedup — the production pattern for a
-    continuously-fed corpus: classify each NEW-batch document (source
-    'src1' plays the incoming batch) against the EXISTING corpus
-    without ever joining existing docs to each other. Tiers, cheapest
-    first: exact (content-md5 semi-probe against the existing hash
-    set), then near-dup (3-gram inverted-index Jaccard >= 0.5, probe
-    side = new batch only), else unique.
+# q114's df-valve, corpus-relative (verdict r5 asks #1/#4): a shingle
+# appearing in more than max(INCR_VALVE_MIN_DF, frac·n_docs) documents
+# is boilerplate, not near-dup evidence. At sf0.01 (500 docs → limit
+# 10 > max observed df 7) the cut is a fixture no-op; at corpus scale
+# it bounds the batch×corpus intersection the way q106's
+# STOP_SHINGLE_MAX_DF bounds the contamination screen.
+INCR_VALVE_FRAC = 0.02
+INCR_VALVE_MIN_DF = 2
 
-    Scale shape (100 TB corpus + small daily batch): every join is
-    new-batch-sized on one side. The existing corpus contributes its
-    md5 set (one column) and its shingle postings; in production both
-    are PRE-BUILT incremental indexes — here they derive inline from
-    the same table, which only adds a linear pass. The inverted-index
-    intersection cost is sum over shared shingles of
-    (new-df x existing-df), bounded by the batch's shingle count times
-    per-shingle existing-df (dedup.py's max_doc_freq valve applies
-    unchanged when boilerplate appears)."""
+
+def incremental_dedup_frame(
+    docs: DataFrame,
+    is_new,
+    n_docs: int,
+    stop_frac: float = INCR_VALVE_FRAC,
+) -> DataFrame:
+    """Classify each NEW-batch document against the EXISTING corpus
+    (columns doc_id/source/text; ``is_new`` a boolean Column) —
+    exact_dup / near_dup / unique. Shared by q114 and the fixed-batch
+    scale measurement (tools/sweep protocol: a production batch does
+    NOT grow with the corpus, so the honest 10× experiment holds the
+    batch constant; SCALE.md round 6).
+
+    ``n_docs`` is the corpus document count, passed by the caller (one
+    count() job there) so the valve limit is corpus-relative without
+    re-counting here."""
     from morphl_community_edition_spark.operators.dedup import word_shingles
     from morphl_community_edition_spark.plans.hints import fan_out_narrow_scan
 
-    docs = load_table(spark, sf_dir, "documents")
-    is_new = F.col("source") == "src1"
-
+    stop_df_limit = max(INCR_VALVE_MIN_DF, int(stop_frac * n_docs))
     sh = word_shingles(
         fan_out_narrow_scan(docs.select("doc_id", "source", "text")), "text", 3
     ).select("doc_id", "source", F.explode("shingles").alias("s"))
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # df-valve (the q106/dedup.py device, batch-probed form): document
+    # frequency is counted ONLY for shingles present in the new batch —
+    # corpus postings probe the broadcast batch-shingle set and
+    # non-matches never reach the aggregation, whose exchange is
+    # |batch-shingles|-bounded by map-side partial agg. The stop set is
+    # a SUBSET of the batch's shingles, so broadcasting it is safe by
+    # construction. Sizes (na/nb) are recomputed over the PRUNED
+    # postings so the ratio stays a true Jaccard over the reduced
+    # feature space (same contract as exact_jaccard_pairs' valved path).
+    batch_sh = sh.filter(is_new).select("s").distinct()
+    stop = (
+        sh.join(F.broadcast(batch_sh), "s")
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > stop_df_limit)
+        .select("s")
+    )
+    shv = sh.join(F.broadcast(stop), "s", "left_anti")
+    sz = shv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
-        sh.filter(is_new)
+        shv.filter(is_new)
         .select(F.col("doc_id").alias("new_doc"), "s")
-        .join(sh.filter(~is_new).select(F.col("doc_id").alias("ex_doc"), "s"), "s")
+        .join(shv.filter(~is_new).select(F.col("doc_id").alias("ex_doc"), "s"), "s")
         .groupBy("new_doc", "ex_doc")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -478,4 +472,68 @@ def q114_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "q114_incremental_dedup",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, source, text, string_split(text, ' ') AS ws
+               FROM documents),
+    sh AS (SELECT DISTINCT doc_id, source, array_to_string(ws[gs:gs+2], ' ') AS s
+           FROM w, LATERAL unnest(generate_series(1, len(ws) - 2)) AS t(gs)),
+    bsh AS (SELECT DISTINCT s FROM sh WHERE source = 'src1'),
+    bdf AS (SELECT sh.s, count(*) AS df
+            FROM sh JOIN bsh ON sh.s = bsh.s GROUP BY sh.s),
+    stop AS (SELECT s FROM bdf
+             WHERE df > GREATEST({INCR_VALVE_MIN_DF},
+                                 CAST(floor({INCR_VALVE_FRAC} *
+                                      (SELECT count(*) FROM documents)) AS BIGINT))),
+    shv AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM stop)),
+    sz AS (SELECT doc_id, count(*) AS n_sh FROM shv GROUP BY doc_id),
+    i AS (SELECT a.doc_id AS new_doc, b.doc_id AS ex_doc, count(*) AS inter
+          FROM shv a JOIN shv b ON a.s = b.s
+          WHERE a.source = 'src1' AND b.source <> 'src1'
+          GROUP BY a.doc_id, b.doc_id),
+    near AS (SELECT DISTINCT new_doc
+             FROM i JOIN sz sa ON i.new_doc = sa.doc_id
+                    JOIN sz sb ON i.ex_doc = sb.doc_id
+             WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+    exact AS (SELECT DISTINCT n.doc_id
+              FROM w n JOIN w e ON md5(n.text) = md5(e.text)
+              WHERE n.source = 'src1' AND e.source <> 'src1')
+    SELECT n.doc_id AS doc_id,
+           CASE WHEN exact.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN near.new_doc IS NOT NULL THEN 'near_dup'
+                ELSE 'unique' END AS status
+    FROM w n
+    LEFT JOIN exact ON n.doc_id = exact.doc_id
+    LEFT JOIN near ON n.doc_id = near.new_doc
+    WHERE n.source = 'src1'
+    ORDER BY n.doc_id
+    """,
+)
+def q114_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup — the production pattern for a
+    continuously-fed corpus: classify each NEW-batch document (source
+    'src1' plays the incoming batch) against the EXISTING corpus
+    without ever joining existing docs to each other. Tiers, cheapest
+    first: exact (content-md5 semi-probe against the existing hash
+    set), then near-dup (3-gram inverted-index Jaccard >= 0.5 over the
+    df-valved shingle space, probe side = new batch only), else unique.
+
+    Scale shape (100 TB corpus + small daily batch): every join is
+    new-batch-sized on one side. The existing corpus contributes its
+    md5 set (one column) and its shingle postings; in production both
+    are PRE-BUILT incremental indexes — here they derive inline from
+    the same table, which only adds a linear pass. The inverted-index
+    intersection is valved (verdict r5 #1): batch shingles whose corpus
+    document frequency exceeds max(2, 2% of docs) are dropped from BOTH
+    sides before the join, so a heavy-hitter 3-gram ("of the and")
+    can no longer make per-shingle cost new-df × existing-df unbounded.
+    The oracle mirrors the cut CTE-for-CTE. One extra count() job
+    resolves the corpus-relative limit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_dedup_frame(
+        docs, F.col("source") == "src1", n_docs=docs.count()
     )

@@ -17,6 +17,7 @@ from morphl_community_edition_spark.operators.asof import asof_join
 from morphl_community_edition_spark.operators.dedup import exact_dedup
 from morphl_community_edition_spark.operators.multimodal import attach_media, extract_features
 from morphl_community_edition_spark.queries import QUERIES
+from tests.conftest import compare_with_oracle
 from morphl_community_edition_spark.sources.batch import (
     read_csv,
     read_json,
@@ -428,6 +429,74 @@ def test_l6_merge_upsert_unique_delta_guard(spark):
     )
     with _pytest.raises(ValueError, match="not key-unique"):
         merge_upsert(base, null_dup, ["k"], assert_unique_delta=True)
+
+
+def test_q112_short_docs_match_oracle(spark, tmp_path):
+    """ADVICE r5 (medium): a <3-word doc must not crash the 3-gram
+    build (Spark's sequence(0, n<0) counts DOWN; slice(ws, 0, 3) then
+    raises — SQL arrays are 1-indexed) and must be DROPPED, matching
+    the oracle's empty generate_series + inner join."""
+    import duckdb
+    import pandas as pd
+
+    from morphl_community_edition_spark.queries import ORACLE_SQL, QUERIES
+
+    pdf = pd.DataFrame(
+        [
+            (1, "one", "en", "src1", 3),
+            (2, "two words", "en", "src1", 9),
+            (3, "exactly three words", "en", "src1", 19),
+            (4, "a a a b b longer doc with repeats a a a", "en", "src2", 39),
+            (5, "", "en", "src2", 0),
+        ],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    df = QUERIES["q112_repetition_quality"](spark, str(tmp_path))
+    compare_with_oracle(df, con, ORACLE_SQL["q112_repetition_quality"])
+    assert {r["doc_id"] for r in df.collect()} == {3, 4}
+
+
+def test_q114_valve_fires_and_matches_oracle(spark, tmp_path):
+    """Verdict r5 #1: the incremental-dedup near-dup tier must apply
+    the df-valve. A batch doc made ONLY of boilerplate (a shingle set
+    whose corpus df exceeds the limit) classifies 'unique' — unvalved
+    it would be near_dup at J≈0.67 — while a genuine pair (df=2) stays
+    near_dup and the exact tier is untouched. Oracle mirrored."""
+    import duckdb
+    import pandas as pd
+
+    from morphl_community_edition_spark.queries import ORACLE_SQL, QUERIES
+
+    boiler = "the quick brown fox jumps over"
+    rows = [
+        # new batch (src1)
+        (1, boiler, "en", "src1", len(boiler)),                       # boilerplate only -> unique
+        (2, "alpha beta gamma delta epsilon zeta", "en", "src1", 35),  # near-dup of 12
+        (3, "calm river stone bridge winter night", "en", "src1", 36),  # exact dup of 13
+        (4, "totally different content entirely here now", "en", "src1", 43),  # unique
+        # existing corpus (src2): four docs carry the boilerplate -> df(boiler 3-grams)=5 > limit 2
+        (11, boiler + " unique tail eleven", "en", "src2", 50),
+        (12, "alpha beta gamma delta epsilon eta", "en", "src2", 34),
+        (13, "calm river stone bridge winter night", "en", "src2", 36),
+        (14, boiler + " unique tail fourteen", "en", "src2", 52),
+        (15, boiler + " unique tail fifteen", "en", "src2", 51),
+        (16, boiler + " unique tail sixteen", "en", "src2", 51),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    df = QUERIES["q114_incremental_dedup"](spark, str(tmp_path))
+    compare_with_oracle(df, con, ORACLE_SQL["q114_incremental_dedup"])
+    got = {r["doc_id"]: r["status"] for r in df.collect()}
+    assert got == {1: "unique", 2: "near_dup", 3: "exact_dup", 4: "unique"}
 
 
 def test_exact_jaccard_valved_path_matches_fast_path(spark):
