@@ -25,6 +25,32 @@ from morphl_community_edition_spark.functions.rounding import crnd
 from morphl_community_edition_spark.plans.hints import fan_out_narrow_scan
 
 
+def resolve_doc_freq_limit(limit: int | float, n_docs: int, min_df: int = 2) -> int:
+    """Resolve a df-valve threshold to an absolute document count.
+
+    The valves in this family (``max_doc_freq`` here, q114's
+    INCR_VALVE_FRAC, q106's STOP_SHINGLE_MAX_DF) accept two forms:
+
+    - ``int >= 1`` — absolute count, used as-is. The caller owns the
+      scale contract: a constant tuned at fixture scale does NOT
+      transfer to a 100 TB corpus.
+    - ``float in (0, 1)`` — fraction of the corpus document count:
+      ``max(min_df, int(limit * n_docs))``. This is the production
+      form — "a shingle in more than f of all documents is
+      boilerplate" holds at any corpus size. ``n_docs`` costs the
+      caller one count() pass (or comes free from table stats).
+    """
+    if isinstance(limit, bool) or limit is None:
+        raise ValueError(f"df limit must be int>=1 or float in (0,1), got {limit!r}")
+    if isinstance(limit, int):
+        if limit < 1:
+            raise ValueError(f"absolute df limit must be >= 1, got {limit}")
+        return limit
+    if 0.0 < limit < 1.0:
+        return max(min_df, int(limit * n_docs))
+    raise ValueError(f"fractional df limit must be in (0,1), got {limit!r}")
+
+
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
     """Keep one deterministic representative per distinct content.
 
@@ -60,7 +86,7 @@ def exact_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.05,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | float | None = None,
 ) -> DataFrame:
     """Exact pairwise Jaccard over n-word shingles via inverted index.
 
@@ -73,6 +99,10 @@ def exact_jaccard_pairs(
     both use the pruned shingle sets, so the ratio stays a true
     Jaccard over the reduced feature space (slightly conservative for
     boilerplate-heavy pairs — exactly the pairs MinHash still catches).
+    Two forms (resolve_doc_freq_limit): an int is an absolute count
+    (caller owns the scale contract); a float in (0,1) is a fraction
+    of the corpus document count — the production form; resolving it
+    costs one count() job here.
 
     The input is fanned out first (plans/hints.fan_out_narrow_scan):
     shingling is CPU-bound per row, and a single-row-group corpus file
@@ -116,9 +146,10 @@ def exact_jaccard_pairs(
     # valved path: set sizes must count the PRUNED shingle sets (so the
     # ratio stays a true Jaccard over the reduced feature space), which
     # is only known after the df cut — hence the explicit sizes joins.
+    df_limit = resolve_doc_freq_limit(max_doc_freq, docs.count() if isinstance(max_doc_freq, float) else 0)
     sh = shingled.select(F.col(id_col).alias("doc"), F.explode("shingles").alias("s"))
     df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
-    sh = sh.join(F.broadcast(df_counts.filter(F.col("__df") <= max_doc_freq).select("s")), "s")
+    sh = sh.join(F.broadcast(df_counts.filter(F.col("__df") <= df_limit).select("s")), "s")
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc").alias("a_doc"), "s")
     b = sh.select(F.col("doc").alias("b_doc"), "s")

@@ -162,7 +162,13 @@ def q105_source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-STOP_SHINGLE_MAX_DF = 2  # bench shingles in more docs than this are stop-shingles
+# Bench shingles in more docs than this are stop-shingles. ABSOLUTE-
+# COUNT CONTRACT (verdict r5 nit): this constant is tuned to the
+# fixture corpus; a production caller passes its own limit — either an
+# absolute count or the fractional corpus-relative form via
+# operators/dedup.resolve_doc_freq_limit (the q114 valve uses the
+# fractional form end-to-end as the worked example).
+STOP_SHINGLE_MAX_DF = 2
 
 
 def _doc_shingles(docs: DataFrame) -> DataFrame:

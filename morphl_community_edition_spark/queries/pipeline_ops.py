@@ -406,10 +406,13 @@ def incremental_dedup_frame(
     ``n_docs`` is the corpus document count, passed by the caller (one
     count() job there) so the valve limit is corpus-relative without
     re-counting here."""
-    from morphl_community_edition_spark.operators.dedup import word_shingles
+    from morphl_community_edition_spark.operators.dedup import (
+        resolve_doc_freq_limit,
+        word_shingles,
+    )
     from morphl_community_edition_spark.plans.hints import fan_out_narrow_scan
 
-    stop_df_limit = max(INCR_VALVE_MIN_DF, int(stop_frac * n_docs))
+    stop_df_limit = resolve_doc_freq_limit(stop_frac, n_docs, min_df=INCR_VALVE_MIN_DF)
     sh = word_shingles(
         fan_out_narrow_scan(docs.select("doc_id", "source", "text")), "text", 3
     ).select("doc_id", "source", F.explode("shingles").alias("s"))

@@ -523,3 +523,44 @@ def test_exact_jaccard_valved_path_matches_fast_path(spark):
         for r in exact_jaccard_pairs(docs, threshold=0.3, max_doc_freq=10**6).collect()
     }
     assert fast == valved and (1, 4, 1.0) in fast
+
+
+def test_resolve_doc_freq_limit_forms(spark):
+    """Verdict r5 #4: the df-valves accept an absolute count (int) or
+    a corpus-relative fraction (float in (0,1)); the fractional form
+    must resolve to the equivalent absolute limit and produce the same
+    pairs."""
+    import pytest as _pytest
+
+    from morphl_community_edition_spark.operators.dedup import (
+        exact_jaccard_pairs,
+        resolve_doc_freq_limit,
+    )
+
+    assert resolve_doc_freq_limit(7, 0) == 7
+    assert resolve_doc_freq_limit(0.5, 10) == 5
+    assert resolve_doc_freq_limit(0.001, 10) == 2      # min_df floor
+    assert resolve_doc_freq_limit(0.001, 10, min_df=1) == 1
+    for bad in (0, -1, 1.5, 0.0, 1.0, None, True):
+        with _pytest.raises(ValueError):
+            resolve_doc_freq_limit(bad, 10)
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e g"),
+            (3, "x y z w v u"),
+            (4, "a b c d e f"),
+        ],
+        "doc_id long, text string",
+    )
+    absolute = {
+        (r["a_doc"], r["b_doc"], r["jaccard"])
+        for r in exact_jaccard_pairs(docs, threshold=0.3, max_doc_freq=2).collect()
+    }
+    # 0.5 of 4 docs -> limit 2: identical cut
+    fractional = {
+        (r["a_doc"], r["b_doc"], r["jaccard"])
+        for r in exact_jaccard_pairs(docs, threshold=0.3, max_doc_freq=0.5).collect()
+    }
+    assert absolute == fractional and len(fractional) > 0
