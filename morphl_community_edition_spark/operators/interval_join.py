@@ -66,6 +66,14 @@ def range_join_bucketized(
     if _BUCKET in points.columns or _BUCKET in intervals.columns:
         raise ValueError(f"reserved column name {_BUCKET} present in an input")
     pts = points.withColumn(_BUCKET, _b(F.col(ts), bucket_width_s))
+    if broadcast_points:
+        # fan out the RAW intervals BEFORE the bucket explode (ADVICE
+        # r5): the repartition then moves only the narrow pre-explode
+        # rows — fanning out after the explode would shuffle ~len/W+1
+        # copies of every interval, contradicting the helper's contract
+        from morphl_community_edition_spark.plans.hints import fan_out_narrow_scan
+
+        intervals = fan_out_narrow_scan(intervals)
     ivs = intervals.withColumn(
         _BUCKET,
         F.explode(
@@ -74,9 +82,7 @@ def range_join_bucketized(
     )
     upper = F.col(ts) < F.col(hi) if half_open else F.col(ts) <= F.col(hi)
     if broadcast_points:
-        from morphl_community_edition_spark.plans.hints import fan_out_narrow_scan
-
-        joined = fan_out_narrow_scan(ivs).join(F.broadcast(pts), _BUCKET)
+        joined = ivs.join(F.broadcast(pts), _BUCKET)
     else:
         joined = pts.join(ivs, _BUCKET)
     return joined.filter((F.col(ts) >= F.col(lo)) & upper).drop(_BUCKET)

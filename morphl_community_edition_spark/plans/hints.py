@@ -23,8 +23,9 @@ driver holds build-side copies during broadcast construction.
 from __future__ import annotations
 
 import os
+import weakref
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DEFAULT_BROADCAST_FILE_LIMIT = 64 << 20  # 64 MiB on disk
@@ -63,9 +64,38 @@ def fan_out_narrow_scan(df: DataFrame) -> DataFrame:
     pins the entire downstream explode to one task (maxPartitionBytes
     splits cannot cut INSIDE a row group, so the extra scan partitions
     come up empty). The shuffle it introduces moves only the narrow
-    pre-explode rows, never the derived ones."""
+    pre-explode rows, never the derived ones.
+
+    The gate's probe (df.rdd.getNumPartitions — full physical planning
+    + a DataFrame→RDD conversion) is memoized per (session, semantic
+    plan, parallelism, split confs): hot query rebuilds (bench.py's
+    honest-warm loops re-plan the same scans dozens of times) pay it
+    once, not per build (ADVICE r5). Only df.semanticHash() — analysis,
+    no physical planning — runs on a memo hit. The memo assumes scan
+    inputs are immutable within a process (true for the fixture
+    tables); a path rewritten in-process with a different file count
+    under identical confs would serve a stale verdict — never do that
+    through this helper."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    memo = _FANOUT_MEMO.setdefault(spark, {})
+    key = (
+        df.semanticHash(),
+        target,
+        spark.conf.get("spark.sql.files.maxPartitionBytes", ""),
+        spark.conf.get("spark.sql.files.openCostInBytes", ""),
+    )
+    need = memo.get(key)
+    if need is None:
+        need = df.rdd.getNumPartitions() < target
+        memo[key] = need
+    return df.repartition(target) if need else df
+
+
+# session -> {(semanticHash, parallelism, split confs) -> needs_fanout}.
+# Weak session key: a stopped session's memo must not leak to a new
+# session recycled at the same address (same device as catalog's table
+# memo).
+_FANOUT_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[tuple, bool]]" = (
+    weakref.WeakKeyDictionary()
+)

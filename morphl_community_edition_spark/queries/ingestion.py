@@ -38,7 +38,9 @@ the same declared schema, and never coalesces.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -73,12 +75,20 @@ EVENTS_JSONL_SCHEMA = T.StructType(
 _STAGE_DIRS: dict[str, str] = {}
 
 
-def _stage_dir_for(sf_dir: str) -> str:
-    d = _STAGE_DIRS.get(sf_dir)
+def _memo_tmpdir(memo: dict[str, str], sf_dir: str, prefix: str) -> str:
+    """One mkdtemp per (process, sf_dir), removed at process exit
+    (ADVICE r5: un-reclaimed staging/sink dirs leaked a table-sized
+    copy per process otherwise)."""
+    d = memo.get(sf_dir)
     if d is None:
-        d = tempfile.mkdtemp(prefix="morphl_a2_json_stage_")
-        _STAGE_DIRS[sf_dir] = d
+        d = tempfile.mkdtemp(prefix=prefix)
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        memo[sf_dir] = d
     return d
+
+
+def _stage_dir_for(sf_dir: str) -> str:
+    return _memo_tmpdir(_STAGE_DIRS, sf_dir, "morphl_a2_json_stage_")
 
 
 def stage_events_jsonl(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> str:
@@ -147,11 +157,7 @@ _SINK_DIRS: dict[str, str] = {}
 
 
 def _sink_dir_for(sf_dir: str) -> str:
-    d = _SINK_DIRS.get(sf_dir)
-    if d is None:
-        d = tempfile.mkdtemp(prefix="morphl_a5_parquet_sink_")
-        _SINK_DIRS[sf_dir] = d
-    return d
+    return _memo_tmpdir(_SINK_DIRS, sf_dir, "morphl_a5_parquet_sink_")
 
 
 @query(
