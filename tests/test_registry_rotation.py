@@ -128,6 +128,51 @@ def test_latest_rows_parses_committed_artifacts():
         assert k in latest and latest[k][0] >= 3
 
 
+def test_snapshot_refuses_dirty_modules(tmp_path, monkeypatch):
+    """ADVICE r5 (low): the fingerprint snapshot must not grant
+    verification credit to EDITED source. A driver row without its own
+    fp is refused while the query's defining module has uncommitted
+    changes; a row carrying an fp (localcheck records one at
+    verification time) is used verbatim, dirty or not."""
+    import importlib.util
+    import inspect
+    import os
+
+    repo = qmod.Path(qmod.__file__).resolve().parents[2]
+    spec = importlib.util.spec_from_file_location(
+        "snapshot_fingerprints_under_test", repo / "tools" / "snapshot_fingerprints.py"
+    )
+    sf = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sf)
+
+    name, fn = next(iter(qmod.QUERIES.items()))
+    modfile = os.path.realpath(inspect.getsourcefile(fn))
+    fp_path = tmp_path / "fp.json"
+    monkeypatch.setattr(qmod, "_FP_PATH", fp_path)
+    passing = {"rows_match": True, "schema_match": True, "hash_match": True}
+
+    # dirty module + no row fp -> refused
+    monkeypatch.setattr(qmod, "_latest_rows", lambda: {name: (99, dict(passing))})
+    monkeypatch.setattr(sf, "_dirty_files", lambda: {modfile})
+    sf.main()
+    assert name not in json.loads(fp_path.read_text())
+
+    # clean module -> recorded with the current source fingerprint
+    monkeypatch.setattr(sf, "_dirty_files", lambda: set())
+    sf.main()
+    rec = json.loads(fp_path.read_text())[name]
+    assert rec == {"round": 99, "fp": qmod._source_fingerprint(fn)}
+
+    # row-carried fp (verification-time evidence) wins even when dirty
+    monkeypatch.setattr(
+        qmod, "_latest_rows", lambda: {name: (100, dict(passing, fp="deadbeef00000000"))}
+    )
+    monkeypatch.setattr(sf, "_dirty_files", lambda: {modfile})
+    sf.main()
+    rec = json.loads(fp_path.read_text())[name]
+    assert rec == {"round": 100, "fp": "deadbeef00000000"}
+
+
 def test_readme_counts_match_registry():
     """Docs hygiene as a test (round-4 verdict #8): the README's
     query/oracle counts are contract surface — they must track the

@@ -92,6 +92,16 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 — record, keep walking
             rec["err"] = f"{type(e).__name__}: {e}"[:500]
             ok = False
+        # fingerprint the source that was ACTUALLY verified, at
+        # verification time (ADVICE r5: a snapshot taken later cannot
+        # know whether the code changed in between; this field can)
+        try:
+            from morphl_community_edition_spark import queries as qmod
+
+            if name in qmod.QUERIES:
+                rec["fp"] = qmod._source_fingerprint(qmod.QUERIES[name])
+        except Exception:  # noqa: BLE001 — fp is best-effort metadata
+            pass
         if not ok:
             failures += 1
         results[name] = rec
