@@ -402,6 +402,54 @@ def q109_contamination_fingerprint(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "q117_fingerprint_superset_check",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source
+    FROM documents WHERE 1 = 0
+    ORDER BY doc_id
+    """,
+)
+def q117_fingerprint_superset_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q109's guarantee, driver-checked (verdict r5 #5): the
+    fingerprint screen has NO false negatives — every train doc the
+    exact string screen (q106 semantics, per-doc form) flags must also
+    be flagged by the 8-byte-fingerprint screen. This query returns
+    the VIOLATIONS (exact hits the fingerprint screen missed) and must
+    always be empty; the oracle is the empty relation with the same
+    schema, so the driver's hash compare actively asserts the
+    invariant instead of the rows-only check q109 itself gets.
+
+    The oracle side is empty BY CONSTRUCTION (DuckDB cannot replay
+    xxhash64) — the verification content is entirely in the Spark
+    side, which recomputes both screens from the same valved shingle
+    stream: a wiring regression (valve applied to one screen only,
+    fingerprint modulus drift between bench and train sides, a dropped
+    distinct) surfaces as non-empty rows ⇒ hash mismatch. Cost is two
+    broadcast semi-joins + an anti-join, all train-side linear."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _doc_shingles(docs)
+    bench = _valved_bench_shingles(sh)
+    train = sh.filter(F.col("source") != "src0")
+    exact_hits = (
+        train.join(F.broadcast(bench), "s", "left_semi")
+        .select("doc_id", "source")
+        .distinct()
+    )
+    bench_fp = bench.select((F.xxhash64("s") % (1 << 26)).alias("fp")).distinct()
+    fp_hits = (
+        train.select("doc_id", (F.xxhash64("s") % (1 << 26)).alias("fp"))
+        .join(F.broadcast(bench_fp), "fp", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        exact_hits.join(fp_hits, "doc_id", "left_anti")
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "source")
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "q110_crossmodal_neighbors",
     oracle="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
