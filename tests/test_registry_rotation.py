@@ -186,3 +186,24 @@ def test_readme_counts_match_registry():
     assert f"{n_q} contract queries ({n_o} DuckDB-hash-" in readme, (
         f"README should declare {n_o} hash-checked of {n_q}"
     )
+
+
+def test_readme_test_count_matches_collection():
+    """Round-5 verdict #8: the README's declared TEST count drifted by
+    hand; lock it to an actual pytest collection (subprocess
+    collect-only, so the number is independent of however THIS run was
+    scoped)."""
+    import re
+    import subprocess
+    import sys
+
+    repo = qmod.Path(qmod.__file__).resolve().parents[2]
+    out = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "--collect-only", "-q"],
+        capture_output=True, text=True, cwd=repo, timeout=300,
+    ).stdout
+    m = re.search(r"(\d+) tests collected", out)
+    assert m, f"could not parse collect-only output: {out[-300:]}"
+    n = int(m.group(1))
+    readme = (repo / "README.md").read_text()
+    assert f"{n} tests" in readme, f"README should declare {n} tests"
