@@ -515,6 +515,34 @@ def test_fan_out_noop_on_multi_rowgroup_file(spark, tmp_path):
         spark.conf.set("spark.sql.files.openCostInBytes", old_cost)
 
 
+def test_q114_valve_joins_are_broadcast_and_anti(spark):
+    """q114 incremental dedup, valved form (round-6): the df-valve's
+    two devices must keep their scale shape — the batch-shingle probe
+    and the stop-set cut enter as BROADCAST joins (both sets are
+    batch-bounded by construction; the corpus postings stream never
+    shuffles on the shingle key for them), the stop cut is a LeftAnti,
+    and nothing degenerates to a cartesian/nested-loop."""
+    plan = (
+        QUERIES["q114_incremental_dedup"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftAnti" in plan, "stop-shingle cut lost its anti-join"
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q117_superset_check_stays_semi_anti(spark):
+    """q117 superset invariant: both screens must probe the broadcast
+    bench side (LeftSemi), the violation set must come from a LeftAnti
+    — the whole check stays train-side linear."""
+    plan = (
+        QUERIES["q117_fingerprint_superset_check"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_q86_broadcast_range_join_plan(spark):
     """q86's gated broadcast_points path: the bucketized range join
     must be a BroadcastHashJoin (points side broadcast — no
