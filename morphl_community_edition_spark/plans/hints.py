@@ -82,14 +82,26 @@ def fan_out_narrow_scan(df: DataFrame) -> DataFrame:
     key = (
         df.semanticHash(),
         target,
-        spark.conf.get("spark.sql.files.maxPartitionBytes", ""),
-        spark.conf.get("spark.sql.files.openCostInBytes", ""),
+        _conf(spark, "spark.sql.files.maxPartitionBytes"),
+        _conf(spark, "spark.sql.files.openCostInBytes"),
     )
     need = memo.get(key)
     if need is None:
         need = df.rdd.getNumPartitions() < target
         memo[key] = need
     return df.repartition(target) if need else df
+
+
+def _conf(spark: SparkSession, key: str) -> str:
+    """Effective conf value for the memo key. No fallback default is
+    passed to conf.get: Spark 4 VALIDATES a non-None default against
+    the conf's type (a '' sentinel raises INVALID_CONF_VALUE on a
+    session that never set the key). get(key) alone returns the
+    session's effective value, including the built-in default."""
+    try:
+        return spark.conf.get(key)
+    except Exception:  # noqa: BLE001 — conf unreadable: exclude from key
+        return "<unset>"
 
 
 # session -> {(semanticHash, parallelism, split confs) -> needs_fanout}.

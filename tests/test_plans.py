@@ -515,6 +515,20 @@ def test_fan_out_noop_on_multi_rowgroup_file(spark, tmp_path):
         spark.conf.set("spark.sql.files.openCostInBytes", old_cost)
 
 
+def test_fanout_conf_probe_never_raises(spark):
+    """Round-6 regression: the fan-out memo's conf probe must not pass
+    a default to conf.get — Spark 4 VALIDATES a non-None default
+    against the conf type, so a '' sentinel raised INVALID_CONF_VALUE
+    on any session that never set the key (every bare driver session)
+    and took down all 13 fan-out queries. The probe reads the
+    effective value and degrades to '<unset>' on unreadable keys."""
+    from morphl_community_edition_spark.plans.hints import _conf
+
+    assert _conf(spark, "spark.sql.files.maxPartitionBytes")
+    assert _conf(spark, "spark.sql.files.openCostInBytes")
+    assert _conf(spark, "spark.sql.nonexistent.key.xyz") == "<unset>"
+
+
 def test_q114_valve_joins_are_broadcast_and_anti(spark):
     """q114 incremental dedup, valved form (round-6): the df-valve's
     two devices must keep their scale shape — the batch-shingle probe
