@@ -28,6 +28,12 @@ tokenizer — each an oracle-checked contract query over the
 - q113 exact-substring duplication: per-doc fraction of word-10-gram
   positions shared with ANOTHER document (the ExactSubstr dedup
   signal, SQL-native n-gram form; round 5).
+- q118 PII redaction: ordered email/IPv4/phone/denylist
+  regexp_replace chain with the redacted bytes value-checked via md5
+  (round 6).
+- q119 paragraph dedup: CCNet-style keep-first exact dedup at
+  paragraph (10-word-block) granularity, surviving text md5-verified
+  (round 6).
 
 Scale notes (100 TB):
 - q103's running sum windows per SOURCE (shard), never globally — a
@@ -693,6 +699,155 @@ def q113_exact_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             crnd(n_dup.cast("double") / F.col("n_pos").cast("double"), 6).alias(
                 "dup_frac"
             ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# PII scrub pass (q118). Patterns are written in the common subset of
+# Java regex (Spark) and RE2 (DuckDB): \b, \d, bounded repetition, and
+# character classes only — no lookaround, no backreferences. Applied
+# IN ORDER (email first, so an address is swallowed whole before the
+# digit patterns can bite its fragments); counts are taken on the
+# ORIGINAL text so they are order-independent.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("name", r"\bcustomer\b", "<NAME>"),
+]
+
+
+def _pii_oracle() -> str:
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{key}"
+        for key, pat, _ in PII_PATTERNS
+    )
+    red = "text"
+    for _, pat, rep in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{rep}', 'g')"
+    return f"""
+    SELECT doc_id,
+           {counts},
+           CAST(len({red}) AS BIGINT) AS red_len,
+           md5({red}) AS red_md5
+    FROM documents
+    ORDER BY doc_id
+    """
+
+
+@query("q118_pii_redaction", oracle=_pii_oracle())
+def q118_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass, output-verified: per document, match counts for
+    each pattern class (email / IPv4 / phone / name-denylist) plus the
+    length and md5 of the REDACTED text after the ordered
+    regexp_replace chain — so the oracle checks the rewritten bytes,
+    not just the accounting (q104 checks only counts). The synthetic
+    corpus exercises the denylist tier; the email/IP/phone regexes are
+    proven on adversarial rows by the unit test
+    (tests/test_smoke_operators.py::test_q118_pii_patterns_redact).
+
+    100 TB shape: embarrassingly parallel — one narrow projection, all
+    regexps inside whole-stage codegen, zero shuffles before the final
+    (output-sized) sort. A real scrub emits the redacted text column
+    itself through the partitioned sink (A5); this query emits its
+    hash so the driver can value-check it."""
+    docs = fan_out_narrow_scan(load_table(spark, sf_dir, "documents"))
+    red = F.col("text")
+    for _, pat, rep in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, rep)
+    return docs.select(
+        "doc_id",
+        *[
+            F.regexp_count(F.col("text"), F.lit(pat)).cast("bigint").alias(f"n_{key}")
+            for key, pat, _ in PII_PATTERNS
+        ],
+        F.length(red).cast("bigint").alias("red_len"),
+        F.md5(red).alias("red_md5"),
+    ).orderBy("doc_id")
+
+
+PARA_WORDS = 10  # words per synthetic "paragraph" block
+
+
+@query(
+    "q119_paragraph_dedup",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    p AS (SELECT doc_id, CAST(off / {PARA_WORDS} AS BIGINT) AS pos,
+                 array_to_string(ws[off + 1 : off + {PARA_WORDS}], ' ') AS para
+          FROM w, LATERAL unnest(generate_series(0, len(ws) - 1, {PARA_WORDS})) AS t(off)),
+    r AS (SELECT doc_id, pos, para,
+                 row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rk
+          FROM p)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(coalesce(string_agg(CASE WHEN rk = 1 THEN para END, ' ' ORDER BY pos), ''))
+               AS kept_md5
+    FROM r GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q119_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph-level exact dedup with keep-first
+    semantics: split each document into non-overlapping
+    {PARA_WORDS}-word blocks (the fixture corpus has no newline
+    structure, so blocks stand in for paragraphs), keep only the
+    globally FIRST occurrence of each block (ordered by doc_id, then
+    position), and report per document the block count, surviving
+    count, and the md5 of the surviving text reassembled in original
+    order — the value-checked equivalent of emitting the deduped
+    corpus.
+
+    100 TB shape: keeper election is groupBy(para) -> min(packed
+    (doc_id, pos) key) — the key is zero-padded so lexicographic min
+    IS (doc_id, pos) order. min over a variable-width key compiles to
+    partial+final SortAggregate (HashAggregate needs fixed-width agg
+    buffers), which still has the scale-critical property: the
+    map-side partial combine collapses a boilerplate paragraph
+    repeated 10^9 times to one row per task BEFORE the exchange, at
+    the cost of a local per-partition sort. The join back of the
+    (one-row-per-distinct-paragraph) keeper set against occurrences is
+    a plain equi-join AQE's skew-split can handle, where a window over
+    the paragraph key would pin every copy of a hot paragraph to one
+    task. Reassembly sorts WITHIN each doc's collected block list
+    (array_sort over <=doc-sized arrays), never globally."""
+    docs = fan_out_narrow_scan(load_table(spark, sf_dir, "documents"))
+    ws = F.split(F.col("text"), " ")
+    offs = F.sequence(F.lit(0), F.size(ws) - 1, F.lit(PARA_WORDS))
+    paras = F.transform(
+        offs, lambda off: F.array_join(F.slice(ws, off + 1, PARA_WORDS), " ")
+    )
+    occ = docs.select("doc_id", F.posexplode(paras).alias("pos", "para")).withColumn(
+        "k",
+        F.concat(
+            F.lpad(F.col("doc_id").cast("string"), 19, "0"),
+            F.lpad(F.col("pos").cast("string"), 10, "0"),
+        ),
+    )
+    keep = occ.groupBy("para").agg(F.min("k").alias("kmin"))
+    return (
+        occ.join(keep, "para")
+        .withColumn("is_kept", F.col("k") == F.col("kmin"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.when(F.col("is_kept"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(F.col("is_kept"), F.struct("pos", "para"))
+                            )
+                        ),
+                        lambda s: s["para"],
+                    ),
+                    " ",
+                )
+            ).alias("kept_md5"),
         )
         .orderBy("doc_id")
     )

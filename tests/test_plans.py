@@ -566,3 +566,35 @@ def test_q86_broadcast_range_join_plan(spark):
     plan = formatted_plan(QUERIES["q86_pure_range_join"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q118_redaction_is_scan_side_codegen(spark):
+    """q118 PII scrub (round-6): the regexp chain must stay a narrow
+    scan-side projection — no joins, no aggregates, no window; the
+    only exchanges are the fan-out gate and the final output sort."""
+    plan = (
+        QUERIES["q118_pii_redaction"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for op in ("Join", "Aggregate", "Window"):
+        assert op not in plan, f"unexpected {op} in q118 plan: {plan[:1200]}"
+
+
+def test_q119_keeper_election_partial_aggs_no_window(spark):
+    """q119 paragraph dedup (round-6): keeper election must be an
+    aggregate with a map-side partial combine (a hot paragraph
+    collapses per task before the exchange), never a rank window over
+    the paragraph key (which would pin every copy of a hot paragraph
+    to one task), and never a cartesian."""
+    plan = (
+        QUERIES["q119_paragraph_dedup"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan, "paragraph-keyed window is a skew hazard"
+    # partial+final pair: the min(packed-key) agg appears at least
+    # twice (merge side + partial side) among the plan's aggregates
+    import re as _re
+
+    n_sortagg = len(_re.findall(r"SortAggregate", plan))
+    assert n_sortagg >= 2, f"expected partial+final keeper aggs, got {n_sortagg}"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

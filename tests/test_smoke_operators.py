@@ -564,3 +564,89 @@ def test_resolve_doc_freq_limit_forms(spark):
         for r in exact_jaccard_pairs(docs, threshold=0.3, max_doc_freq=0.5).collect()
     }
     assert absolute == fractional and len(fractional) > 0
+
+
+def test_q118_pii_patterns_redact(spark, tmp_path):
+    """q118's synthetic-corpus path only exercises the name denylist;
+    this pins the email/IPv4/phone regexes on adversarial rows in BOTH
+    engines (Java regex vs RE2 must agree on counts AND on the
+    redacted bytes), including the ordering rule: an email is
+    swallowed whole before the digit patterns can bite its fragments."""
+    import duckdb
+    import pandas as pd
+
+    from morphl_community_edition_spark.queries import ORACLE_SQL, QUERIES
+
+    rows = [
+        (1, "contact bob.smith+spam@mail.example.org for details", "en", "src1", 50),
+        (2, "server at 10.0.255.7 answered then 192.168.1.1 timed out", "en", "src1", 56),
+        (3, "call 555-867-5309 or 111-222-3333 now", "en", "src1", 37),
+        (4, "the customer emailed a@b.io from 1.2.3.4 at 555-000-1111", "en", "src1", 56),
+        (5, "no sensitive content in this one", "en", "src2", 32),
+        (6, "", "en", "src2", 0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    df = QUERIES["q118_pii_redaction"](spark, str(tmp_path))
+    compare_with_oracle(df, con, ORACLE_SQL["q118_pii_redaction"])
+    got = {r["doc_id"]: r.asDict() for r in df.collect()}
+    assert got[1]["n_email"] == 1 and got[1]["n_ipv4"] == 0
+    assert got[2]["n_ipv4"] == 2
+    assert got[3]["n_phone"] == 2
+    # doc 4: one of each class; the ip/phone digits survive the email
+    # replace (they are outside the address) and are each redacted
+    assert (got[4]["n_email"], got[4]["n_ipv4"], got[4]["n_phone"], got[4]["n_name"]) == (
+        1, 1, 1, 1,
+    )
+    import hashlib
+
+    expect4 = "the <NAME> emailed <EMAIL> from <IP> at <PHONE>"
+    assert got[4]["red_md5"] == hashlib.md5(expect4.encode()).hexdigest()
+    assert got[5]["red_md5"] == hashlib.md5(rows[4][1].encode()).hexdigest()
+
+
+def test_q119_paragraph_dedup_keep_first(spark, tmp_path):
+    """Keep-first paragraph dedup semantics on a corpus built to have
+    every case: a doc whose 10-word blocks are all first occurrences
+    (kept_md5 == md5 of its own text), an exact-duplicate doc (zero
+    blocks survive -> md5('')), a doc sharing one block with an
+    earlier doc, and a short (<10-word) doc forming a single partial
+    block. Oracle-compared, then semantics asserted."""
+    import duckdb
+    import hashlib
+    import pandas as pd
+
+    from morphl_community_edition_spark.queries import ORACLE_SQL, QUERIES
+
+    b1 = "one two three four five six seven eight nine ten"
+    b2 = "aa bb cc dd ee ff gg hh ii jj"
+    t1 = f"{b1} {b2}"  # two blocks, both first occurrences
+    t3 = f"{b2} kk ll"  # first block duplicates t1's second block
+    rows = [
+        (1, t1, "en", "src1", len(t1)),
+        (2, t1, "en", "src1", len(t1)),  # exact dup of doc 1
+        (3, t3, "en", "src1", len(t3)),
+        (4, "short partial block", "en", "src2", 19),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    df = QUERIES["q119_paragraph_dedup"](spark, str(tmp_path))
+    compare_with_oracle(df, con, ORACLE_SQL["q119_paragraph_dedup"])
+    got = {r["doc_id"]: r.asDict() for r in df.collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert (got[1]["n_paras"], got[1]["n_kept"]) == (2, 2)
+    assert got[1]["kept_md5"] == md5(t1)
+    assert (got[2]["n_paras"], got[2]["n_kept"]) == (2, 0)
+    assert got[2]["kept_md5"] == md5("")
+    assert (got[3]["n_paras"], got[3]["n_kept"]) == (2, 1)
+    assert got[3]["kept_md5"] == md5("kk ll")
+    assert (got[4]["n_paras"], got[4]["n_kept"]) == (1, 1)
+    assert got[4]["kept_md5"] == md5("short partial block")
