@@ -34,6 +34,9 @@ tokenizer — each an oracle-checked contract query over the
 - q119 paragraph dedup: CCNet-style keep-first exact dedup at
   paragraph (10-word-block) granularity, surviving text md5-verified
   (round 6).
+- q120 epoch mix: source-weighted epoch upsampling + deterministic
+  hash-sharded training-order assignment — the RNG-free, global-
+  sort-free data-mixing step (round 6).
 
 Scale notes (100 TB):
 - q103's running sum windows per SOURCE (shard), never globally — a
@@ -850,4 +853,60 @@ def q119_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_md5"),
         )
         .orderBy("doc_id")
+    )
+
+
+N_MIX_SHARDS = 16  # training-stream output shards (hex-nibble of the order key)
+
+
+@query(
+    "q120_epoch_mix",
+    oracle="""
+    WITH e AS (SELECT doc_id, source,
+                      1 + (CAST(regexp_extract(source, '[0-9]+') AS INTEGER) % 3) AS w
+               FROM documents),
+    x AS (SELECT doc_id, CAST(t.epoch AS BIGINT) AS epoch
+          FROM e, LATERAL unnest(generate_series(1, w)) AS t(epoch)),
+    k AS (SELECT doc_id, epoch,
+                 md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)) AS key
+          FROM x)
+    SELECT doc_id, epoch,
+           CAST(strpos('0123456789abcdef', substr(key, 1, 1)) - 1 AS INTEGER) AS shard,
+           CAST(row_number() OVER (PARTITION BY substr(key, 1, 1)
+                                   ORDER BY key, doc_id, epoch) AS BIGINT) AS pos
+    FROM k
+    ORDER BY shard, pos
+    """,
+)
+def q120_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order assignment (the data-mixing step a pretraining
+    pipeline runs last): upsample each source by its repetition
+    factor (epochs 1..w, here w = 1 + src_num mod 3 so the rule is
+    fixture-independent), then assign every (doc, epoch) a
+    deterministic position in a hash-sharded training stream —
+    shard = first md5 nibble, pos = rank of the md5 key within the
+    shard.
+
+    100 TB shape: the scalable substitute for 'ORDER BY random()' —
+    no RNG (md5 keys are repartition-stable, the det_hash_split
+    rule) and no global sort: the stream order is (shard, pos),
+    where each rank window covers one md5-uniform shard (~1/16 of
+    the data here; shard count scales with the cluster). Epoch
+    expansion is a per-row lateral sequence (linear, no join — the
+    weight is computed, not looked up)."""
+    docs = fan_out_narrow_scan(load_table(spark, sf_dir, "documents"))
+    w = 1 + F.regexp_extract(F.col("source"), r"[0-9]+", 0).cast("int") % 3
+    x = docs.select("doc_id", F.explode(F.sequence(F.lit(1), w)).alias("epoch"))
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                         F.col("epoch").cast("string")))
+    k = x.select("doc_id", F.col("epoch").cast("bigint").alias("epoch"),
+                 key.alias("key"))
+    shard = (F.instr(F.lit("0123456789abcdef"), F.substring("key", 1, 1)) - 1).cast("int")
+    pos = F.row_number().over(
+        Window.partitionBy(F.substring("key", 1, 1)).orderBy("key", "doc_id", "epoch")
+    )
+    return (
+        k.select("doc_id", "epoch", shard.alias("shard"),
+                 pos.cast("bigint").alias("pos"))
+        .orderBy("shard", "pos")
     )

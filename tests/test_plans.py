@@ -598,3 +598,18 @@ def test_q119_keeper_election_partial_aggs_no_window(spark):
     n_sortagg = len(_re.findall(r"SortAggregate", plan))
     assert n_sortagg >= 2, f"expected partial+final keeper aggs, got {n_sortagg}"
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q120_epoch_mix_rank_stays_sharded(spark):
+    """q120 training-order assignment (round-6): the position rank
+    must run per md5-nibble shard — a global 'ORDER BY random()'
+    substitute must never collapse the stream to one partition (no
+    SinglePartition exchange anywhere except, possibly, nowhere: the
+    final output sort is a range partitioning), and the epoch
+    expansion must be a Generate, not a join."""
+    plan = (
+        QUERIES["q120_epoch_mix"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" not in plan, "training-order rank collapsed to one partition"
+    assert "Generate" in plan and "Join" not in plan, plan[:1200]
