@@ -78,6 +78,9 @@ EXTRA = {
     "repetition_quality": "q112_repetition_quality",
     "exact_substring_dup": "q113_exact_substring_dup",
     "incremental_dedup": "q114_incremental_dedup",
+    "pii_redaction": "q118_pii_redaction",
+    "paragraph_dedup": "q119_paragraph_dedup",
+    "epoch_mix": "q120_epoch_mix",
 }
 
 # best-of-5 blocks × 3 full-suite passes: single-JVM local mode has
