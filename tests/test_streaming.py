@@ -376,3 +376,25 @@ def test_s6_streaming_quality_filter_sink(spark, staged_docs, tmp_path):
         .select("doc_id", "source", "quality")
     )
     assert canonicalize(got.toPandas()).equals(canonicalize(want.toPandas()))
+
+
+def test_s7_streaming_pii_redaction_matches_batch(spark, staged_docs):
+    """K4 scrub under A6 ingest (round-6): q118's ordered
+    regexp_replace chain applied per micro-batch (append mode — the
+    scrub is a stateless projection, the natural streaming shape for
+    a redaction pass) must produce exactly the batch query's redacted
+    bytes for every document."""
+    from morphl_community_edition_spark.queries import QUERIES
+    from morphl_community_edition_spark.queries.curation import PII_PATTERNS
+    from morphl_community_edition_spark.sources.stream import read_stream_dir
+
+    stream = read_stream_dir(spark, staged_docs, "documents")
+    red = F.col("text")
+    for _, pat, rep in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, rep)
+    proj = stream.select("doc_id", F.md5(red).alias("red_md5"))
+    got = run_stream(spark, proj, "s7_redact", mode="append")
+    want = QUERIES["q118_pii_redaction"](spark, SF_DIR_SMOKE).select(
+        "doc_id", "red_md5"
+    )
+    assert_frames_equal(got, want)
