@@ -81,6 +81,7 @@ EXTRA = {
     "pii_redaction": "q118_pii_redaction",
     "paragraph_dedup": "q119_paragraph_dedup",
     "epoch_mix": "q120_epoch_mix",
+    "simhash_pairs": "q121_simhash_hamming_pairs",
 }
 
 # best-of-5 blocks × 3 full-suite passes: single-JVM local mode has

@@ -244,3 +244,65 @@ def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
     from morphl_community_edition_spark.operators.similarity import cosine_pairs
 
     return cosine_pairs(emb).filter(F.col("sim") >= threshold)
+
+
+def simhash_hamming_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    max_hamming: int = 3,
+    bits: int = 60,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance, via
+    multi-index banding (Manku et al., WWW'07): split the signature
+    into ``n_bands`` contiguous blocks; by pigeonhole, any pair within
+    Hamming distance ``max_hamming`` < ``n_bands`` agrees EXACTLY on
+    at least one block, so the per-block equi-join is a lossless
+    candidate generator and the post-filter makes the result exact —
+    no n² comparison anywhere.
+
+    Scale shape (100 TB): n_bands equi-joins keyed by (band,
+    15-bit block value) — ~2^15 buckets per band here; candidate
+    volume is sum-of-C(bucket,2), bounded by block width (production
+    indexes widen blocks / add permuted tables to keep buckets small).
+    Candidates are distinct-ed on the pair key before the bit_count
+    filter, all JVM-side codegen."""
+    assert max_hamming < n_bands, "pigeonhole guarantee needs max_hamming < n_bands"
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    bands = sig.select(
+        F.col(id_col).alias("doc"),
+        F.col(sig_col).alias("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(f"({sig_col} >> {width * i}) & {mask}").alias("val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "sig", F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("a_doc"),
+            F.col("b.doc").alias("b_doc"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.filter(hamming <= max_hamming).select(
+        "a_doc", "b_doc", hamming.cast("int").alias("hamming")
+    )

@@ -16,6 +16,7 @@ from morphl_community_edition_spark.catalog import load_table
 from morphl_community_edition_spark.operators.dedup import (
     exact_jaccard_pairs,
     minhash_neardup_pairs,
+    simhash_hamming_pairs,
     simhash_signatures,
 )
 from morphl_community_edition_spark.operators.multimodal import attach_media, extract_features
@@ -538,3 +539,48 @@ def q95_stopword_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# DuckDB twin of functions/hashing.md5_long60 + operators/dedup.
+# simhash_signatures + an exact (brute-force) Hamming pair join — the
+# oracle q41's signature step could not have alone ("64 correlated
+# bit-aggs"), made tractable by generate_series laterals. The Spark
+# side uses the banded multi-index path, so a hash match here proves
+# BOTH the 60-bit signature math and the pigeonhole-lossless candidate
+# generation.
+_SIMHASH_PAIRS_ORACLE = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd,
+                  generate_subscripts(string_split(text, ' '), 1) AS wpos
+           FROM documents),
+hv AS (SELECT doc_id, wpos,
+              sum((strpos('0123456789abcdef', substr(md5(wd), n.i, 1)) - 1)
+                  * (1::BIGINT << (4 * (15 - n.i)))) AS hv
+       FROM w, LATERAL unnest(generate_series(1, 15)) AS n(i)
+       GROUP BY doc_id, wpos),
+v AS (SELECT doc_id, b.b,
+             CASE WHEN ((hv >> b.b) & 1) = 1 THEN 1 ELSE -1 END AS vote
+      FROM hv, LATERAL unnest(generate_series(0, 59)) AS b(b)),
+s AS (SELECT doc_id, b, sum(vote) AS s FROM v GROUP BY doc_id, b),
+sig AS (SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT)
+                   AS simhash
+        FROM s GROUP BY doc_id)
+SELECT a.doc_id AS a_doc, b.doc_id AS b_doc,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY a_doc, b_doc
+"""
+
+
+@query("q121_simhash_hamming_pairs", oracle=_SIMHASH_PAIRS_ORACLE)
+def q121_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup retrieval made exact AND oracle-checkable
+    (round 6): q41's 60-bit frequency-weighted signatures, paired by
+    Hamming distance <= 3 through the Manku-style 4x15-bit multi-index
+    (operators/dedup.simhash_hamming_pairs). The DuckDB oracle
+    recomputes the signatures arithmetically and brute-forces the pair
+    join, so the hash match certifies the banded path loses no pair —
+    the pigeonhole guarantee, verified rather than asserted."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_hamming_pairs(simhash_signatures(docs)).orderBy("a_doc", "b_doc")

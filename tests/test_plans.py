@@ -613,3 +613,18 @@ def test_q120_epoch_mix_rank_stays_sharded(spark):
     )
     assert "SinglePartition" not in plan, "training-order rank collapsed to one partition"
     assert "Generate" in plan and "Join" not in plan, plan[:1200]
+
+
+def test_q121_simhash_banding_stays_equi_join(spark):
+    """q121 SimHash Hamming pairs (round-6): the multi-index candidate
+    join must remain a hash/sort-merge EQUI join on (band, block
+    value) — the a.doc < b.doc predicate must ride along as a join
+    filter, never degrade the plan to a cartesian/nested-loop n²
+    comparison (which would defeat the whole banding design)."""
+    plan = (
+        QUERIES["q121_simhash_hamming_pairs"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, (
+        plan[:1500]
+    )
