@@ -266,3 +266,36 @@ def test_asof_differential_vs_brute_force(spark):
                 }
                 want = _brute_asof(left_rows, right_rows, strict, direction)
                 assert got == want, (trial, strict, direction, got, want)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    sigs=st.lists(
+        st.integers(0, (1 << 60) - 1), min_size=2, max_size=40, unique=True
+    ),
+    k=st.integers(0, 3),
+)
+def test_fuzz_simhash_banding_matches_brute_force(sigs, k):
+    """The multi-index Hamming join's pigeonhole guarantee on
+    ARBITRARY signatures (round-6, q121's operator): for any set of
+    60-bit values and any threshold < n_bands, the banded equi-join +
+    exact filter must produce exactly the brute-force pair set —
+    losing a pair means the banding math (block width, shift, mask)
+    is wrong in a way fixture data might never expose."""
+    from morphl_community_edition_spark.operators.dedup import simhash_hamming_pairs
+
+    spark = get_spark()
+    sig_df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sigs)], "doc_id long, simhash long"
+    )
+    got = {
+        (r["a_doc"], r["b_doc"], r["hamming"])
+        for r in simhash_hamming_pairs(sig_df, max_hamming=k).collect()
+    }
+    want = set()
+    for i, a in enumerate(sigs):
+        for j in range(i + 1, len(sigs)):
+            h = bin(a ^ sigs[j]).count("1")
+            if h <= k:
+                want.add((i, j, h))
+    assert got == want
