@@ -37,6 +37,10 @@ tokenizer — each an oracle-checked contract query over the
 - q120 epoch mix: source-weighted epoch upsampling + deterministic
   hash-sharded training-order assignment — the RNG-free, global-
   sort-free data-mixing step (round 6).
+- q122 curation pipeline v2: scrub → repetition/min-length filter →
+  paragraph dedup → epoch mix composed end-to-end, one hash over the
+  chain and its stage order (round 6; the q98 device for the round-6
+  family).
 
 Scale notes (100 TB):
 - q103's running sum windows per SOURCE (shard), never globally — a
@@ -722,8 +726,14 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 
 
 def _pii_oracle() -> str:
+    # The bare-VARCHAR cast is load-bearing: DuckDB's 'g' regexp flag
+    # is a POSITION argument to Spark's regexp_replace, and Spark
+    # resolves+folds that cast ('g' -> INT) BEFORE it would reject any
+    # unresolved outer function — so this oracle must fail Spark's
+    # PARSER, not its analyzer. CAST(... AS VARCHAR) (no length) is
+    # the documented tests/test_sql_parity.py dialect gap.
     counts = ",\n           ".join(
-        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{key}"
+        f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{key}"
         for key, pat, _ in PII_PATTERNS
     )
     red = "text"
@@ -732,8 +742,8 @@ def _pii_oracle() -> str:
     return f"""
     SELECT doc_id,
            {counts},
-           CAST(len({red}) AS BIGINT) AS red_len,
-           md5({red}) AS red_md5
+           len({red})::BIGINT AS red_len,
+           md5(CAST({red} AS VARCHAR)) AS red_md5
     FROM documents
     ORDER BY doc_id
     """
@@ -909,4 +919,128 @@ def q120_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.select("doc_id", "epoch", shard.alias("shard"),
                  pos.cast("bigint").alias("pos"))
         .orderBy("shard", "pos")
+    )
+
+
+def _pipeline_v2_oracle() -> str:
+    red = "text"
+    for _, pat, rep in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{rep}', 'g')"
+    return f"""
+    WITH w AS (SELECT doc_id, source, string_split({red}, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id, array_to_string(ws[gs:gs+2], ' ') AS g3
+          FROM w, LATERAL unnest(generate_series(1, len(ws) - 2)) AS t(gs)),
+    gg AS (SELECT doc_id, count(*) AS n_g3, count(DISTINCT g3) AS u_g3
+           FROM g GROUP BY doc_id),
+    keep1 AS (SELECT w.doc_id AS doc_id, source, ws
+              FROM w JOIN gg ON w.doc_id = gg.doc_id
+              WHERE len(ws) >= 3
+                AND (1 - CAST(u_g3 AS DOUBLE) / CAST(n_g3 AS DOUBLE)) <= 0.5),
+    p AS (SELECT doc_id, source, CAST(off / {PARA_WORDS} AS BIGINT) AS pos,
+                 array_to_string(ws[off + 1 : off + {PARA_WORDS}], ' ') AS para
+          FROM keep1, LATERAL unnest(generate_series(0, len(ws) - 1, {PARA_WORDS})) AS t(off)),
+    r AS (SELECT doc_id, source, pos, para,
+                 row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rk
+          FROM p),
+    reb AS (SELECT doc_id, source,
+                   sum(CASE WHEN rk = 1 THEN len(string_split(para, ' ')) ELSE 0 END) AS n_tok,
+                   sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS n_kept
+            FROM r GROUP BY doc_id, source),
+    surv AS (SELECT doc_id, source, n_tok FROM reb WHERE n_kept > 0),
+    ep AS (SELECT doc_id, source, n_tok, CAST(t.e AS BIGINT) AS epoch
+           FROM surv, LATERAL unnest(generate_series(
+               1, 1 + (CAST(regexp_extract(source, '[0-9]+') AS INTEGER) % 3))) AS t(e))
+    SELECT source, epoch, count(*) AS n_docs,
+           sum(n_tok)::BIGINT AS sum_tokens,
+           min(doc_id)::BIGINT AS min_doc
+    FROM ep GROUP BY source, epoch ORDER BY source, epoch
+    """
+    # Dialect-gap note: this oracle embeds the 'g'-flag regexp chain,
+    # which Spark would constant-fold into a cast error during
+    # spark.sql analysis — it must fail Spark's PARSER first. The
+    # ws[a : b] list slices do that (DuckDB-only syntax); see
+    # _pii_oracle for the same constraint handled explicitly.
+
+
+@query("q122_curation_pipeline_v2", oracle=_pipeline_v2_oracle())
+def q122_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-6 curation family composed end-to-end, one hash over
+    the whole chain INCLUDING stage order: PII scrub (q118's ordered
+    regexp chain — redaction first, so dedup sees canonical bytes) →
+    repetition + min-length filter (q112's duplicate-3-gram rule on
+    the REDACTED text, Gopher-style; <3-word docs drop) → keep-first
+    paragraph dedup over the survivors (q119, zero-surviving-block
+    docs drop) → source-weighted epoch upsampling (q120's rule) →
+    per-(source, epoch) token accounting of the deduped corpus.
+
+    Scale shape = the q98 ordering argument extended: row-local
+    filters (regexp, per-doc n-gram stats) shrink the corpus BEFORE
+    the only pair-wise stage (paragraph keeper election), and the
+    epoch expansion multiplies a summary-sized survivor set, not raw
+    text. Every stage inherits its component's gated plan shape."""
+    docs = fan_out_narrow_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
+    red = F.col("text")
+    for _, pat, rep in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, rep)
+    base = docs.select("doc_id", "source", F.split(red, " ").alias("ws"))
+    g3 = F.when(
+        F.size("ws") >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size("ws") - 3),
+            lambda i: F.array_join(F.slice("ws", i + 1, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gg = (
+        base.select("doc_id", F.explode(g3).alias("g3"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_g3"), F.count_distinct("g3").alias("u_g3"))
+    )
+    dup3 = F.lit(1) - F.col("u_g3").cast("double") / F.col("n_g3").cast("double")
+    keep1 = (
+        base.join(gg, "doc_id")
+        .filter((F.size("ws") >= 3) & (dup3 <= 0.5))
+        .select("doc_id", "source", "ws")
+    )
+    offs = F.sequence(F.lit(0), F.size("ws") - 1, F.lit(PARA_WORDS))
+    paras = F.transform(
+        offs, lambda off: F.array_join(F.slice("ws", off + 1, PARA_WORDS), " ")
+    )
+    occ = keep1.select(
+        "doc_id", "source", F.posexplode(paras).alias("pos", "para")
+    ).withColumn(
+        "k",
+        F.concat(
+            F.lpad(F.col("doc_id").cast("string"), 19, "0"),
+            F.lpad(F.col("pos").cast("string"), 10, "0"),
+        ),
+    )
+    keep = occ.groupBy("para").agg(F.min("k").alias("kmin"))
+    kept = F.col("k") == F.col("kmin")
+    reb = (
+        occ.join(keep, "para")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(F.when(kept, F.size(F.split(F.col("para"), " "))).otherwise(0))
+            .alias("n_tok"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+        )
+    )
+    surv = reb.filter(F.col("n_kept") > 0).select("doc_id", "source", "n_tok")
+    w = 1 + F.regexp_extract(F.col("source"), r"[0-9]+", 0).cast("int") % 3
+    ep = surv.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.explode(F.sequence(F.lit(1), w)).alias("epoch"),
+    )
+    return (
+        ep.groupBy("source", F.col("epoch").cast("bigint").alias("epoch"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("sum_tokens"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+        )
+        .orderBy("source", "epoch")
     )
