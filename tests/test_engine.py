@@ -63,3 +63,26 @@ def test_ensure_views_multi_sf_coexist(spark):
     n_big = spark.table(f"lineitem_{s_big}").count()
     assert 0 < n_small < n_big
     assert ensure_views(spark, "/root/testdata/sf0.01") == s_big
+
+
+def test_prepared_query_reruns_and_refreshes(spark):
+    """Engine.prepare (round-6): the handle builds the plan once,
+    run() re-executes it, refresh() forces a re-plan; results are
+    identical across all three, and an unknown name raises."""
+    import pytest as _pytest
+
+    from morphl_community_edition_spark.engine import Engine
+    from tests.conftest import SF_DIR_SMOKE
+
+    eng = Engine(spark, SF_DIR_SMOKE)
+    prep = eng.prepare("q01_pricing_summary")
+    first = prep.run()
+    built = prep.df
+    assert prep.df is built, "second access must reuse the built plan"
+    again = prep.run()
+    assert again == first
+    refreshed = prep.refresh().run()
+    assert refreshed == first
+    assert "Scan" in prep.explain() or "FileScan" in prep.explain()
+    with _pytest.raises(KeyError, match="unknown query"):
+        eng.prepare("nope")
