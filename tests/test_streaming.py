@@ -398,3 +398,36 @@ def test_s7_streaming_pii_redaction_matches_batch(spark, staged_docs):
         "doc_id", "red_md5"
     )
     assert_frames_equal(got, want)
+
+
+def test_s8_streaming_paragraph_dedup_matches_batch_keepers(spark, staged_docs):
+    """K1 paragraph dedup under A6 ingest (round-6): stateful
+    dropDuplicates over the exploded paragraph stream must emit
+    exactly q119's kept-paragraph set — by keep-first semantics the
+    batch keepers ARE the distinct paragraphs, so the streaming state
+    path and the batch agg+join path must agree on the set, not just
+    the count. (No watermark: availableNow replay with bounded state
+    at fixture scale; production bounds state with a watermark on an
+    ingest-time column.)"""
+    from morphl_community_edition_spark.queries import QUERIES
+    from morphl_community_edition_spark.queries.curation import PARA_WORDS
+    from morphl_community_edition_spark.sources.stream import read_stream_dir
+
+    def para_col(df):
+        ws = F.split(F.col("text"), " ")
+        offs = F.sequence(F.lit(0), F.size(ws) - 1, F.lit(PARA_WORDS))
+        paras = F.transform(
+            offs, lambda off: F.array_join(F.slice(ws, off + 1, PARA_WORDS), " ")
+        )
+        return df.select(F.explode(paras).alias("para"))
+
+    stream = read_stream_dir(spark, staged_docs, "documents")
+    got = run_stream(
+        spark, para_col(stream).dropDuplicates(["para"]), "s8_paradedup", mode="append"
+    )
+    batch = QUERIES["q119_paragraph_dedup"](spark, SF_DIR_SMOKE)
+    n_kept = batch.agg(F.sum("n_kept").alias("s")).collect()[0]["s"]
+    assert got.count() == n_kept
+    docs = load_table(spark, SF_DIR_SMOKE, "documents")
+    want = {r["para"] for r in para_col(docs).distinct().collect()}
+    assert {r["para"] for r in got.collect()} == want
