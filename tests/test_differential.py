@@ -299,3 +299,55 @@ def test_fuzz_simhash_banding_matches_brute_force(sigs, k):
             if h <= k:
                 want.add((i, j, h))
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pts=st.lists(st.integers(0, 2000), min_size=0, max_size=25),
+    ivs=st.lists(
+        st.tuples(st.integers(0, 2000), st.integers(0, 2000)),
+        min_size=0,
+        max_size=15,
+    ),
+    width=st.sampled_from([1, 7, 60, 900]),
+    half_open=st.booleans(),
+    bcast=st.booleans(),
+)
+def test_fuzz_range_join_matches_brute_force(pts, ivs, width, half_open, bcast):
+    """C7's bucketized range join on ARBITRARY points/intervals, both
+    tiers (shuffle and broadcast_points) and both boundary modes,
+    against a Python brute force — random inputs hit the bucket-edge
+    cases fixtures never do: points exactly on bucket boundaries,
+    zero-length and inverted (lo>hi, empty) intervals, widths larger
+    than the whole domain."""
+    from morphl_community_edition_spark.operators.interval_join import (
+        range_join_bucketized,
+    )
+
+    spark = get_spark()
+    base = 1_700_000_000
+    p_df = spark.createDataFrame(
+        [(i, base + t) for i, t in enumerate(pts)], "pid long, ts_e long"
+    ).select("pid", F.col("ts_e").cast("timestamp").alias("ts"))
+    i_df = spark.createDataFrame(
+        [(j, base + a, base + b) for j, (a, b) in enumerate(ivs)],
+        "iid long, lo_e long, hi_e long",
+    ).select(
+        "iid",
+        F.col("lo_e").cast("timestamp").alias("lo"),
+        F.col("hi_e").cast("timestamp").alias("hi"),
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join_bucketized(
+            p_df, i_df, "ts", "lo", "hi", width,
+            half_open=half_open, broadcast_points=bcast,
+        ).select("pid", "iid").collect()
+    }
+    want = {
+        (i, j)
+        for i, t in enumerate(pts)
+        for j, (a, b) in enumerate(ivs)
+        if ((a <= t < b) if half_open else (a <= t <= b))
+    }
+    assert got == want
