@@ -351,3 +351,43 @@ def test_fuzz_range_join_matches_brute_force(pts, ivs, width, half_open, bcast):
         if ((a <= t < b) if half_open else (a <= t <= b))
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ev=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 7200)),
+        min_size=1,
+        max_size=40,
+    ),
+    gap_min=st.sampled_from([1, 5, 30]),
+)
+def test_fuzz_sessionize_matches_brute_force(ev, gap_min):
+    """L4's lag+cumsum sessionizer on ARBITRARY event streams vs a
+    Python brute force — random inputs hit the exact-boundary rule
+    (an event at EXACTLY prev + gap starts a NEW session, the
+    streaming session_window contract) and duplicate timestamps
+    (resolved by the event_id tiebreak)."""
+    from morphl_community_edition_spark.operators.sessionize import sessionize
+
+    spark = get_spark()
+    base = 1_700_000_000
+    rows = [(i, u, base + t) for i, (u, t) in enumerate(ev)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts_e long").select(
+        "event_id", "user_id", F.col("ts_e").cast("timestamp").alias("ts")
+    )
+    out = sessionize(df, gap_minutes=gap_min, order_tiebreak="event_id")
+    got = {r["event_id"]: (r["user_id"], r["sess"]) for r in out.collect()}
+    want = {}
+    gap_s = gap_min * 60
+    for u in {u for u, _ in ev}:
+        stream = sorted(
+            ((t, i) for i, (uu, t) in enumerate(ev) if uu == u)
+        )
+        sess, prev = 0, None
+        for t, i in stream:
+            if prev is None or t - prev >= gap_s:
+                sess += 1
+            prev = t
+            want[i] = (u, sess)
+    assert got == want
