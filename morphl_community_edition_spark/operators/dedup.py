@@ -306,3 +306,97 @@ def simhash_hamming_pairs(
     return cand.filter(hamming <= max_hamming).select(
         "a_doc", "b_doc", hamming.cast("int").alias("hamming")
     )
+
+
+def minhash_lsh_pairs_exact(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    num_hashes: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash LSH near-dup pairs with a fully DETERMINISTIC hash
+    family (md5-derived, no RNG, no engine-specific sketch), so the
+    whole candidate-generation + exact-verify pipeline is
+    oracle-checkable — the reproducible twin of minhash_neardup_pairs
+    (Spark ML MinHashLSH, whose hash coefficients are engine-private).
+
+    Pipeline: distinct n-gram shingles → ``num_hashes`` signature
+    slots, each min(md5_long60(k || '|' || shingle)) — ONE hash agg
+    with num_hashes min columns, map-side partial combine — →
+    ``n_bands`` band keys (md5 of the band's slot values) → banded
+    equi-self-join for candidates → EXACT Jaccard (inverted-index
+    intersection restricted to candidate pairs) → threshold filter.
+
+    Scale shape (100 TB): candidates are bucket-bounded by the band
+    keys (never n²); the exact-verify join streams shingles against
+    the candidate-pair set, so its cost is candidate-bounded, not
+    corpus²; probability a J-pair surfaces is 1-(1-J^r)^b with
+    r = num_hashes/n_bands rows per band (r=4, b=4: J=0.9 → 0.986,
+    J=0.5 → 0.23 — tune num_hashes/n_bands per target threshold,
+    exactly the Spark ML tradeoff but reproducible)."""
+    rows = num_hashes // n_bands
+    sh = word_shingles(docs.select(id_col, text_col), text_col, n).select(
+        F.col(id_col).alias("doc"), F.explode("shingles").alias("s")
+    )
+    sig = sh.groupBy("doc").agg(
+        *[
+            F.min(md5_long60(F.concat(F.lit(f"{k}|"), F.col("s")))).alias(f"mh{k}")
+            for k in range(num_hashes)
+        ]
+    )
+    bands = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"mh{b * rows + i}").cast("string")
+                                    for i in range(rows)
+                                ],
+                            ).cast("binary")
+                        ).alias("bkey"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", F.col("bk.b").alias("b"), F.col("bk.bkey").alias("bkey"))
+    a, bb = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("a_doc"), F.col("b.doc").alias("b_doc"))
+        .distinct()
+    )
+    sz = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("nsh"))
+    inter = (
+        cand.join(sh.withColumnRenamed("doc", "a_doc"), "a_doc")
+        .join(sh.withColumnRenamed("doc", "b_doc"), ["b_doc", "s"])
+        .groupBy("a_doc", "b_doc")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    from morphl_community_edition_spark.functions.rounding import crnd
+
+    j = (
+        inter.join(sz.withColumnRenamed("doc", "a_doc").withColumnRenamed("nsh", "na"), "a_doc")
+        .join(sz.withColumnRenamed("doc", "b_doc").withColumnRenamed("nsh", "nb"), "b_doc")
+        .withColumn(
+            "jac",
+            F.col("i").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("i")).cast("double"),
+        )
+        .filter(F.col("jac") >= threshold)
+    )
+    return j.select("a_doc", "b_doc", crnd(F.col("jac"), 6).alias("jaccard"))

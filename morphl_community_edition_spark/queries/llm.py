@@ -584,3 +584,61 @@ def q121_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pigeonhole guarantee, verified rather than asserted."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_hamming_pairs(simhash_signatures(docs)).orderBy("a_doc", "b_doc")
+
+
+# DuckDB twin of operators/dedup.minhash_lsh_pairs_exact: the same
+# md5-derived 60-bit hash family (nibble-sum arithmetic, as in q121's
+# oracle), 16 signature slots via conditional mins, 4 band keys,
+# banded candidate self-join, exact-Jaccard verify. ws[a:b] slices
+# keep it in DuckDB dialect (Spark would fold the chain differently;
+# see test_sql_parity's dialect-gap contract).
+_MINHASH_PAIRS_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(ws[gs : gs + 4], ' ') AS s
+       FROM w, LATERAL unnest(generate_series(1, len(ws) - 4)) AS t(gs)),
+hx AS (SELECT doc_id, s, k.k,
+              md5(CAST(k.k AS VARCHAR) || '|' || s) AS h
+       FROM sh, LATERAL unnest(generate_series(0, 15)) AS k(k)),
+hv AS (SELECT doc_id, s, k,
+              sum((strpos('0123456789abcdef', substr(h, n.i, 1)) - 1)
+                  * (1::BIGINT << (4 * (15 - n.i)))) AS hv
+       FROM hx, LATERAL unnest(generate_series(1, 15)) AS n(i)
+       GROUP BY doc_id, s, k),
+sig AS (SELECT doc_id, k, min(hv) AS mh FROM hv GROUP BY doc_id, k),
+band AS (SELECT doc_id, CAST(k / 4 AS INTEGER) AS b,
+                md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k)) AS bkey
+         FROM sig GROUP BY doc_id, CAST(k / 4 AS INTEGER)),
+cand AS (SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+         FROM band a JOIN band b
+           ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+sz AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+inter AS (SELECT c.a_doc, c.b_doc, count(*) AS i
+          FROM cand c
+          JOIN sh x ON x.doc_id = c.a_doc
+          JOIN sh y ON y.doc_id = c.b_doc AND y.s = x.s
+          GROUP BY c.a_doc, c.b_doc),
+j AS (SELECT i.a_doc AS a_doc, i.b_doc AS b_doc,
+             i / CAST(sa.nsh + sb.nsh - i AS DOUBLE) AS jac
+      FROM inter i
+      JOIN sz sa ON sa.doc_id = i.a_doc
+      JOIN sz sb ON sb.doc_id = i.b_doc)
+SELECT a_doc, b_doc, floor(jac * 1e6 + 0.5) / 1e6 AS jaccard
+FROM j WHERE jac >= 0.5
+ORDER BY a_doc, b_doc
+"""
+
+
+@query("q123_minhash_lsh_pairs_exact", oracle=_MINHASH_PAIRS_ORACLE)
+def q123_minhash_lsh_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH with a deterministic hash family, oracle-checked
+    end-to-end (round 6): the reproducible twin of q28 (Spark ML
+    MinHashLSH, engine-private coefficients — rows-only check by
+    design). The DuckDB oracle recomputes the 16-slot signatures, the
+    4 band keys, the banded candidate join, and the exact-Jaccard
+    verify, so K2's candidate-generation machinery finally has
+    hash-grade driver evidence rather than recall-tolerance evidence
+    alone."""
+    from morphl_community_edition_spark.operators.dedup import minhash_lsh_pairs_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs_exact(docs).orderBy("a_doc", "b_doc")

@@ -673,3 +673,31 @@ def test_q120_epoch_mix_weights_and_stream_order(spark):
     for sh, n in by_shard.items():
         ps = sorted(r["pos"] for r in rows if r["shard"] == sh)
         assert ps == list(range(1, n + 1)), f"shard {sh} positions not dense"
+
+
+def test_q123_minhash_candidates_subset_and_recall(spark):
+    """The deterministic MinHash LSH (q123) against ground truth at
+    sf0.01: every emitted pair must BE a true J>=0.5 pair with the
+    exact Jaccard value (soundness — the verify stage guarantees it),
+    and recall vs the full exact pair set must clear the 1-(1-J^4)^4
+    expectation comfortably (the fixture's near-dup pairs sit at
+    J~0.9 where the bound is ~0.99)."""
+    from morphl_community_edition_spark.operators.dedup import exact_jaccard_pairs
+    from morphl_community_edition_spark.queries import QUERIES
+
+    from morphl_community_edition_spark.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got = {
+        (r["a_doc"], r["b_doc"]): r["jaccard"]
+        for r in QUERIES["q123_minhash_lsh_pairs_exact"](spark, SF_DIR).collect()
+    }
+    truth = {
+        (r["a_doc"], r["b_doc"]): r["jaccard"]
+        for r in exact_jaccard_pairs(docs, n=5, threshold=0.5).collect()
+    }
+    assert set(got) <= set(truth), "LSH emitted a pair the exact reference rejects"
+    for pair, j in got.items():
+        assert j == truth[pair], f"jaccard mismatch on {pair}"
+    recall = len(got) / max(1, len(truth))
+    assert recall >= 0.9, f"recall {recall:.2f} below floor ({len(got)}/{len(truth)})"
