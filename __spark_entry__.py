@@ -51,8 +51,11 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for every hash-checkable query.
 
     Keys absent here but present in queries() are the approx/LSH/ML
-    operators (q18 approx_count_distinct, q28 MinHash LSH, q41
-    SimHash) — checked by tolerance/property tests in tests/, as the
-    sketches are engine-specific by design.
+    operators (q18 approx_count_distinct, q28 Spark-ML MinHash LSH,
+    q73 approx_percentile, q89/q90 ANN, q109 fingerprint sketch) —
+    checked by tolerance/property tests in tests/, as those sketches
+    are engine-specific by design. Their deterministic twins ARE
+    oracle-checked: q41/q121 (SimHash), q123 (MinHash), q117 (q109's
+    superset guarantee).
     """
     return dict(ORACLE_SQL)

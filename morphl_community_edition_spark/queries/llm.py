@@ -260,7 +260,47 @@ def q39_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_per_query(emb, probes, k=5).orderBy("q_vec", "rnk")
 
 
-@query("q41_simhash")  # oracle below would be 64 correlated bit-aggs in SQL; checked by dedicated test
+# DuckDB twin of functions/hashing.md5_long60 + operators/dedup.
+# simhash_signatures — the "64 correlated bit-aggs" q41's original
+# no-oracle annotation thought intractable, made tractable by
+# generate_series laterals (nibble-sum hash, per-bit majority vote).
+# Shared by q41's signature oracle and q121's pair oracle.
+_SIMHASH_SIG_CTE = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd,
+                  generate_subscripts(string_split(text, ' '), 1) AS wpos
+           FROM documents),
+hv AS (SELECT doc_id, wpos,
+              sum((strpos('0123456789abcdef', substr(md5(wd), n.i, 1)) - 1)
+                  * (1::BIGINT << (4 * (15 - n.i)))) AS hv
+       FROM w, LATERAL unnest(generate_series(1, 15)) AS n(i)
+       GROUP BY doc_id, wpos),
+v AS (SELECT doc_id, b.b,
+             CASE WHEN ((hv >> b.b) & 1) = 1 THEN 1 ELSE -1 END AS vote
+      FROM hv, LATERAL unnest(generate_series(0, 59)) AS b(b)),
+s AS (SELECT doc_id, b, sum(vote) AS s FROM v GROUP BY doc_id, b),
+sig AS (SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT)
+                   AS simhash
+        FROM s GROUP BY doc_id)
+"""
+
+# The Spark side of q121 uses the banded multi-index path, so a hash
+# match proves BOTH the 60-bit signature math and the
+# pigeonhole-lossless candidate generation.
+_SIMHASH_PAIRS_ORACLE = _SIMHASH_SIG_CTE + """
+SELECT a.doc_id AS a_doc, b.doc_id AS b_doc,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY a_doc, b_doc
+"""
+
+_SIMHASH_SIG_ORACLE = _SIMHASH_SIG_CTE + """
+SELECT doc_id, simhash FROM sig ORDER BY doc_id
+"""
+
+
+@query("q41_simhash", oracle=_SIMHASH_SIG_ORACLE)
 def q41_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash_signatures(docs).orderBy("doc_id")
@@ -539,38 +579,6 @@ def q95_stopword_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
-
-
-# DuckDB twin of functions/hashing.md5_long60 + operators/dedup.
-# simhash_signatures + an exact (brute-force) Hamming pair join — the
-# oracle q41's signature step could not have alone ("64 correlated
-# bit-aggs"), made tractable by generate_series laterals. The Spark
-# side uses the banded multi-index path, so a hash match here proves
-# BOTH the 60-bit signature math and the pigeonhole-lossless candidate
-# generation.
-_SIMHASH_PAIRS_ORACLE = """
-WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd,
-                  generate_subscripts(string_split(text, ' '), 1) AS wpos
-           FROM documents),
-hv AS (SELECT doc_id, wpos,
-              sum((strpos('0123456789abcdef', substr(md5(wd), n.i, 1)) - 1)
-                  * (1::BIGINT << (4 * (15 - n.i)))) AS hv
-       FROM w, LATERAL unnest(generate_series(1, 15)) AS n(i)
-       GROUP BY doc_id, wpos),
-v AS (SELECT doc_id, b.b,
-             CASE WHEN ((hv >> b.b) & 1) = 1 THEN 1 ELSE -1 END AS vote
-      FROM hv, LATERAL unnest(generate_series(0, 59)) AS b(b)),
-s AS (SELECT doc_id, b, sum(vote) AS s FROM v GROUP BY doc_id, b),
-sig AS (SELECT doc_id,
-               CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT)
-                   AS simhash
-        FROM s GROUP BY doc_id)
-SELECT a.doc_id AS a_doc, b.doc_id AS b_doc,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-ORDER BY a_doc, b_doc
-"""
 
 
 @query("q121_simhash_hamming_pairs", oracle=_SIMHASH_PAIRS_ORACLE)
