@@ -650,3 +650,39 @@ def q123_minhash_lsh_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs_exact(docs).orderBy("a_doc", "b_doc")
+
+
+@query(
+    "q124_ivf_full_probe_exact",
+    # Verbatim q39 oracle: with n_probe == n_cells the IVF path must
+    # EQUAL exact brute-force KNN — same result set, same tie-breaks.
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 10),
+    p AS (SELECT q.vec_id AS q_vec, c.vec_id AS n_vec,
+           floor((list_dot_product(q.emb, c.emb)
+                 / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(c.emb, c.emb)))) * 1e6 + 0.5) / 1e6 AS sim
+          FROM q JOIN e c ON c.vec_id != q.vec_id)
+    SELECT q_vec, n_vec, sim, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_vec ORDER BY sim DESC, n_vec) AS rnk FROM p) t
+    WHERE rnk <= 5
+    ORDER BY q_vec, rnk
+    """,
+)
+def q124_ivf_full_probe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF retrieval plumbing, oracle-certified (round 6): run the
+    ENTIRE q89 machinery — KMeans cells, broadcast-centroid probe
+    routing, inverted-file candidate join, re-rank — with
+    n_probe == n_cells, where the result must EQUAL exact brute-force
+    KNN regardless of how KMeans clustered. A hash match against q39's
+    brute-force oracle certifies assignment, routing, candidate
+    generation, and re-rank end-to-end with exact evidence; q89 keeps
+    the pruned (n_probe < n_cells) configuration as the scale path
+    with recall-tolerance evidence."""
+    from morphl_community_edition_spark.operators.similarity import ivf_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return ivf_cosine_topk(emb, probes, k=5, n_cells=16, n_probe=16).orderBy(
+        "q_vec", "rnk"
+    )
