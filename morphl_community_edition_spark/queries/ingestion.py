@@ -210,3 +210,76 @@ def q115_partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("source")
     )
+
+
+# ---- A2 widening: XML ingestion (Spark 4 built-in XML source) ----
+
+DOCS_XML_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+_XML_STAGE_DIRS: dict[str, str] = {}
+
+
+def stage_documents_xml(spark: SparkSession, sf_dir: str) -> str:
+    """Export the documents fixture as XML (rowTag <doc>) into this
+    process's private staging dir, overwriting on repeat calls —
+    q91's staging device applied to the XML source."""
+    out_dir = _memo_tmpdir(_XML_STAGE_DIRS, sf_dir, "morphl_a2_xml_stage_")
+    docs = load_table(spark, sf_dir, "documents")
+    (
+        docs.select("doc_id", "text", "lang", "source", F.col("n_chars").cast("long"))
+        .write.mode("overwrite")
+        .option("rootTag", "docs")
+        .option("rowTag", "doc")
+        .format("xml")
+        .save(out_dir)
+    )
+    return out_dir
+
+
+@query(
+    "q125_xml_ingest",
+    oracle="""
+    SELECT source, lang, count(*) AS cnt,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM documents
+    GROUP BY source, lang ORDER BY source, lang
+    """,
+)
+def q125_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 XML ingestion e2e (round 6; Spark 4's built-in XML source):
+    serialize the documents fixture to XML, re-ingest it with a
+    DECLARED schema (rowTag parse, no inference scan), and aggregate.
+    The oracle reads the ORIGINAL parquet — q91's design — so a hash
+    match proves the whole serialize→land→parse→aggregate loop is
+    lossless, including text content (sum_text_len would catch any
+    entity-escaping or whitespace-trim corruption the XML boundary
+    might introduce)."""
+    staged = stage_documents_xml(spark, sf_dir)
+    docs = (
+        spark.read.schema(DOCS_XML_SCHEMA)
+        .option("rowTag", "doc")
+        .format("xml")
+        .load(staged)
+    )
+    return (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.sum(F.length("text")).cast("bigint").alias("sum_text_len"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+        .orderBy("source", "lang")
+    )
