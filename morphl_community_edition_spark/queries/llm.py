@@ -613,9 +613,9 @@ hv AS (SELECT doc_id, s, k,
        FROM hx, LATERAL unnest(generate_series(1, 15)) AS n(i)
        GROUP BY doc_id, s, k),
 sig AS (SELECT doc_id, k, min(hv) AS mh FROM hv GROUP BY doc_id, k),
-band AS (SELECT doc_id, CAST(k / 4 AS INTEGER) AS b,
+band AS (SELECT doc_id, CAST(k // 4 AS INTEGER) AS b,
                 md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k)) AS bkey
-         FROM sig GROUP BY doc_id, CAST(k / 4 AS INTEGER)),
+         FROM sig GROUP BY doc_id, CAST(k // 4 AS INTEGER)),
 cand AS (SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
          FROM band a JOIN band b
            ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
