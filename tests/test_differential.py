@@ -391,3 +391,56 @@ def test_fuzz_sessionize_matches_brute_force(ev, gap_min):
             prev = t
             want[i] = (u, sess)
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=12)
+        .map(" ".join),
+        min_size=2,
+        max_size=12,
+    ),
+    valve=st.sampled_from([None, 2, 3]),
+)
+def test_fuzz_exact_jaccard_matches_brute_force(texts, valve):
+    """The dedup family's core primitive (exact_jaccard_pairs, used by
+    q37/q93/q98/q114) on ARBITRARY tiny-vocabulary corpora vs a Python
+    brute force, WITH the df-valve: intersection and union must both
+    use the pruned shingle sets (the valved-path contract), short docs
+    must yield no shingles, and the inverted-index candidate join must
+    find every qualifying pair."""
+    import math
+
+    from morphl_community_edition_spark.operators.dedup import exact_jaccard_pairs
+
+    spark = get_spark()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["a_doc"], r["b_doc"]): r["jaccard"]
+        for r in exact_jaccard_pairs(
+            df, n=3, threshold=0.2, max_doc_freq=valve
+        ).collect()
+    }
+    sets = []
+    for t in texts:
+        ws = t.split(" ")
+        sets.append(
+            {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)} if len(ws) >= 3 else set()
+        )
+    if valve is not None:
+        df_count: dict[str, int] = {}
+        for s in sets:
+            for sh in s:
+                df_count[sh] = df_count.get(sh, 0) + 1
+        sets = [{sh for sh in s if df_count[sh] <= valve} for s in sets]
+    want = {}
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i] | sets[j])
+            if union and inter / union >= 0.2:
+                want[(i, j)] = math.floor((inter / union) * 1e6 + 0.5) / 1e6
+    assert got == want
