@@ -338,9 +338,13 @@ def minhash_lsh_pairs_exact(
     J=0.5 → 0.23 — tune num_hashes/n_bands per target threshold,
     exactly the Spark ML tradeoff but reproducible)."""
     rows = num_hashes // n_bands
-    sh = word_shingles(docs.select(id_col, text_col), text_col, n).select(
-        F.col(id_col).alias("doc"), F.explode("shingles").alias("s")
-    )
+    # fan out before the CPU-bound shingle explode (the same gate
+    # exact_jaccard_pairs applies — without it a single-row-group
+    # corpus pins shingling to the scan's 2 tasks; measured 7.8 s →
+    # ~2 s on the q123 contract query at sf0.1)
+    sh = word_shingles(
+        fan_out_narrow_scan(docs.select(id_col, text_col)), text_col, n
+    ).select(F.col(id_col).alias("doc"), F.explode("shingles").alias("s"))
     sig = sh.groupBy("doc").agg(
         *[
             F.min(md5_long60(F.concat(F.lit(f"{k}|"), F.col("s")))).alias(f"mh{k}")
