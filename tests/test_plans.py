@@ -628,3 +628,17 @@ def test_q121_simhash_banding_stays_equi_join(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, (
         plan[:1500]
     )
+
+
+def test_q122_pipeline_v2_stays_agg_join_shaped(spark):
+    """q122 composed curation pipeline (round-6): the chain must keep
+    its components' gated shapes — no window anywhere (keeper election
+    is the packed-key partial agg), no cartesian/nested-loop, and the
+    epoch expansion is a Generate."""
+    plan = (
+        QUERIES["q122_curation_pipeline_v2"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan, "pipeline reintroduced a paragraph-keyed window"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan
