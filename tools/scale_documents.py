@@ -40,6 +40,8 @@ QUERIES_TO_RUN = (
     "q112_repetition_quality",
     "q118_pii_redaction",
     "q120_epoch_mix",
+    "q121_simhash_hamming_pairs",
+    "q123_minhash_lsh_pairs_exact",
 )
 
 
