@@ -290,3 +290,36 @@ def ensure_views(spark: SparkSession, sf_dir: str) -> str:
             load_table(spark, sf_dir, name).createOrReplaceTempView(f"{name}_{sfx}")
         done.add(sf_dir)
     return sfx
+
+
+def invalidate_tables(spark: SparkSession, sf_dir: str | None = None) -> int:
+    """Drop memoized table plans for one ``sf_dir`` (or all), refresh
+    Spark's cached file listings for those paths, and force temp-view
+    re-registration — the escape hatch for files REWRITTEN in-process.
+
+    The table/view memos assume fixture immutability within a process
+    (documented above); ``Engine.prepare(...).refresh()`` routes
+    through here so its re-plan contract actually holds when a source
+    path was overwritten. Returns the number of dropped table plans.
+    Remaining caveat: the fan-out gate's partition-count memo
+    (plans/hints) keys on the semantic plan, which is identical for a
+    re-read of the same path — its verdict can be stale if a rewrite
+    changed the FILE COUNT (documented there; harmless for row
+    updates)."""
+    memo = _memo_for(spark)
+    victims = [k for k in list(memo) if sf_dir is None or k[0] == sf_dir]
+    for k in victims:
+        del memo[k]
+        try:
+            spark.catalog.refreshByPath(table_path(k[0], k[1]))
+        except Exception:  # noqa: BLE001 — refresh is best-effort
+            pass
+    global _VIEW_MEMO
+    if _VIEW_MEMO is not None:
+        done = _VIEW_MEMO.get(spark)
+        if done is not None:
+            if sf_dir is None:
+                done.clear()
+            else:
+                done.discard(sf_dir)
+    return len(victims)

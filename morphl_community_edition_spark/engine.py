@@ -65,11 +65,17 @@ class PreparedQuery:
     DataFrame construction, (2) Catalyst analysis/optimization/codegen
     of the plan, and (3) any shuffle stages the scheduler finds
     already materialized from a previous run of THIS plan. Scan-side
-    stages re-execute on every run(), so fresh data in an overwritten
-    source path IS re-read, but mid-plan exchanges may be served from
-    shuffle files — call refresh() after source data changes to force
-    a full re-plan (bench.py measures both tiers: this reuse is the
-    queries_prepared column, never the headline)."""
+    stages re-execute every run(), but the plan's FILE LISTING was
+    snapshotted at build — and the engine's catalog additionally
+    memoizes table plans per (session, sf_dir) — so an in-process
+    rewrite of a source path is NOT picked up by run() alone, nor by
+    rebuilding the query naively. refresh() therefore does both: it
+    drops this handle's plan AND invalidates the catalog's memoized
+    tables + Spark's cached file listings for the engine's sf_dir
+    (catalog.invalidate_tables), so the next run() truly re-plans
+    against the current files. (bench.py measures both tiers: the
+    plan-reuse path is the queries_prepared column, never the
+    headline.)"""
 
     def __init__(self, engine: "Engine", query_name: str):
         from morphl_community_edition_spark.queries import QUERIES
@@ -95,8 +101,10 @@ class PreparedQuery:
         return self.df.collect()
 
     def refresh(self) -> "PreparedQuery":
-        """Drop the cached plan so the next run() re-plans from the
-        (possibly changed) source files."""
+        """Drop the cached plan AND the catalog's memoized tables /
+        Spark file-listing caches for this engine's sf_dir, so the
+        next run() re-plans from the current source files."""
+        catalog.invalidate_tables(self._engine.spark, self._engine.sf_dir)
         self._df = None
         return self
 

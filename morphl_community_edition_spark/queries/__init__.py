@@ -124,13 +124,23 @@ def _row_passed(rec: dict) -> bool:
 
 
 def _source_fingerprint(fn: Callable) -> str:
-    """Stable hash of a query's full source block (decorators included,
-    so the registered oracle SQL is covered too)."""
+    """Stable hash of a query's full source block (decorators
+    included) PLUS its registered oracle SQL BY VALUE.
+
+    The decorator text alone covered only INLINE oracle literals: an
+    oracle passed by reference (``oracle=_SOME_CONSTANT`` /
+    ``oracle=_builder()``) could change its TEXT without changing the
+    function's source, keeping stale verification credit alive for an
+    edited oracle (round-6 review finding). Hashing the registered
+    ORACLE_SQL value closes that hole; behavior constants interpolated
+    into inline f-string oracles are covered the same way, since the
+    rendered SQL is what is hashed."""
     try:
         src = inspect.getsource(fn)
     except (OSError, TypeError):
         return ""
-    return hashlib.sha256(src.encode()).hexdigest()[:16]
+    oracle = ORACLE_SQL.get(getattr(fn, "query_name", ""), "")
+    return hashlib.sha256((src + "\x00" + oracle).encode()).hexdigest()[:16]
 
 
 _FP_PATH = Path(__file__).resolve().parents[2] / "tools" / "verified_fingerprints.json"

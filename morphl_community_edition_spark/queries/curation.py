@@ -366,6 +366,15 @@ def q108_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shingle_fp(col: str = "s"):
+    """THE 8-byte-sketch fingerprint expression for the contamination
+    family — one definition shared by q109 (the screen) and q117 (its
+    superset guarantee), so a drift in modulus/hash in either screen
+    surfaces as q117 violations instead of two self-consistent private
+    copies staying vacuously green (round-6 review finding)."""
+    return (F.xxhash64(col) % (1 << 26)).alias("fp")
+
+
 @query("q109_contamination_fingerprint")
 def q109_contamination_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-fingerprint contamination screen — q106's 100 TB twin.
@@ -400,11 +409,9 @@ def q109_contamination_fingerprint(spark: SparkSession, sf_dir: str) -> DataFram
     """
     docs = load_table(spark, sf_dir, "documents")
     sh = _doc_shingles(docs)
-    bench_fp = _valved_bench_shingles(sh).select(
-        (F.xxhash64("s") % (1 << 26)).alias("fp")
-    ).distinct()
+    bench_fp = _valved_bench_shingles(sh).select(_shingle_fp()).distinct()
     train = sh.filter(F.col("source") != "src0").select(
-        "doc_id", "source", (F.xxhash64("s") % (1 << 26)).alias("fp")
+        "doc_id", "source", _shingle_fp()
     )
     return (
         train.join(F.broadcast(bench_fp), "fp", "left_semi")
@@ -448,9 +455,9 @@ def q117_fingerprint_superset_check(spark: SparkSession, sf_dir: str) -> DataFra
         .select("doc_id", "source")
         .distinct()
     )
-    bench_fp = bench.select((F.xxhash64("s") % (1 << 26)).alias("fp")).distinct()
+    bench_fp = bench.select(_shingle_fp()).distinct()
     fp_hits = (
-        train.select("doc_id", (F.xxhash64("s") % (1 << 26)).alias("fp"))
+        train.select("doc_id", _shingle_fp())
         .join(F.broadcast(bench_fp), "fp", "left_semi")
         .select("doc_id")
         .distinct()

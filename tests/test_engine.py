@@ -86,3 +86,30 @@ def test_prepared_query_reruns_and_refreshes(spark):
     assert "Scan" in prep.explain() or "FileScan" in prep.explain()
     with _pytest.raises(KeyError, match="unknown query"):
         eng.prepare("nope")
+
+
+def test_prepared_refresh_sees_rewritten_source_files(spark, tmp_path):
+    """Round-6 review finding: refresh() promised a re-plan from
+    changed source files, but both the prepared plan's snapshotted
+    file listing AND the catalog's per-(session, sf_dir) table memo
+    served the ORIGINAL files. refresh() now routes through
+    catalog.invalidate_tables; this proves the contract end-to-end by
+    overwriting a source parquet in-process and asserting the next
+    run() reflects it."""
+    import shutil
+
+    import pandas as pd
+
+    from morphl_community_edition_spark.engine import Engine
+    from tests.conftest import SF_DIR_SMOKE
+
+    shutil.copy(f"{SF_DIR_SMOKE}/documents.parquet", tmp_path / "documents.parquet")
+    eng = Engine(spark, str(tmp_path))
+    prep = eng.prepare("q24_exact_dedup")
+    n_before = len(prep.run())
+    assert n_before > 3
+
+    pdf = pd.read_parquet(tmp_path / "documents.parquet").head(3)
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    n_after = len(prep.refresh().run())
+    assert n_after == 3, f"refresh did not re-plan: {n_after} vs expected 3"

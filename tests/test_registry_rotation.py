@@ -84,13 +84,32 @@ def test_edited_source_loses_credit():
 
 
 def test_fingerprint_covers_oracle_sql():
-    """getsource includes the @query(...) decorator block, so editing
-    only the registered oracle SQL also changes the fingerprint."""
+    """The fingerprint must cover the oracle BY VALUE (round-6 review
+    finding): for a by-reference registration (oracle=_CONSTANT) the
+    decorator text never changes when the constant's SQL does, so
+    hashing only getsource would keep stale credit alive. Simulate an
+    oracle edit for a by-reference query and assert the fingerprint
+    moves; also keep the older decorator-block property."""
     import inspect
 
     fn = next(iter(qmod.QUERIES.values()))
-    src = inspect.getsource(fn)
-    assert src.lstrip().startswith("@query")
+    assert inspect.getsource(fn).lstrip().startswith("@query")
+
+    name = "q118_pii_redaction"  # registered as oracle=_pii_oracle()
+    fn = qmod.QUERIES[name]
+    assert "oracle=_pii_oracle()" in inspect.getsource(fn), (
+        "test premise: q118 must register its oracle by reference"
+    )
+    before = qmod._source_fingerprint(fn)
+    orig = qmod.ORACLE_SQL[name]
+    try:
+        qmod.ORACLE_SQL[name] = orig + " -- edited"
+        assert qmod._source_fingerprint(fn) != before, (
+            "editing a by-reference oracle must change the fingerprint"
+        )
+    finally:
+        qmod.ORACLE_SQL[name] = orig
+    assert qmod._source_fingerprint(fn) == before
 
 
 def test_prefix_sampling_covers_all_queries_across_rounds():
