@@ -444,3 +444,40 @@ def test_fuzz_exact_jaccard_matches_brute_force(texts, valve):
             if union and inter / union >= 0.2:
                 want[(i, j)] = math.floor((inter / union) * 1e6 + 0.5) / 1e6
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    base=st.lists(
+        st.tuples(st.one_of(st.none(), st.integers(0, 6)), st.integers(0, 99)),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda r: r[0],
+    ),
+    delta=st.lists(
+        st.tuples(st.one_of(st.none(), st.integers(0, 6)), st.integers(100, 199)),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda r: r[0],
+    ),
+)
+def test_fuzz_merge_upsert_matches_dict_merge(base, delta):
+    """L6's SCD-1 merge on ARBITRARY keyed rows (including NULL keys,
+    which group as equal-to-NULL) vs the obvious Python dict merge:
+    delta wins on key collision, base survives otherwise, nothing is
+    duplicated or dropped. Base is key-unique by construction here —
+    the multiplying-join hazard for duplicate DELTA keys is covered by
+    the guard test in test_smoke_operators."""
+    from morphl_community_edition_spark.operators.upsert import merge_upsert
+
+    spark = get_spark()
+    schema = "k int, v int"
+    b_df = spark.createDataFrame(base, schema)
+    d_df = spark.createDataFrame(delta, schema)
+    got = {
+        r["k"]: r["v"]
+        for r in merge_upsert(b_df, d_df, ["k"], assert_unique_delta=True).collect()
+    }
+    want = {k: v for k, v in base}
+    want.update({k: v for k, v in delta})
+    assert got == want
