@@ -481,3 +481,34 @@ def test_fuzz_merge_upsert_matches_dict_merge(base, delta):
     want = {k: v for k, v in base}
     want.update({k: v for k, v in delta})
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 50), st.sampled_from(["aa", "bb", "cc", None])),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda r: r[0],
+    ),
+    n_parts=st.sampled_from([1, 3, 8]),
+)
+def test_fuzz_exact_dedup_invariant_under_repartition(rows, n_parts):
+    """The determinism contract (SURVEY §5.3: never dropDuplicates)
+    fuzz-checked: exact_dedup's keeper set must be IDENTICAL for any
+    physical partitioning of the same input — including NULL content
+    (to_json keeps field names, so null placement distinguishes) —
+    and must equal min-id-per-content computed in Python."""
+    from morphl_community_edition_spark.operators.dedup import exact_dedup
+
+    spark = get_spark()
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    want = {}
+    for i, t in rows:
+        key = t
+        if key not in want or i < want[key]:
+            want[key] = i
+    expected = set(want.values())
+    for d in (df, df.repartition(n_parts), df.repartition(n_parts, "text")):
+        got = {r["doc_id"] for r in exact_dedup(d, ["text"], "doc_id").collect()}
+        assert got == expected
