@@ -686,3 +686,70 @@ def q124_ivf_full_probe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_cosine_topk(emb, probes, k=5, n_cells=16, n_probe=16).orderBy(
         "q_vec", "rnk"
     )
+
+
+@query(
+    "q126_vocab_coverage",
+    oracle="""
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS wd FROM documents),
+    c AS (SELECT wd, count(*) AS cnt FROM w GROUP BY wd),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+    r AS (SELECT wd, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, wd) AS rk,
+                 sum(cnt) OVER (ORDER BY cnt DESC, wd
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM c)
+    SELECT CAST(rk AS INTEGER) AS rk, wd, CAST(cnt AS BIGINT) AS cnt,
+           CAST(cum AS BIGINT) AS cum_cnt,
+           floor(cum / CAST(t.total AS DOUBLE) * 1e6 + 0.5) / 1e6 AS coverage
+    FROM r, t WHERE rk <= 40 ORDER BY rk
+    """,
+)
+def q126_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (round 6; the tokenizer-sizing step):
+    rank the corpus vocabulary by frequency and report, for the top 40
+    entries, the cumulative fraction of all corpus tokens a vocabulary
+    truncated at that rank would cover — the curve that decides vocab
+    size / OOV budget before training a tokenizer.
+
+    Scale shape: the token explode + count is the standard two-phase
+    hash agg; the GLOBAL rank window then runs over the AGGREGATED
+    vocabulary frame — vocabulary-sized (10^5-10^6 entries at 100 TB),
+    not corpus-sized — which is the q82 pattern: the one acceptable
+    use of an unpartitioned window is over a dimension-sized frame
+    that partial aggregation already shrank. The corpus-total join is
+    a broadcast of a 1-row aggregate."""
+    from pyspark.sql import Window
+
+    from morphl_community_edition_spark.plans.hints import fan_out_narrow_scan
+
+    docs = fan_out_narrow_scan(load_table(spark, sf_dir, "documents"))
+    c = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("wd"))
+        .groupBy("wd")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = c.agg(F.sum("cnt").cast("bigint").alias("total"))
+    win = Window.orderBy(F.col("cnt").desc(), "wd")
+    r = c.select(
+        "wd",
+        "cnt",
+        F.row_number().over(win).alias("rk"),
+        F.sum("cnt")
+        .over(win.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    )
+    return (
+        r.filter(F.col("rk") <= 40)
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("rk").cast("int").alias("rk"),
+            "wd",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.col("cum").cast("bigint").alias("cum_cnt"),
+            crnd(F.col("cum").cast("double") / F.col("total").cast("double"), 6).alias(
+                "coverage"
+            ),
+        )
+        .orderBy("rk")
+    )
