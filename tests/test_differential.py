@@ -205,8 +205,10 @@ def test_fuzz_components_match_union_find(edges):
     assert got_star == want
 
 
-def _brute_asof(left_rows, right_rows, strict, direction):
-    """Reference as-of: per left row, scan all right rows of the key."""
+def _brute_asof(left_rows, right_rows, strict, direction, tolerance=None):
+    """Reference as-of: per left row, scan all right rows of the key.
+    ``tolerance`` nulls a match whose |gap| exceeds it (the operator's
+    tolerance_seconds projection)."""
     out = {}
     for k, lt, lid in left_rows:
         best = None
@@ -221,6 +223,8 @@ def _brute_asof(left_rows, right_rows, strict, direction):
                 better = best is None or rt < best[0] or (rt == best[0] and (p is not None and (best[1] is None or p > best[1])))
             if ok and better:
                 best = (rt, p)
+        if best is not None and tolerance is not None and abs(best[0] - lt) > tolerance:
+            best = None
         out[lid] = None if best is None else best[1]
     return out
 
@@ -257,15 +261,17 @@ def test_asof_differential_vs_brute_force(spark):
         )
         for strict in (True, False):
             for direction in ("backward", "forward"):
-                got = {
-                    r["lid"]: r["asof_p"]
-                    for r in asof_join(
-                        left, right, key="k", ts="t", right_payload=["p"],
-                        strict=strict, direction=direction,
-                    ).collect()
-                }
-                want = _brute_asof(left_rows, right_rows, strict, direction)
-                assert got == want, (trial, strict, direction, got, want)
+                for tol in (None, 0.0, 2.0, 5.0):
+                    got = {
+                        r["lid"]: r["asof_p"]
+                        for r in asof_join(
+                            left, right, key="k", ts="t", right_payload=["p"],
+                            strict=strict, direction=direction,
+                            tolerance_seconds=tol,
+                        ).collect()
+                    }
+                    want = _brute_asof(left_rows, right_rows, strict, direction, tol)
+                    assert got == want, (trial, strict, direction, tol, got, want)
 
 
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
