@@ -53,8 +53,10 @@ TABLES = (
 )
 
 # Code-declared schemas (FIXTURES.md §1, verified against the parquet
-# footers). `events.ts` is declared long here because nanosAsLong
-# surfaces the NANOS column as int64; load_table rebuilds the timestamp.
+# footers). `events.ts` is declared TimestampType; load_table swaps it
+# to LongType ONLY when the per-file footer sniff says the column is
+# ns-encoded (nanosAsLong surfaces NANOS as int64, rebuilt to a µs
+# timestamp) — µs/ms files read natively.
 SCHEMAS: dict[str, T.StructType] = {
     "region": T.StructType(
         [
@@ -300,12 +302,14 @@ def invalidate_tables(spark: SparkSession, sf_dir: str | None = None) -> int:
     The table/view memos assume fixture immutability within a process
     (documented above); ``Engine.prepare(...).refresh()`` routes
     through here so its re-plan contract actually holds when a source
-    path was overwritten. Returns the number of dropped table plans.
-    Remaining caveat: the fan-out gate's partition-count memo
-    (plans/hints) keys on the semantic plan, which is identical for a
-    re-read of the same path — its verdict can be stale if a rewrite
-    changed the FILE COUNT (documented there; harmless for row
-    updates)."""
+    path was overwritten. Also drops the per-file events ts-unit
+    verdicts (a rewrite can flip ns ↔ µs) and the staged stream-input
+    dirs (sources/stream — they snapshot table content). Returns the
+    number of dropped table plans. Remaining caveat: the fan-out
+    gate's partition-count memo (plans/hints) keys on the semantic
+    plan, which is identical for a re-read of the same path — its
+    verdict can be stale if a rewrite changed the FILE COUNT
+    (documented there; harmless for row updates)."""
     memo = _memo_for(spark)
     victims = [k for k in list(memo) if sf_dir is None or k[0] == sf_dir]
     for k in victims:
@@ -322,4 +326,19 @@ def invalidate_tables(spark: SparkSession, sf_dir: str | None = None) -> int:
                 done.clear()
             else:
                 done.discard(sf_dir)
+    # events ts-unit verdicts are keyed by file path and process-wide;
+    # a rewrite can flip the unit (ns ↔ µs), so they must drop with
+    # the table plans (round-6 review finding)
+    for p in list(_EVENTS_TS_NANOS_MEMO):
+        if sf_dir is None or p.startswith(sf_dir):
+            del _EVENTS_TS_NANOS_MEMO[p]
+    # the staged micro-batch input cache (sources/stream) snapshots
+    # table CONTENT on disk — same staleness class, cleared lazily to
+    # avoid a circular import
+    try:
+        from morphl_community_edition_spark.sources import stream as _stream
+
+        _stream.invalidate_staged(sf_dir)
+    except Exception:  # noqa: BLE001 — cache clear is best-effort
+        pass
     return len(victims)

@@ -107,7 +107,7 @@ def train_churn_model(
     AUC on the held-out fraction."""
     train, test = features.randomSplit([train_frac, 1 - train_frac], seed=SEED)
     model = build_pipeline(feature_cols, label_col, algorithm).fit(train)
-    scored = model.transform(test if test.count() > 0 else train)
+    scored = model.transform(train if test.isEmpty() else test)
     auc = BinaryClassificationEvaluator(labelCol=label_col, rawPredictionCol="rawPrediction").evaluate(scored)
     return model, scored, auc
 

@@ -139,7 +139,7 @@ def train_stage_model(
     """Seeded split, multinomial fit, held-out accuracy."""
     train, test = features.randomSplit([train_frac, 1 - train_frac], seed=SEED)
     model = build_stage_pipeline(feature_cols, label_col).fit(train)
-    scored = model.transform(test if test.count() > 0 else train)
+    scored = model.transform(train if test.isEmpty() else test)
     acc = MulticlassClassificationEvaluator(
         labelCol=label_col, predictionCol="prediction", metricName="accuracy"
     ).evaluate(scored)

@@ -79,8 +79,24 @@ def stage_stream_input(
 
 def read_stream_dir(spark: SparkSession, staged_dir: str, name: str = "events", max_files: int = 1) -> DataFrame:
     """Open the staged directory as a micro-batch stream (post-repair
-    schema: ts is already a proper timestamp in the staged files)."""
+    schema: ts is already a proper timestamp in the staged files).
+
+    ``name`` is validated against the catalog: a staged dir whose
+    columns don't match the named table's declared schema raises
+    instead of silently streaming the wrong data (round-6 review
+    finding: the parameter used to be accepted and ignored)."""
+    from morphl_community_edition_spark.catalog import SCHEMAS
+
     df = spark.read.parquet(staged_dir)  # reuse the written schema (ts = timestamp)
+    declared = SCHEMAS.get(name)
+    if declared is not None:
+        want = {f.name for f in declared.fields}
+        got = set(df.columns)
+        if got != want:
+            raise ValueError(
+                f"staged dir {staged_dir} columns {sorted(got)} do not match "
+                f"table {name!r} schema {sorted(want)}"
+            )
     return (
         spark.readStream.schema(df.schema)
         .option("maxFilesPerTrigger", max_files)
@@ -91,6 +107,18 @@ def read_stream_dir(spark: SparkSession, staged_dir: str, name: str = "events", 
 # staged-dir cache: repeated Engine.stream() calls would otherwise
 # rewrite the table into a fresh orphaned temp dir every time
 _STAGED: dict[tuple[str, str, int], str] = {}
+
+
+def invalidate_staged(sf_dir: str | None = None) -> int:
+    """Drop staged-input dirs for one sf_dir (or all) so the next
+    Engine.stream() restages from the CURRENT table files — wired into
+    catalog.invalidate_tables, which owns the in-process-rewrite
+    contract (round-6 review finding: this cache snapshots table
+    content and survived the catalog invalidation)."""
+    victims = [k for k in list(_STAGED) if sf_dir is None or k[0] == sf_dir]
+    for k in victims:
+        del _STAGED[k]
+    return len(victims)
 
 
 def read_table_stream(spark: SparkSession, sf_dir: str, name: str = "events", max_files: int = 1) -> DataFrame:

@@ -39,14 +39,32 @@ def foreach_batch_upsert(df: DataFrame, path: str, key_cols: list[str], output_m
         return frame.withColumn("__bucket", F.pmod(F.xxhash64(*key_cols), F.lit(N_BUCKETS)))
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
+        import os
+
         spark = batch.sparkSession
         batch = bucketed(batch)
         touched = [r[0] for r in batch.select("__bucket").distinct().collect()]
-        try:
+        # Existence is tested explicitly, NOT via a broad except around
+        # the read+merge: swallowing a transient read/analysis failure
+        # there would silently degrade the MERGE to a plain overwrite
+        # and drop every carried row in the touched buckets (round-6
+        # review finding) — a real failure must propagate and fail the
+        # batch so the checkpoint retries it.
+        if os.path.isdir(path):
             existing = spark.read.parquet(path).filter(F.col("__bucket").isin(touched))
-            carried = existing.join(batch.select(*key_cols).distinct(), key_cols, "left_anti")
+            # eqNullSafe key equality: a left_anti on plain equality
+            # never matches NULL keys, so a null-keyed row would be
+            # carried AND re-appended every batch (unbounded
+            # duplicates) — the batch twin (operators/upsert) groups
+            # NULL keys as equal, and the streaming sink must agree.
+            keys_df = batch.select(*key_cols).distinct()
+            cond = None
+            for k in key_cols:
+                c = existing[k].eqNullSafe(keys_df[k])
+                cond = c if cond is None else (cond & c)
+            carried = existing.join(keys_df, cond, "left_anti")
             merged = carried.unionByName(batch)
-        except Exception:  # first batch: nothing to merge
+        else:  # first batch: nothing to merge
             merged = batch
         # materialize before overwriting the files we just read
         merged = merged.localCheckpoint(eager=True)

@@ -38,8 +38,13 @@ def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd
         # integer cents: exact accumulation across micro-batches —
         # floor(x*100 + 0.5), the SAME half-up rule as the engine's
         # to_scaled_long (pandas .round() is half-even and would
-        # disagree on exact-half cents)
-        val_cents += int(np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64").sum())
+        # disagree on exact-half cents). NULL values surface as NaN
+        # here and MUST contribute 0 like SQL sum() skipping nulls:
+        # astype("int64") of NaN silently yields INT64_MIN and would
+        # poison the accumulator forever (round-6 review finding).
+        v = pdf["value"].to_numpy()
+        cents = np.where(np.isnan(v), 0.0, np.floor(v * 100 + 0.5))
+        val_cents += int(cents.astype("int64").sum())
     state.update((cnt, val_cents))
     yield pd.DataFrame(
         {"user_id": [user_id], "running_count": [cnt], "running_value": [val_cents / 100.0]}
@@ -91,8 +96,10 @@ def running_user_counts_tws(events: DataFrame) -> DataFrame:
             cnt, val_cents = self._agg.get() if self._agg.exists() else (0, 0)
             for pdf in rows:
                 cnt += len(pdf)
-                # same exact half-up cents rule as _update
-                val_cents += int(np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64").sum())
+                # same exact half-up cents + NaN-as-0 rule as _update
+                v = pdf["value"].to_numpy()
+                cents = np.where(np.isnan(v), 0.0, np.floor(v * 100 + 0.5))
+                val_cents += int(cents.astype("int64").sum())
             self._agg.update((cnt, val_cents))
             yield pd.DataFrame(
                 {"user_id": [user_id], "running_count": [cnt], "running_value": [val_cents / 100.0]}

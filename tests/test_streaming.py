@@ -431,3 +431,71 @@ def test_s8_streaming_paragraph_dedup_matches_batch_keepers(spark, staged_docs):
     docs = load_table(spark, SF_DIR_SMOKE, "documents")
     want = {r["para"] for r in para_col(docs).distinct().collect()}
     assert {r["para"] for r in got.collect()} == want
+
+
+def test_s4_upsert_sink_null_keys_do_not_accumulate(spark, tmp_path):
+    """Round-6 review finding: the sink's left_anti carry-over used
+    plain key equality, which never matches NULL = NULL — a null-keyed
+    row was carried AND re-appended every batch, growing unboundedly.
+    With eqNullSafe the null key upserts like any other: two staged
+    micro-batches each carrying a null-keyed row must end with exactly
+    ONE null-keyed row holding the second batch's value (and the
+    non-null keys behave identically)."""
+    import os
+    import time as _time
+
+    from morphl_community_edition_spark.streaming.sinks import foreach_batch_upsert
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b1 = spark.createDataFrame([(None, 1), (7, 1)], "user_id int, v int")
+    b2 = spark.createDataFrame([(None, 2), (8, 2)], "user_id int, v int")
+    now = _time.time()
+    for i, b in enumerate((b1, b2)):
+        p = str(tmp_path / f"chunk{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(p)
+        part = next(f for f in os.listdir(p) if f.startswith("part-"))
+        dst = os.path.join(src, f"part-{i}.parquet")
+        os.rename(os.path.join(p, part), dst)
+        os.utime(dst, (now + 2 * i, now + 2 * i))
+    stream = (
+        spark.readStream.schema("user_id int, v int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "sink")
+    q = foreach_batch_upsert(stream, out, key_cols=["user_id"])
+    deadline = _time.time() + 300
+    while q.isActive and _time.time() < deadline:
+        q.awaitTermination(5)
+    assert not q.isActive and q.exception() is None
+    rows = {
+        (r["user_id"], r["v"])
+        for r in spark.read.parquet(out).select("user_id", "v").collect()
+    }
+    assert rows == {(None, 2), (7, 1), (8, 2)}, rows
+
+
+def test_s4_stateful_counts_null_value_contributes_zero(spark, tmp_path):
+    """Round-6 review finding: NaN (NULL value) rows hit
+    astype('int64'), which silently turns NaN into INT64_MIN and
+    poisoned the running accumulator forever. NULLs must contribute 0
+    to the value sum (SQL sum-skips-nulls semantics, matching the
+    batch twin) while still counting as rows."""
+    import os
+    import time as _time
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = [(1, "2024-01-01 00:00:00", 5, "view", None, "{}"),
+            (2, "2024-01-01 00:10:00", 5, "view", 2.5, "{}")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    got = run_stream(spark, running_user_counts(stream), "s4_nullval", mode="update")
+    final = {r["user_id"]: (r["running_count"], r["running_value"]) for r in got.collect()}
+    assert final[5] == (2, 2.5), final
