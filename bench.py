@@ -93,6 +93,9 @@ EXTRA = {
 # total is emitted so a poisoned pass is visible.
 RUNS = 5
 PASSES = 3
+# best-of-N per EXTRA query per pass; 2 (not 5) bounds wall time for
+# the 20-query breadth tier while still giving PASSES x 2 = 6 samples
+EXTRA_RUNS = 2
 
 
 def main() -> None:
@@ -131,6 +134,7 @@ def main() -> None:
     prepared: dict[str, float] = {}
     cold: dict[str, float] = {}
     pass_totals: list[float] = []
+    extra_pass_totals: list[float] = []
     try:
         dfs = {}
         for name, key in HEADLINE.items():
@@ -148,9 +152,21 @@ def main() -> None:
             QUERIES[key](spark, SF_DIR).collect()
             QUERIES[key](spark, SF_DIR).collect()
 
+        # Untimed warm-up pass over the EXTRA tier too: the extras are
+        # timed inside the same PASSES loop below (round-6 postmortem:
+        # a single-shot extra tier outside the pass protocol let one
+        # ambient episode print a 7.4x phantom on unchanged code, with
+        # no per-pass evidence to refute it).
+        for key in EXTRA.values():
+            QUERIES[key](spark, SF_DIR).collect()
+
         # PASSES full suite passes; each pass times every query as a
         # best-of-RUNS block (honest warm: rebuild + re-plan + full
-        # re-execution each run, no plan or shuffle reuse).
+        # re-execution each run, no plan or shuffle reuse). The EXTRA
+        # tier rides inside the same passes (best-of-EXTRA_RUNS blocks
+        # to bound wall time) so both tiers carry per-pass totals and
+        # a poisoned pass is visible for either.
+        extra: dict[str, float] = {}
         for pnum in range(PASSES):
             pass_warm: dict[str, float] = {}
             for name, key in HEADLINE.items():
@@ -163,7 +179,21 @@ def main() -> None:
                 warm[name] = round(min(warm.get(name, 1e9), best), 4)
             total = round(sum(pass_warm.values()), 4)
             pass_totals.append(total)
-            print(f"# pass {pnum + 1}/{PASSES}: suite total {total:.3f}s", file=sys.stderr)
+            pass_extra: dict[str, float] = {}
+            for name, key in EXTRA.items():
+                best = 1e9
+                for _ in range(EXTRA_RUNS):
+                    t0 = time.perf_counter()
+                    QUERIES[key](spark, SF_DIR).collect()
+                    best = min(best, time.perf_counter() - t0)
+                pass_extra[name] = best
+                extra[name] = round(min(extra.get(name, 1e9), best), 4)
+            etotal = round(sum(pass_extra.values()), 4)
+            extra_pass_totals.append(etotal)
+            print(
+                f"# pass {pnum + 1}/{PASSES}: suite total {total:.3f}s extra total {etotal:.3f}s",
+                file=sys.stderr,
+            )
 
         # prepared tier: re-execute the planned DataFrame (reuses plan
         # + materialized shuffle stages)
@@ -179,15 +209,6 @@ def main() -> None:
                 file=sys.stderr,
             )
 
-        extra: dict[str, float] = {}
-        for name, key in EXTRA.items():
-            QUERIES[key](spark, SF_DIR).collect()
-            best = 1e9
-            for _ in range(2):
-                t0 = time.perf_counter()
-                QUERIES[key](spark, SF_DIR).collect()
-                best = min(best, time.perf_counter() - t0)
-            extra[name] = round(best, 4)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.unset("spark.sql.shuffle.partitions")
@@ -223,6 +244,9 @@ def main() -> None:
         "queries_cold_first_run": cold,
         "cold_total": round(sum(cold.values()), 4),
         "extra_queries_warm": extra,
+        "extra_semantics": f"per-query min across {PASSES} passes of best-of-{EXTRA_RUNS} full re-plan + re-execution blocks, same interleaved passes as the headline tier",
+        "extra_pass_totals": extra_pass_totals,
+        "extra_pass_min": round(min(extra_pass_totals), 4) if extra_pass_totals else None,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

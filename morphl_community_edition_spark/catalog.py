@@ -332,6 +332,26 @@ def invalidate_tables(spark: SparkSession, sf_dir: str | None = None) -> int:
     for p in list(_EVENTS_TS_NANOS_MEMO):
         if sf_dir is None or p.startswith(sf_dir):
             del _EVENTS_TS_NANOS_MEMO[p]
+    # corpus row-count memos are result-affecting for fractional
+    # df-valves (a valve threshold resolved from a stale count changes
+    # which shingles are cut — round-7 advice): the doc-count memo is
+    # sf_dir-keyed and drops surgically; the semanticHash-keyed valve
+    # memo cannot be mapped back to a path, so it drops entirely for
+    # this session (cost: one re-count per valved query after an
+    # explicit invalidation — correct beats memoized here)
+    try:
+        from morphl_community_edition_spark.operators import dedup as _dedup
+        from morphl_community_edition_spark.queries import pipeline_ops as _pipe
+
+        counts = _pipe._DOC_COUNT_MEMO.get(spark)
+        if counts is not None:
+            if sf_dir is None:
+                counts.clear()
+            else:
+                counts.pop(sf_dir, None)
+        _dedup._FRAC_COUNT_MEMO.pop(spark, None)
+    except Exception:  # noqa: BLE001 — cache clear is best-effort
+        pass
     # the staged micro-batch input cache (sources/stream) snapshots
     # table CONTENT on disk — same staleness class, cleared lazily to
     # avoid a circular import

@@ -12,6 +12,18 @@ from pyspark.sql.streaming import StreamingQuery
 N_BUCKETS = 64
 
 
+def _sink_exists(spark, path: str) -> bool:
+    """Does the sink path exist, per the Hadoop FileSystem that OWNS
+    the URI (local, hdfs://, s3a://, ...)? An os.path check only sees
+    the local FS, so on remote storage it would misreport 'absent'
+    forever. Failure here propagates — guessing 'absent' on an FS
+    error is the overwrite-degrade bug this check exists to prevent."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> StreamingQuery:
     return (
         df.writeStream.format("memory")
@@ -39,8 +51,6 @@ def foreach_batch_upsert(df: DataFrame, path: str, key_cols: list[str], output_m
         return frame.withColumn("__bucket", F.pmod(F.xxhash64(*key_cols), F.lit(N_BUCKETS)))
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
-        import os
-
         spark = batch.sparkSession
         batch = bucketed(batch)
         touched = [r[0] for r in batch.select("__bucket").distinct().collect()]
@@ -49,8 +59,12 @@ def foreach_batch_upsert(df: DataFrame, path: str, key_cols: list[str], output_m
         # there would silently degrade the MERGE to a plain overwrite
         # and drop every carried row in the touched buckets (round-6
         # review finding) — a real failure must propagate and fail the
-        # batch so the checkpoint retries it.
-        if os.path.isdir(path):
+        # batch so the checkpoint retries it. The check goes through
+        # the Hadoop FileSystem resolved FOR THIS URI (round-7 advice:
+        # os.path.isdir is always False for hdfs://-s3a:// paths, which
+        # would make EVERY batch take the first-batch overwrite branch
+        # on remote storage — the exact silent-loss mode again).
+        if _sink_exists(spark, path):
             existing = spark.read.parquet(path).filter(F.col("__bucket").isin(touched))
             # eqNullSafe key equality: a left_anti on plain equality
             # never matches NULL keys, so a null-keyed row would be

@@ -113,3 +113,53 @@ def test_prepared_refresh_sees_rewritten_source_files(spark, tmp_path):
     pdf.to_parquet(tmp_path / "documents.parquet")
     n_after = len(prep.refresh().run())
     assert n_after == 3, f"refresh did not re-plan: {n_after} vs expected 3"
+
+
+def test_refresh_clears_valve_count_memos(spark, tmp_path):
+    """Round-7 advice: invalidate_tables() cleared table plans, view
+    memos, ts-unit verdicts and staged stream dirs — but NOT the
+    corpus row-count memos backing fractional df-valves
+    (operators/dedup._FRAC_COUNT_MEMO, pipeline_ops._DOC_COUNT_MEMO).
+    A rebuilt plan after an in-process rewrite has the same
+    semanticHash/sf_dir key, so a valved query resolved its threshold
+    from the STALE count — result-affecting, not perf-only. Proves
+    the memos now drop on refresh() and the valve re-resolves from
+    the rewritten corpus."""
+    import shutil
+
+    import pandas as pd
+
+    from morphl_community_edition_spark.engine import Engine
+    from morphl_community_edition_spark.operators import dedup as dedup_mod
+    from morphl_community_edition_spark.queries import pipeline_ops as pipe_mod
+    from tests.conftest import SF_DIR_SMOKE
+
+    shutil.copy(f"{SF_DIR_SMOKE}/documents.parquet", tmp_path / "documents.parquet")
+    sf_dir = str(tmp_path)
+    eng = Engine(spark, sf_dir)
+    prep = eng.prepare("q114_incremental_dedup")
+    prep.run()
+    n_orig = pipe_mod._DOC_COUNT_MEMO[spark][sf_dir]
+    assert n_orig > 10
+
+    # exercise the semanticHash-keyed valve memo too (exact_jaccard
+    # with a fractional max_doc_freq resolves via _memo_count)
+    from morphl_community_edition_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    dedup_mod._memo_count(docs)
+    assert len(dedup_mod._FRAC_COUNT_MEMO.get(spark, {})) >= 1
+
+    pdf = pd.read_parquet(tmp_path / "documents.parquet").head(10)
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    prep.refresh()
+    assert sf_dir not in pipe_mod._DOC_COUNT_MEMO.get(spark, {}), (
+        "doc-count memo survived refresh — valve would use stale corpus size"
+    )
+    assert len(dedup_mod._FRAC_COUNT_MEMO.get(spark, {})) == 0, (
+        "frac-count memo survived refresh"
+    )
+    prep.run()
+    assert pipe_mod._DOC_COUNT_MEMO[spark][sf_dir] == 10, (
+        "valve did not re-resolve from the rewritten corpus"
+    )
