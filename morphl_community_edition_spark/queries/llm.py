@@ -753,3 +753,86 @@ def q126_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+def _bpe_oracle(k: int) -> str:
+    """Unrolled DuckDB twin of operators/bpe.bpe_train: k iterations
+    of pair-count -> deterministic winner -> greedy-leftmost merge,
+    generated as chained CTEs (the q121/q123 deterministic-twin
+    device — same algorithm, independently formulated: the merge step
+    here is the island-window form, the Spark side is a stack fold;
+    see operators/bpe.py for the equivalence argument)."""
+    parts = [
+        """
+    WITH w0 AS MATERIALIZED (
+      SELECT wd AS word, CAST(count(*) AS BIGINT) AS freq,
+             list_transform(generate_series(1, length(wd)),
+                            i -> substring(wd, i, 1)) AS syms
+      FROM (SELECT unnest(string_split(text, ' ')) AS wd FROM documents)
+      WHERE wd <> '' GROUP BY wd
+    )"""
+    ]
+    for i in range(k):
+        parts.append(f""",
+    p{i} AS MATERIALIZED (
+      SELECT syms[p] AS lhs, syms[p+1] AS rhs,
+             CAST(sum(freq) AS BIGINT) AS pair_cnt
+      FROM w{i}, LATERAL unnest(generate_series(1, len(syms)-1)) AS t(p)
+      GROUP BY 1, 2
+    ),
+    v{i} AS MATERIALIZED (SELECT lhs, rhs, pair_cnt FROM p{i}
+             ORDER BY pair_cnt DESC, lhs, rhs LIMIT 1),
+    pos{i} AS MATERIALIZED (
+      SELECT word, freq, p, syms[p] AS sym,
+             COALESCE(syms[p] = v.lhs AND syms[p+1] = v.rhs, FALSE) AS ismatch
+      FROM w{i}, LATERAL unnest(generate_series(1, len(syms))) AS t(p), v{i} v
+    ),
+    tk{i} AS MATERIALIZED (
+      SELECT word, p, (p - min(p) OVER (PARTITION BY word, isl)) % 2 = 0 AS taken
+      FROM (SELECT word, p,
+                   p - row_number() OVER (PARTITION BY word ORDER BY p) AS isl
+            FROM pos{i} WHERE ismatch)
+    ),
+    m{i} AS MATERIALIZED (
+      SELECT q.word, q.freq, q.p, q.sym, COALESCE(t.taken, FALSE) AS taken,
+             lead(q.sym) OVER (PARTITION BY q.word ORDER BY q.p) AS nxt,
+             COALESCE(lag(COALESCE(t.taken, FALSE))
+                      OVER (PARTITION BY q.word ORDER BY q.p), FALSE) AS ptk
+      FROM pos{i} q LEFT JOIN tk{i} t USING (word, p)
+    ),
+    w{i + 1} AS MATERIALIZED (
+      SELECT word, any_value(freq) AS freq,
+             list(CASE WHEN taken THEN sym || nxt ELSE sym END ORDER BY p)
+               FILTER (WHERE taken OR NOT ptk) AS syms
+      FROM m{i} GROUP BY word
+    )""")
+    sel = "\n    UNION ALL ".join(
+        f"SELECT {i + 1} AS rk, lhs, rhs, lhs || rhs AS merged, pair_cnt FROM v{i}"
+        for i in range(k)
+    )
+    parts.append(
+        f"\n    SELECT CAST(rk AS INTEGER) AS rk, lhs, rhs, merged, pair_cnt"
+        f" FROM ({sel}) ORDER BY rk"
+    )
+    return "".join(parts)
+
+
+BPE_K = 12
+
+
+@query("q127_bpe_merges", oracle=_bpe_oracle(BPE_K))
+def q127_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 12 BPE merges learned from the documents corpus (round
+    7; the tokenizer-TRAINING step between q126's coverage curve and
+    q103's sequence packing). Deterministic by construction
+    (tie-break count DESC, lhs, rhs), so the oracle is exact, not a
+    tolerance check.
+
+    Scale shape: one corpus-scale word-count job, then a k-iteration
+    driver-driven loop over the VOCABULARY frame only — pair counting
+    is a vocab-sized shuffle, merge application a narrow array fold,
+    and the frame is re-checkpointed per iteration so plan depth and
+    input stay O(1) in k. See operators/bpe.py."""
+    from morphl_community_edition_spark.operators.bpe import bpe_train
+
+    return bpe_train(load_table(spark, sf_dir, "documents"), k=BPE_K)

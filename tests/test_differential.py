@@ -518,3 +518,64 @@ def test_fuzz_exact_dedup_invariant_under_repartition(rows, n_parts):
     for d in (df, df.repartition(n_parts), df.repartition(n_parts, "text")):
         got = {r["doc_id"] for r in exact_dedup(d, ["text"], "doc_id").collect()}
         assert got == expected
+
+
+def _py_bpe(texts: list[str], k: int) -> list[tuple]:
+    """Pure-Python BPE merge training: the textbook greedy-leftmost
+    loop (Sennrich et al. 2016), tie-break (count DESC, lhs, rhs) —
+    the third independent formulation next to Spark's stack fold and
+    the oracle's island windows."""
+    from collections import Counter
+
+    vocab: Counter = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                vocab[w] += 1
+    syms = {w: list(w) for w in vocab}
+    merges = []
+    for step in range(k):
+        pc: Counter = Counter()
+        for w, f in vocab.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((step + 1, l, r, l + r, cnt))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=6), min_size=1, max_size=6
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.integers(1, 4),
+)
+def test_fuzz_bpe_matches_reference(texts, k):
+    """operators/bpe.bpe_train == the pure-Python textbook loop on
+    random tiny corpora over a 2-letter alphabet (maximal pair
+    collisions, including the l == r run case the stack-fold /
+    island-window equivalence argument hinges on)."""
+    from morphl_community_edition_spark.operators.bpe import bpe_train
+
+    spark = _ENGINES["spark"]
+    docs = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = [tuple(r) for r in bpe_train(docs, k=k).collect()]
+    assert got == _py_bpe(texts, k)

@@ -642,3 +642,31 @@ def test_q122_pipeline_v2_stays_agg_join_shaped(spark):
     assert "Window" not in plan, "pipeline reintroduced a paragraph-keyed window"
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "Generate" in plan
+
+
+def test_bpe_iteration_never_rereads_corpus(spark):
+    """q127 BPE training (round-7): the per-iteration loop body must
+    operate on the checkpointed VOCABULARY frame only — no FileScan
+    (corpus re-read) in the pair-count plan, and the vocab-sized
+    pair aggregation keeps map-side partial aggregation. This is the
+    O(1)-input-per-iteration contract that makes k merges affordable
+    at 100 TB (the corpus is scanned exactly once, by the initial
+    word count)."""
+    from pyspark.sql import functions as F
+
+    from morphl_community_edition_spark.catalog import load_table
+    from morphl_community_edition_spark.operators.bpe import (
+        corpus_vocab,
+        pair_counts,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    vocab = (
+        corpus_vocab(docs)
+        .withColumn("syms", F.split(F.col("word"), ""))
+        .localCheckpoint(eager=True)
+    )
+    pc = pair_counts(vocab)
+    plan = pc._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan, f"iteration re-reads the corpus:\n{plan[:1500]}"
+    assert has_partial_aggregate(pc), "pair count lost map-side combine"
