@@ -836,3 +836,60 @@ def q127_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from morphl_community_edition_spark.operators.bpe import bpe_train
 
     return bpe_train(load_table(spark, sf_dir, "documents"), k=BPE_K)
+
+
+_SEMDEDUP_EXACT_ORACLE = """
+    WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                         FROM embeddings),
+    ed AS MATERIALIZED (
+      SELECT a.vec_id AS s, b.vec_id AS d
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE floor((list_dot_product(a.emb, b.emb)
+            / (sqrt(list_dot_product(a.emb, a.emb))
+               * sqrt(list_dot_product(b.emb, b.emb)))) * 1e6 + 0.5) / 1e6 >= 0.4
+    ),
+    bi AS MATERIALIZED (SELECT s, d FROM ed UNION SELECT d AS s, s AS d FROM ed),
+    lbl AS (
+      SELECT s AS n, s AS comp FROM bi
+      UNION
+      SELECT bi.d AS n, lbl.comp FROM lbl JOIN bi ON bi.s = lbl.n
+    ),
+    mn AS (SELECT n, min(comp) AS comp FROM lbl GROUP BY n),
+    f AS (SELECT e.vec_id, COALESCE(mn.comp, e.vec_id) AS comp
+          FROM e LEFT JOIN mn ON mn.n = e.vec_id),
+    sz AS (SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size FROM f GROUP BY comp)
+    SELECT f.vec_id AS vec_id, f.comp AS comp, sz.cluster_size AS cluster_size,
+           f.vec_id = f.comp AS keep
+    FROM f JOIN sz USING (comp) ORDER BY vec_id
+"""
+
+
+@query("q128_semantic_dedup_exact", oracle=_SEMDEDUP_EXACT_ORACLE)
+def q128_semantic_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup at the EXACT configuration (round 7; the q124
+    full-probe device): n_cells=1 makes the cell partition trivial —
+    nothing depends on KMeans — so the per-vector verdict (duplicate
+    group, size, keeper) must equal brute-force semantic dedup, which
+    the DuckDB oracle recomputes including the transitive closure (a
+    recursive min-label CTE). A hash match certifies the pair math,
+    the connected-components closure, and the keeper election used by
+    the clustered scale configuration (q129)."""
+    from morphl_community_edition_spark.operators.semdedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.4, n_cells=1).orderBy("vec_id")
+
+
+@query("q129_semantic_dedup")
+def q129_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup at the clustered scale configuration (16 KMeans
+    cells): within-cell pair cost is sum(cell_size^2)/2 instead of
+    corpus^2. No oracle BY DESIGN (cell boundaries depend on KMeans);
+    correctness is covered by q128 (identical pipeline, exact
+    configuration) plus the suite's refinement test — the clustered
+    edge set is provably a subset of the exact one, so clusters can
+    only split, never merge or invent members."""
+    from morphl_community_edition_spark.operators.semdedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.4, n_cells=16).orderBy("vec_id")

@@ -241,3 +241,47 @@ def test_q109_fingerprint_screen_superset_of_exact(spark):
     for src, n in exact.items():
         assert fp.get(src, 0) >= n, f"{src}: fingerprint screen missed exact hits"
     assert sum(fp.values()) - sum(exact.values()) <= 5
+
+
+def test_semdedup_clustered_refines_exact(spark):
+    """q129 (16 KMeans cells) vs q128 (exact single cell): clustering
+    only DROPS cross-cell comparisons, so (1) every clustered dup
+    edge is also an exact dup edge, (2) every clustered duplicate
+    group is contained in one exact group, and (3) nobody the exact
+    config keeps as a singleton gets clustered into a group. This is
+    the correctness transfer that lets q128's oracle certify the
+    scale configuration."""
+    from morphl_community_edition_spark.catalog import load_table
+    from morphl_community_edition_spark.operators.semdedup import (
+        assign_cells,
+        semantic_dup_edges,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact_edges = {
+        (r["a_vec"], r["b_vec"])
+        for r in semantic_dup_edges(assign_cells(emb, 1), 0.4).collect()
+    }
+    clus_edges = {
+        (r["a_vec"], r["b_vec"])
+        for r in semantic_dup_edges(assign_cells(emb, 16), 0.4).collect()
+    }
+    assert exact_edges, "fixture produced no dup edges — test went vacuous"
+    assert clus_edges <= exact_edges, (
+        f"clustered edges invented pairs: {sorted(clus_edges - exact_edges)[:5]}"
+    )
+
+    from morphl_community_edition_spark.queries import QUERIES
+
+    exact = {r["vec_id"]: r["comp"] for r in QUERIES["q128_semantic_dedup_exact"](spark, SF_DIR).collect()}
+    clus = {r["vec_id"]: r["comp"] for r in QUERIES["q129_semantic_dedup"](spark, SF_DIR).collect()}
+    assert set(exact) == set(clus), "per-vector verdict must cover the whole corpus"
+    # refinement: same clustered comp -> same exact comp
+    by_clus: dict = {}
+    for v, c in clus.items():
+        by_clus.setdefault(c, []).append(v)
+    for members in by_clus.values():
+        assert len({exact[v] for v in members}) == 1, (
+            f"clustered group {sorted(members)[:6]} spans exact groups"
+        )

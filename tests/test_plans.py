@@ -670,3 +670,24 @@ def test_bpe_iteration_never_rereads_corpus(spark):
     plan = pc._jdf.queryExecution().executedPlan().toString()
     assert "FileScan" not in plan, f"iteration re-reads the corpus:\n{plan[:1500]}"
     assert has_partial_aggregate(pc), "pair count lost map-side combine"
+
+
+def test_semdedup_pair_join_stays_cell_equi_join(spark):
+    """q129 SemDeDup (round-7): the within-cell pair comparison must
+    remain a hash/sort-merge EQUI join on cell id — the a < b and
+    sim >= t predicates ride as join filters, never degrading to a
+    cartesian corpus² comparison (the whole point of the cells)."""
+    from morphl_community_edition_spark.catalog import load_table
+    from morphl_community_edition_spark.operators.semdedup import (
+        assign_cells,
+        semantic_dup_edges,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = (
+        semantic_dup_edges(assign_cells(emb, 16), 0.4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, (
+        plan[:1500]
+    )
