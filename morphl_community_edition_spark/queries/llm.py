@@ -893,3 +893,66 @@ def q129_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, threshold=0.4, n_cells=16).orderBy("vec_id")
+
+
+_QUANTIZED_RETRIEVAL_ORACLE = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    qz AS MATERIALIZED (
+      SELECT vec_id, emb,
+             list_transform(emb, x -> floor(x * 127.0 / s + 0.5)) AS code
+      FROM (SELECT vec_id, emb,
+                   greatest(list_aggregate(list_transform(emb, x -> abs(x)), 'max'),
+                            1e-30) AS s
+            FROM e)
+    ),
+    p AS (SELECT * FROM qz WHERE vec_id < 10),
+    cand AS (
+      SELECT p.vec_id AS q_vec, c.vec_id AS n_vec,
+             floor((list_dot_product(p.code, c.code)
+                   / (sqrt(list_dot_product(p.code, p.code)
+                           * list_dot_product(c.code, c.code)) + 1e-30))
+                   * 1e6 + 0.5) / 1e6 AS isim
+      FROM p JOIN qz c ON c.vec_id != p.vec_id
+    ),
+    topc AS (
+      SELECT q_vec, n_vec FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_vec
+                                     ORDER BY isim DESC, n_vec) AS crk
+        FROM cand) WHERE crk <= 50
+    ),
+    rer AS (
+      SELECT t.q_vec, t.n_vec,
+             floor((list_dot_product(a.emb, b.emb)
+                   / (sqrt(list_dot_product(a.emb, a.emb))
+                      * sqrt(list_dot_product(b.emb, b.emb))))
+                   * 1e6 + 0.5) / 1e6 AS sim
+      FROM topc t JOIN e a ON a.vec_id = t.q_vec JOIN e b ON b.vec_id = t.n_vec
+    )
+    SELECT q_vec, n_vec, sim, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_vec
+                                       ORDER BY sim DESC, n_vec) AS rnk FROM rer)
+    WHERE rnk <= 5
+    ORDER BY q_vec, rnk
+"""
+
+
+@query("q130_quantized_retrieval", oracle=_QUANTIZED_RETRIEVAL_ORACLE)
+def q130_quantized_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized two-tier retrieval (round 7): candidates scored
+    on q94's int8 codes (integer dot products — the memory-bound
+    serving shape), top-50 per query exactly re-ranked in float,
+    top-5 returned. Every stage is deterministic (exact quantization,
+    integer candidate math, canonical rounding, id tie-breaks), so
+    the DuckDB oracle replays the ENTIRE pipeline — not just the
+    re-rank — and the hash match certifies both tiers. Recall vs the
+    unquantized exact KNN (q39) is asserted by the tolerance suite;
+    same 10-probe workload as q39/q124 for comparability."""
+    from morphl_community_edition_spark.operators.similarity import (
+        quantized_cosine_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return quantized_cosine_topk(emb, probes, k=5, n_candidates=50).orderBy(
+        "q_vec", "rnk"
+    )

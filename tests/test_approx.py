@@ -285,3 +285,25 @@ def test_semdedup_clustered_refines_exact(spark):
         assert len({exact[v] for v in members}) == 1, (
             f"clustered group {sorted(members)[:6]} spans exact groups"
         )
+
+
+def test_quantized_retrieval_recall_vs_exact(spark):
+    """q130 (int8 candidates + float re-rank) vs q39 (unquantized
+    exact KNN), same 10-probe workload: recall@5 must stay >= 0.9 —
+    int8 on 64-dim embeddings is near-lossless and the top-50
+    candidate tier gives the re-ranker ample slack. A drop below
+    the bound means the quantizer or the candidate cut regressed."""
+    from morphl_community_edition_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    exact = {}
+    for r in QUERIES["q39_ann_topk"](spark, SF_DIR).collect():
+        exact.setdefault(r["q_vec"], set()).add(r["n_vec"])
+    quant = {}
+    for r in QUERIES["q130_quantized_retrieval"](spark, SF_DIR).collect():
+        quant.setdefault(r["q_vec"], set()).add(r["n_vec"])
+    assert set(exact) == set(quant)
+    hits = sum(len(exact[q] & quant[q]) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    recall = hits / total
+    assert recall >= 0.9, f"quantized recall@5 regressed: {recall:.3f} ({hits}/{total})"
