@@ -70,3 +70,86 @@ def view_purchase_attribution(
     return purchases.join(views, cond, "inner").select(
         "purchase_id", F.col("p_user").alias("user_id"), "p_ts", "view_id", "v_ts", "purchase_value"
     )
+
+
+def asof_join_stream_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    ts: str,
+    right_payload: list[str],
+    watermark: str | None = "1 hour",
+    strict: bool = True,
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Streaming as-of join (stream-side C8, round 7): each stream row
+    picks up the most recent dimension version at-or-before its ts
+    (strict: strictly before). Returns all stream columns plus each
+    payload column as ``asof_<col>`` (NULL when nothing qualifies) —
+    the same output contract as operators/asof.asof_join, asserted
+    equal by the S9 suite test.
+
+    Device: the batch union+window carry cannot run stream-side
+    (Structured Streaming forbids row windows over a streaming frame),
+    so the STATIC side is closed into validity intervals instead —
+    a lead() window on the dimension (batch side, allowed) turns
+    version v into [v.ts, next.ts), and the streaming side then needs
+    only a stream-static LEFT interval join: per-row predicate
+    evaluation, NO streaming state beyond the watermark bound, no
+    buffering of the dimension in the state store. Spark re-plans the
+    static side per micro-batch, which is what makes this the
+    slowly-changing-dimension shape: a dim refresh lands in the next
+    batch automatically.
+
+    Semantics matched to the batch twin, case by case:
+    - strict ties (event.ts == version.ts): version interval is
+      (v.ts, next.ts], so an equal-ts version is excluded — the batch
+      side's side-ordering rule;
+    - duplicate version timestamps in one key: orderBy(ts, payload)
+      gives every non-final tie a zero-length interval, so exactly
+      the MAX-payload version matches — the batch side's max-struct
+      tie-break;
+    - NULL keys: eqNullSafe, because the batch window's partitionBy
+      groups NULL keys together (the round-6 NULL-key lesson);
+    - tolerance folds into the join condition (a too-far match and no
+      match both yield NULL payload under a left join — exactly the
+      batch twin's post-carry null-out).
+
+    Scale: the dimension (with intervals) broadcasts when small —
+    the common case for dims — else shuffles on the equi key; stream
+    state is zero, so throughput is bounded by the scan, not the
+    state store. The watermark documents the late-data bound; it is
+    not needed for correctness of a static right side."""
+    from pyspark.sql import Window
+
+    payload_tagged = [f"asof_{c}" for c in right_payload]
+    w = Window.partitionBy(key).orderBy(
+        F.col(ts).asc(), *[F.col(c).asc_nulls_first() for c in right_payload]
+    )
+    d = (
+        dim.select(key, ts, *right_payload)
+        .withColumn("__next_ts", F.lead(ts).over(w))
+        .select(
+            F.col(key).alias("__dkey"),
+            F.col(ts).alias("__vts"),
+            "__next_ts",
+            *[F.col(c).alias(p) for c, p in zip(right_payload, payload_tagged)],
+        )
+    )
+    s = stream.withWatermark(ts, watermark) if watermark else stream
+    ev_ts = s[ts]
+    if strict:
+        cond = (ev_ts > F.col("__vts")) & (
+            F.col("__next_ts").isNull() | (ev_ts <= F.col("__next_ts"))
+        )
+    else:
+        cond = (ev_ts >= F.col("__vts")) & (
+            F.col("__next_ts").isNull() | (ev_ts < F.col("__next_ts"))
+        )
+    if tolerance_seconds is not None:
+        gap = ev_ts.cast("double") - F.col("__vts").cast("double")
+        cond = cond & (F.abs(gap) <= F.lit(float(tolerance_seconds)))
+    joined = s.join(d, s[key].eqNullSafe(F.col("__dkey")) & cond, "left")
+    return joined.select(
+        *[s[c] for c in stream.columns], *[F.col(p) for p in payload_tagged]
+    )

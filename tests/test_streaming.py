@@ -499,3 +499,47 @@ def test_s4_stateful_counts_null_value_contributes_zero(spark, tmp_path):
     got = run_stream(spark, running_user_counts(stream), "s4_nullval", mode="update")
     final = {r["user_id"]: (r["running_count"], r["running_value"]) for r in got.collect()}
     assert final[5] == (2, 2.5), final
+
+
+def test_s9_stream_static_asof_join_equals_batch(spark, staged, events_batch):
+    """C8 under A6 ingest (round-7): the events stream as-of joined
+    against a static versioned dimension (per-user purchase history)
+    must emit exactly operators/asof.asof_join's batch result — same
+    strict-tie, duplicate-version and NULL-key semantics, per row.
+    Also re-checked under a tolerance cap, where both sides must null
+    out the same too-far matches."""
+    from morphl_community_edition_spark.operators.asof import asof_join
+    from morphl_community_edition_spark.sources.stream import read_stream_dir
+    from morphl_community_edition_spark.streaming.joins import asof_join_stream_static
+
+    dim = events_batch.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    stream = read_stream_dir(spark, staged, "events")
+    got = run_stream(
+        spark,
+        asof_join_stream_static(stream, dim, "user_id", "ts", ["value"]),
+        "s9_asof",
+        mode="append",
+    )
+    want = asof_join(events_batch, dim, "user_id", "ts", ["value"], strict=True)
+    assert_frames_equal(got, want)
+
+    got_tol = run_stream(
+        spark,
+        asof_join_stream_static(
+            stream, dim, "user_id", "ts", ["value"], tolerance_seconds=3600.0
+        ),
+        "s9_asof_tol",
+        mode="append",
+    )
+    want_tol = asof_join(
+        events_batch, dim, "user_id", "ts", ["value"], strict=True,
+        tolerance_seconds=3600.0,
+    )
+    assert_frames_equal(got_tol, want_tol)
+    # the tolerance must actually bite at this fixture, or the second
+    # check is the first one again
+    n_matched = want.filter(F.col("asof_value").isNotNull()).count()
+    n_matched_tol = want_tol.filter(F.col("asof_value").isNotNull()).count()
+    assert n_matched_tol < n_matched, "tolerance cap never fired — vacuous"
