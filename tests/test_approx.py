@@ -259,13 +259,17 @@ def test_semdedup_clustered_refines_exact(spark):
     from tests.conftest import SF_DIR
 
     emb = load_table(spark, SF_DIR, "embeddings")
+    # one side per tier on purpose: exact on the JVM fold (q128's
+    # oracle shape), clustered on the per-cell GEMM (q129's scale
+    # shape) — so the subset assertion also cross-validates that the
+    # two tiers agree through the shared crnd-6 rounding
     exact_edges = {
         (r["a_vec"], r["b_vec"])
-        for r in semantic_dup_edges(assign_cells(emb, 1), 0.4).collect()
+        for r in semantic_dup_edges(assign_cells(emb, 1), 0.4, method="fold").collect()
     }
     clus_edges = {
         (r["a_vec"], r["b_vec"])
-        for r in semantic_dup_edges(assign_cells(emb, 16), 0.4).collect()
+        for r in semantic_dup_edges(assign_cells(emb, 16), 0.4, method="gemm").collect()
     }
     assert exact_edges, "fixture produced no dup edges — test went vacuous"
     assert clus_edges <= exact_edges, (

@@ -672,11 +672,12 @@ def test_bpe_iteration_never_rereads_corpus(spark):
     assert has_partial_aggregate(pc), "pair count lost map-side combine"
 
 
-def test_semdedup_pair_join_stays_cell_equi_join(spark):
-    """q129 SemDeDup (round-7): the within-cell pair comparison must
-    remain a hash/sort-merge EQUI join on cell id — the a < b and
-    sim >= t predicates ride as join filters, never degrading to a
-    cartesian corpus² comparison (the whole point of the cells)."""
+def test_semdedup_pair_join_stays_cell_bounded(spark):
+    """q129 SemDeDup (round-7): both pair tiers must stay cell-
+    bounded. The fold tier is a hash/sort-merge EQUI join on cell id
+    (a < b and sim >= t ride as join filters — never a cartesian
+    corpus² comparison); the gemm tier is one grouped Arrow exchange
+    (FlatMapGroupsInPandas over cell), with no join at all."""
     from morphl_community_edition_spark.catalog import load_table
     from morphl_community_edition_spark.operators.semdedup import (
         assign_cells,
@@ -684,10 +685,17 @@ def test_semdedup_pair_join_stays_cell_equi_join(spark):
     )
 
     emb = load_table(spark, SF_DIR, "embeddings")
-    plan = (
-        semantic_dup_edges(assign_cells(emb, 16), 0.4)
+    assigned = assign_cells(emb, 16)
+    fold_plan = (
+        semantic_dup_edges(assigned, 0.4, method="fold")
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, (
-        plan[:1500]
+    assert "CartesianProduct" not in fold_plan and "BroadcastNestedLoopJoin" not in fold_plan, (
+        fold_plan[:1500]
     )
+    gemm_plan = (
+        semantic_dup_edges(assigned, 0.4, method="gemm")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FlatMapGroupsInPandas" in gemm_plan, gemm_plan[:1500]
+    assert "Join" not in gemm_plan, gemm_plan[:1500]

@@ -226,3 +226,35 @@ def test_readme_test_count_matches_collection():
     n = int(m.group(1))
     readme = (repo / "README.md").read_text()
     assert f"{n} tests" in readme, f"README should declare {n} tests"
+
+
+def test_scale_sweep_artifact_regenerated_this_round():
+    """Round-7 verdict #5: the decade-ratio scale evidence must be
+    REGENERATED every round, not hand-run once and fossilized. The
+    current build round is max(CORRECTNESS_r*) + 1 (the driver writes
+    its artifact at round END); tools/scale_sweep.py writes
+    SCALE_r{N}.json for that round, and this test is the forcing
+    function — red at round start until the sweep has run."""
+    import glob
+    import json
+    import re
+
+    repo = qmod.Path(qmod.__file__).resolve().parents[2]
+    rounds = [
+        int(re.search(r"r(\d+)", p).group(1))
+        for p in glob.glob(str(repo / "CORRECTNESS_r*.json"))
+    ]
+    if not rounds:  # fresh checkout without driver artifacts
+        return
+    current = max(rounds) + 1
+    path = repo / f"SCALE_r{current:02d}.json"
+    assert path.exists(), (
+        f"SCALE_r{current:02d}.json missing — run `python tools/scale_sweep.py` "
+        "to regenerate this round's decade-ratio evidence"
+    )
+    report = json.loads(path.read_text())
+    assert report["round"] == current
+    fams = report["families"]
+    assert {"documents", "events", "embeddings"} <= set(fams)
+    for fam in fams.values():
+        assert fam["sf0.1"] and fam["variants"]

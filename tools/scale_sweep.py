@@ -1,0 +1,194 @@
+"""Per-round scale-trend sweep (round-7 verdict #5): regenerate the
+three-point decade evidence every round instead of hand-running it.
+
+One committed harness folds tools/scale_documents.py and
+tools/scale_events.py into a single run, adds the embeddings family
+(round-7 ops), and writes ``SCALE_r{N}.json`` at the repo root with,
+per (family, variant, query): the sf0.1 baseline, the ~sf1 (10×)
+timing, and the decade ratio — so the round-over-round diff is a
+one-line ``diff <(jq . SCALE_r6) <(jq . SCALE_r7)`` instead of an
+archaeology session. tests/test_registry_rotation.py asserts the
+artifact for the CURRENT round exists, which is the forcing function
+that keeps the trend regenerated.
+
+Families and their adversarial variants (rationales in the two
+source scripts and SCALE.md):
+
+- documents: ``grown`` (honest 10× corpus) and ``dup90`` (90%
+  duplicates — keeper/gram hot-key stress); round-7 adds q127 BPE.
+- events: ``grown`` (10× users) and ``skew10`` (same users, 10×
+  history — per-user window serialization stress).
+- embeddings (new, round 7): ``grown`` — 10 deterministic copies,
+  each shifted by +0.001·i per dimension so vectors stay DISTINCT
+  with the same geometry; measures q129 SemDeDup (within-cell pair
+  cost: cells hold 10× more, so this is the sum(cell²) bound the
+  operator's docstring claims) and q130 quantized retrieval (corpus
+  scoring scales linearly; probe count held constant).
+
+Usage: python tools/scale_sweep.py [round_no] [workdir=/tmp/scale-sweep]
+Round defaults to max(CORRECTNESS_r*.json) + 1 — the round being
+built now. Variant tables are rebuilt from the driver's sf0.1
+fixtures on every run (they live in /tmp, never committed).
+"""
+
+from __future__ import annotations
+
+import glob
+import importlib.util
+import json
+import os
+import re
+import sys
+import time
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF01 = "/root/testdata/sf0.1"
+COPIES = 10
+
+DOC_QUERIES = (
+    "q24_exact_dedup",
+    "q113_exact_substring_dup",
+    "q119_paragraph_dedup",
+    "q112_repetition_quality",
+    "q118_pii_redaction",
+    "q120_epoch_mix",
+    "q121_simhash_hamming_pairs",
+    "q123_minhash_lsh_pairs_exact",
+    "q127_bpe_merges",
+)
+EVENT_QUERIES = (
+    "q16_sessionize",
+    "q111_session_funnel",
+    "q100_retention_cohorts",
+    "q101_rolling_dau",
+    "q102_purchase_intervals",
+)
+EMB_QUERIES = (
+    "q129_semantic_dedup",
+    "q130_quantized_retrieval",
+)
+
+
+def _load(name: str):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(REPO, "tools", f"{name}.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def current_round() -> int:
+    rounds = [
+        int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def build_embeddings(outdir: str) -> None:
+    con = duckdb.connect()
+    src = f"{SF01}/embeddings.parquet"
+    n = con.execute(f"SELECT count(*) FROM read_parquet('{src}')").fetchone()[0]
+    d = os.path.join(outdir, "grown")
+    os.makedirs(d, exist_ok=True)
+    out = os.path.join(d, "embeddings.parquet")
+    con.execute(
+        f"""
+        COPY (
+          SELECT vec_id + c.i * {n} AS vec_id,
+                 list_transform(embedding, x -> CAST(x + 0.001 * c.i AS FLOAT))
+                     AS embedding,
+                 label
+          FROM read_parquet('{src}'), (SELECT unnest(range({COPIES})) AS i) c
+          ORDER BY vec_id
+        ) TO '{out}' (FORMAT PARQUET, ROW_GROUP_SIZE {max(1024, n * COPIES // 32)})
+        """
+    )
+    print(f"built {out}: {os.path.getsize(out) >> 20} MiB", file=sys.stderr)
+
+
+def _measure(spark, queries, sf_dir, runs: int = 3) -> dict[str, float]:
+    from morphl_community_edition_spark.queries import QUERIES
+
+    out: dict[str, float] = {}
+    for name in queries:
+        best = float("inf")
+        for _ in range(runs):  # first run warms; keep best
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
+        print(f"{sf_dir.rsplit('/', 1)[-1]} {name}: {best:.2f}s", file=sys.stderr)
+    return out
+
+
+def main() -> None:
+    round_no = int(sys.argv[1]) if len(sys.argv) > 1 else current_round()
+    workdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale-sweep"
+    docs_dir = os.path.join(workdir, "docs")
+    events_dir = os.path.join(workdir, "events")
+    emb_dir = os.path.join(workdir, "emb")
+
+    _load("scale_documents").build(docs_dir)
+    _load("scale_events").build(events_dir)
+    build_embeddings(emb_dir)
+
+    from morphl_community_edition_spark.engine import get_spark
+
+    spark = get_spark(app_name=f"scale-sweep-r{round_no}")
+    report: dict = {
+        "round": round_no,
+        "copies": COPIES,
+        "protocol": "best-of-3 warm per (variant, query); baselines at the driver sf0.1 fixture; variants rebuilt from it per run",
+        "families": {},
+    }
+    for family, queries, base_dir, variants in (
+        ("documents", DOC_QUERIES, SF01, [("grown", docs_dir), ("dup90", docs_dir)]),
+        ("events", EVENT_QUERIES, SF01, [("grown", events_dir), ("skew10", events_dir)]),
+        ("embeddings", EMB_QUERIES, SF01, [("grown", emb_dir)]),
+    ):
+        base = _measure(spark, queries, base_dir)
+        fam: dict = {"sf0.1": base, "variants": {}}
+        for vname, vroot in variants:
+            timings = _measure(spark, queries, os.path.join(vroot, vname))
+            fam["variants"][vname] = {
+                "timings": timings,
+                "decade_ratio": {
+                    q: (round(timings[q] / base[q], 2) if base[q] > 0 else None)
+                    for q in queries
+                },
+            }
+        report["families"][family] = fam
+
+    # the SemDeDup paper's scale knob: n_cells grows with the corpus
+    # (cells ≈ corpus/const keeps within-cell pair cost flat). q129
+    # pins 16 cells at every SF, so the honest 10× point also measures
+    # the operator with cells scaled 10× (16 -> 160).
+    from morphl_community_edition_spark.catalog import load_table
+    from morphl_community_edition_spark.operators.semdedup import semantic_dedup
+
+    emb_grown = load_table(spark, os.path.join(emb_dir, "grown"), "embeddings")
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        semantic_dedup(emb_grown, threshold=0.4, n_cells=160).collect()
+        best = min(best, time.perf_counter() - t0)
+    report["families"]["embeddings"]["variants"]["grown"]["timings"][
+        "semantic_dedup_cells_scaled_160"
+    ] = round(best, 3)
+    print(f"grown semantic_dedup(n_cells=160): {best:.2f}s", file=sys.stderr)
+
+    out_path = os.path.join(REPO, f"SCALE_r{round_no:02d}.json")
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1)
+        f.write("\n")
+    print(json.dumps({"written": out_path}))
+
+
+if __name__ == "__main__":
+    main()
