@@ -339,19 +339,22 @@ def invalidate_tables(spark: SparkSession, sf_dir: str | None = None) -> int:
     # memo cannot be mapped back to a path, so it drops entirely for
     # this session (cost: one re-count per valved query after an
     # explicit invalidation — correct beats memoized here)
-    try:
-        from morphl_community_edition_spark.operators import dedup as _dedup
-        from morphl_community_edition_spark.queries import pipeline_ops as _pipe
+    # NOT wrapped in a broad except (round-7 review): a swallowed
+    # failure here would silently leave the stale count in place —
+    # the exact wrong-result bug this clearing exists to prevent.
+    # Same rule as the sink's existence check: real failures must
+    # propagate. (Lazy imports only to avoid a module-load cycle;
+    # both modules import catalog.)
+    from morphl_community_edition_spark.operators import dedup as _dedup
+    from morphl_community_edition_spark.queries import pipeline_ops as _pipe
 
-        counts = _pipe._DOC_COUNT_MEMO.get(spark)
-        if counts is not None:
-            if sf_dir is None:
-                counts.clear()
-            else:
-                counts.pop(sf_dir, None)
-        _dedup._FRAC_COUNT_MEMO.pop(spark, None)
-    except Exception:  # noqa: BLE001 — cache clear is best-effort
-        pass
+    counts = _pipe._DOC_COUNT_MEMO.get(spark)
+    if counts is not None:
+        if sf_dir is None:
+            counts.clear()
+        else:
+            counts.pop(sf_dir, None)
+    _dedup._FRAC_COUNT_MEMO.pop(spark, None)
     # the staged micro-batch input cache (sources/stream) snapshots
     # table CONTENT on disk — same staleness class, cleared lazily to
     # avoid a circular import

@@ -76,10 +76,14 @@ def _gemm_cell_edges(assigned: DataFrame, threshold: float) -> DataFrame:
     blocked M·Mᵀ — the literal per-cluster similarity matrix from the
     SemDeDup paper, and the Arrow-batched fast path for the quadratic
     inner loop (measured 38.6 s -> ~4 s on the 10×-corpus sweep
-    variant vs the JVM fold). Identical crnd-6 rounding formula, so
-    the edge set matches the fold tier (asserted by the refinement
-    suite, which runs one side on each tier; same precedent as the
-    q38/q12 GEMM dispatcher being oracle-hash-green).
+    variant vs the JVM fold). Identical crnd-6 rounding FORMULA — but
+    BLAS M·Mᵀ accumulates in a different order than the sequential
+    JVM fold, so agreement of the rounded values is EMPIRICAL, not
+    proven: a cosine within 1 ulp of a floor boundary (or of the
+    threshold) could in principle round apart. The refinement suite
+    is the standing guard (it runs one side on each tier and asserts
+    the gemm edge set ⊆ the fold edge set); same accepted posture as
+    the q38/q12 GEMM dispatcher, oracle-hash-green across rounds.
 
     Memory bound: one cell must fit a worker — row-blocked at 1024
     rows so peak is 1024 × cell_size doubles, plus the cell's

@@ -392,22 +392,17 @@ INCR_VALVE_FRAC = 0.02
 INCR_VALVE_MIN_DF = 2
 
 
-def incremental_dedup_frame(
+def incremental_dedup_stages(
     docs: DataFrame,
     is_new,
     n_docs: int,
     stop_frac: float = INCR_VALVE_FRAC,
-) -> DataFrame:
-    """Classify each NEW-batch document against the EXISTING corpus
-    (columns doc_id/source/text; ``is_new`` a boolean Column) —
-    exact_dup / near_dup / unique. Shared by q114 and the fixed-batch
-    scale measurement (tools/sweep protocol: a production batch does
-    NOT grow with the corpus, so the honest 10× experiment holds the
-    batch constant; SCALE.md round 6).
-
-    ``n_docs`` is the corpus document count, passed by the caller (one
-    count() job there) so the valve limit is corpus-relative without
-    re-counting here."""
+) -> dict[str, DataFrame]:
+    """The named intermediate frames of the incremental-dedup
+    pipeline — ONE builder shared by incremental_dedup_frame (the
+    registered q114) and tools/profile_q114.py (the SCALE.md stage
+    decomposition), so the published per-stage numbers can never
+    drift from the pipeline q114 actually runs (round-7 review)."""
     from morphl_community_edition_spark.operators.dedup import (
         resolve_doc_freq_limit,
         word_shingles,
@@ -462,6 +457,37 @@ def incremental_dedup_frame(
     new_docs = docs.filter(is_new).select(
         "doc_id", F.md5(F.col("text").cast("binary")).alias("h")
     )
+    return {
+        "shingle_explode": sh,
+        "batch_shingles": batch_sh,
+        "stop_set": stop,
+        "valved_shingles": shv,
+        "valved_sizes": sz,
+        "intersection": inter,
+        "near_verify": near,
+        "exact_hashes": ex_hashes,
+        "new_docs": new_docs,
+    }
+
+
+def incremental_dedup_frame(
+    docs: DataFrame,
+    is_new,
+    n_docs: int,
+    stop_frac: float = INCR_VALVE_FRAC,
+) -> DataFrame:
+    """Classify each NEW-batch document against the EXISTING corpus
+    (columns doc_id/source/text; ``is_new`` a boolean Column) —
+    exact_dup / near_dup / unique. Shared by q114 and the fixed-batch
+    scale measurement (tools/sweep protocol: a production batch does
+    NOT grow with the corpus, so the honest 10× experiment holds the
+    batch constant; SCALE.md round 6).
+
+    ``n_docs`` is the corpus document count, passed by the caller (one
+    count() job there) so the valve limit is corpus-relative without
+    re-counting here."""
+    st = incremental_dedup_stages(docs, is_new, n_docs, stop_frac)
+    new_docs, ex_hashes, near = st["new_docs"], st["exact_hashes"], st["near_verify"]
     # ex_hashes is EXISTING-CORPUS-sized: never hint it broadcast — at
     # scale the membership probe is a shuffle on the 16-byte hash
     # (linear; AQE still broadcast-converts it at fixture size). The

@@ -240,8 +240,10 @@ def test_scale_sweep_artifact_regenerated_this_round():
     import re
 
     repo = qmod.Path(qmod.__file__).resolve().parents[2]
+    import os
+
     rounds = [
-        int(re.search(r"r(\d+)", p).group(1))
+        int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
         for p in glob.glob(str(repo / "CORRECTNESS_r*.json"))
     ]
     if not rounds:  # fresh checkout without driver artifacts

@@ -46,15 +46,9 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from morphl_community_edition_spark.catalog import load_table
-    from morphl_community_edition_spark.operators.dedup import (
-        resolve_doc_freq_limit,
-        word_shingles,
-    )
-    from morphl_community_edition_spark.plans.hints import fan_out_narrow_scan
     from morphl_community_edition_spark.queries import QUERIES
     from morphl_community_edition_spark.queries.pipeline_ops import (
-        INCR_VALVE_FRAC,
-        INCR_VALVE_MIN_DF,
+        incremental_dedup_stages,
     )
     from morphl_community_edition_spark.session import get_spark
 
@@ -62,67 +56,17 @@ def main() -> int:
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
     is_new = F.col("source") == "src1"
-    stop_df_limit = resolve_doc_freq_limit(
-        INCR_VALVE_FRAC, n_docs, min_df=INCR_VALVE_MIN_DF
-    )
 
     def stages():
-        sh = word_shingles(
-            fan_out_narrow_scan(docs.select("doc_id", "source", "text")), "text", 3
-        ).select("doc_id", "source", F.explode("shingles").alias("s"))
-        batch_sh = sh.filter(is_new).select("s").distinct()
-        stop = (
-            sh.join(F.broadcast(batch_sh), "s")
-            .groupBy("s")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") > stop_df_limit)
-            .select("s")
+        # the REGISTERED pipeline's own stage builder (shared with
+        # incremental_dedup_frame) — the decomposition can never
+        # measure a pipeline q114 no longer runs (round-7 review)
+        st = incremental_dedup_stages(docs, is_new, n_docs)
+        st["exact_probe"] = st.pop("new_docs").join(
+            st.pop("exact_hashes"), "h", "left"
         )
-        shv = sh.join(F.broadcast(stop), "s", "left_anti")
-        sz = shv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-        inter = (
-            shv.filter(is_new)
-            .select(F.col("doc_id").alias("new_doc"), "s")
-            .join(
-                shv.filter(~is_new).select(F.col("doc_id").alias("ex_doc"), "s"), "s"
-            )
-            .groupBy("new_doc", "ex_doc")
-            .agg(F.count(F.lit(1)).alias("inter"))
-        )
-        raw_j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
-        near = (
-            inter.join(
-                sz.select(F.col("doc_id").alias("new_doc"), F.col("n_sh").alias("na")),
-                "new_doc",
-            )
-            .join(
-                sz.select(F.col("doc_id").alias("ex_doc"), F.col("n_sh").alias("nb")),
-                "ex_doc",
-            )
-            .filter(raw_j >= 0.5)
-            .select("new_doc")
-            .distinct()
-        )
-        exact = (
-            docs.filter(is_new)
-            .select("doc_id", F.md5(F.col("text").cast("binary")).alias("h"))
-            .join(
-                docs.filter(~is_new)
-                .select(F.md5(F.col("text").cast("binary")).alias("h"))
-                .distinct(),
-                "h",
-                "left",
-            )
-        )
-        return {
-            "shingle_explode": sh,
-            "batch_shingles": batch_sh,
-            "stop_set": stop,
-            "valved_sizes": sz,
-            "intersection": inter,
-            "near_verify": near,
-            "exact_probe": exact,
-        }
+        st.pop("valved_shingles")  # interior frame; sz/inter cover it
+        return st
 
     # warm everything once
     QUERIES["q114_incremental_dedup"](spark, sf_dir).collect()
