@@ -82,6 +82,9 @@ EXTRA = {
     "paragraph_dedup": "q119_paragraph_dedup",
     "epoch_mix": "q120_epoch_mix",
     "simhash_pairs": "q121_simhash_hamming_pairs",
+    "bpe_merges": "q127_bpe_merges",
+    "semantic_dedup": "q129_semantic_dedup",
+    "quantized_retrieval": "q130_quantized_retrieval",
 }
 
 # best-of-5 blocks × 3 full-suite passes: single-JVM local mode has

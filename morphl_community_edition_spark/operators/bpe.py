@@ -106,13 +106,17 @@ MERGES_SCHEMA = StructType(
 )
 
 
-def bpe_train(docs: DataFrame, k: int, text_col: str = "text") -> DataFrame:
-    """Learn the first ``k`` BPE merges; returns a k-row DataFrame
-    (rk, lhs, rhs, merged, pair_cnt) in merge order.
+def bpe_learn(
+    docs: DataFrame, k: int, text_col: str = "text"
+) -> tuple[list[tuple], DataFrame]:
+    """Run the k-merge training loop; returns (merge rows, the final
+    segmented vocabulary frame (word, freq, syms)) — the vocabulary
+    IS the trained tokenizer's segmentation of every corpus word, so
+    downstream ops (q131 subword frequencies, tokens-per-doc) read it
+    directly instead of re-applying merges.
 
-    Stops early (fewer than k rows) only if the vocabulary runs out
+    Stops early (fewer than k merges) only if the vocabulary runs out
     of adjacent pairs — impossible on any non-trivial corpus."""
-    spark = docs.sparkSession
     vocab = corpus_vocab(docs, text_col).withColumn(
         "syms", F.split(F.col("word"), "")
     )
@@ -135,4 +139,41 @@ def bpe_train(docs: DataFrame, k: int, text_col: str = "text") -> DataFrame:
         vocab = vocab.withColumn("syms", apply_merge(F.col("syms"), l, r))
         # re-checkpoint so plan depth stays O(1) across iterations
         vocab = vocab.localCheckpoint(eager=True)
-    return spark.createDataFrame(rows, MERGES_SCHEMA)
+    return rows, vocab
+
+
+def bpe_train(docs: DataFrame, k: int, text_col: str = "text") -> DataFrame:
+    """Learn the first ``k`` BPE merges; returns a k-row DataFrame
+    (rk, lhs, rhs, merged, pair_cnt) in merge order."""
+    rows, _ = bpe_learn(docs, k, text_col)
+    return docs.sparkSession.createDataFrame(rows, MERGES_SCHEMA)
+
+
+def bpe_subword_frequencies(
+    docs: DataFrame, k: int, top_n: int = 30, text_col: str = "text"
+) -> DataFrame:
+    """Corpus subword-token frequencies under the learned k-merge
+    tokenizer (the APPLY step that closes the loop train q127 →
+    tokenize here → coverage q126 → pack q103): every corpus word is
+    segmented by the final vocabulary, each token occurrence weighted
+    by word frequency; returns the ``top_n`` tokens as (rk, token,
+    cnt), tie-broken (cnt DESC, token).
+
+    Scale: the token aggregation runs over the segmented VOCABULARY
+    (tokens-per-word × vocab rows, never corpus-sized); the rank
+    window is over the aggregated token frame — the q82/q126
+    dimension-sized-window exception."""
+    from pyspark.sql import Window
+
+    _, vocab = bpe_learn(docs, k, text_col)
+    counts = (
+        vocab.select("freq", F.explode("syms").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "token")
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= top_n)
+        .select("rk", "token", "cnt")
+    )

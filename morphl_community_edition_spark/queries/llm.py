@@ -755,13 +755,15 @@ def q126_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle(k: int) -> str:
-    """Unrolled DuckDB twin of operators/bpe.bpe_train: k iterations
-    of pair-count -> deterministic winner -> greedy-leftmost merge,
-    generated as chained CTEs (the q121/q123 deterministic-twin
-    device — same algorithm, independently formulated: the merge step
-    here is the island-window form, the Spark side is a stack fold;
-    see operators/bpe.py for the equivalence argument)."""
+def _bpe_cte_chain(k: int) -> str:
+    """The shared unrolled CTE chain (w0 .. w{k}) of the BPE twin: k
+    iterations of pair-count -> deterministic winner ->
+    greedy-leftmost merge (the q121/q123 deterministic-twin device —
+    same algorithm, independently formulated: the merge step here is
+    the island-window form, the Spark side is a stack fold; see
+    operators/bpe.py for the equivalence argument). Used by q127's
+    merge oracle (reads v0..v{k-1}) and q131's tokenize oracle
+    (reads the final segmented vocabulary w{k})."""
     parts = [
         """
     WITH w0 AS MATERIALIZED (
@@ -806,15 +808,33 @@ def _bpe_oracle(k: int) -> str:
                FILTER (WHERE taken OR NOT ptk) AS syms
       FROM m{i} GROUP BY word
     )""")
+    return "".join(parts)
+
+
+def _bpe_oracle(k: int) -> str:
+    """q127's merge-list oracle: the CTE chain's k winners in order."""
     sel = "\n    UNION ALL ".join(
         f"SELECT {i + 1} AS rk, lhs, rhs, lhs || rhs AS merged, pair_cnt FROM v{i}"
         for i in range(k)
     )
-    parts.append(
+    return _bpe_cte_chain(k) + (
         f"\n    SELECT CAST(rk AS INTEGER) AS rk, lhs, rhs, merged, pair_cnt"
         f" FROM ({sel}) ORDER BY rk"
     )
-    return "".join(parts)
+
+
+def _bpe_tokenize_oracle(k: int, top_n: int) -> str:
+    """q131's oracle: subword-token frequencies from the final
+    segmented vocabulary w{k}, each token occurrence weighted by word
+    frequency — the tokenizer APPLY step replayed on the same chain."""
+    return _bpe_cte_chain(k) + f"""
+    SELECT CAST(rk AS INTEGER) AS rk, token, cnt FROM (
+      SELECT token, CAST(sum(freq) AS BIGINT) AS cnt,
+             row_number() OVER (ORDER BY sum(freq) DESC, token) AS rk
+      FROM (SELECT freq, unnest(syms) AS token FROM w{k})
+      GROUP BY token
+    ) WHERE rk <= {top_n} ORDER BY rk
+    """
 
 
 BPE_K = 12
@@ -956,3 +976,22 @@ def q130_quantized_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantized_cosine_topk(emb, probes, k=5, n_candidates=50).orderBy(
         "q_vec", "rnk"
     )
+
+
+@query("q131_bpe_tokenize", oracle=_bpe_tokenize_oracle(BPE_K, 30))
+def q131_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained 12-merge BPE tokenizer to the corpus and
+    rank the top-30 subword tokens by frequency (round 7; the APPLY
+    step that closes the tokenizer loop: train q127 → tokenize here →
+    coverage q126 → pack q103). Deterministic end to end — the
+    DuckDB oracle replays the same merges on the same unrolled chain
+    and tokenizes from its final segmented vocabulary, so the hash
+    match certifies training AND application together.
+
+    Scale shape: identical to q127 plus one vocab-sized token agg and
+    the q82/q126 dimension-sized rank window."""
+    from morphl_community_edition_spark.operators.bpe import bpe_subword_frequencies
+
+    return bpe_subword_frequencies(
+        load_table(spark, sf_dir, "documents"), k=BPE_K, top_n=30
+    ).orderBy("rk")

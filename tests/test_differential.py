@@ -554,7 +554,7 @@ def _py_bpe(texts: list[str], k: int) -> list[tuple]:
                     out.append(s[i])
                     i += 1
             syms[w] = out
-    return merges
+    return merges, syms, dict(vocab)
 
 
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
@@ -569,13 +569,20 @@ def _py_bpe(texts: list[str], k: int) -> list[tuple]:
     k=st.integers(1, 4),
 )
 def test_fuzz_bpe_matches_reference(texts, k):
-    """operators/bpe.bpe_train == the pure-Python textbook loop on
+    """operators/bpe.bpe_learn == the pure-Python textbook loop on
     random tiny corpora over a 2-letter alphabet (maximal pair
     collisions, including the l == r run case the stack-fold /
-    island-window equivalence argument hinges on)."""
-    from morphl_community_edition_spark.operators.bpe import bpe_train
+    island-window equivalence argument hinges on). Checks BOTH
+    outputs of one training run: the merge list (q127) and the final
+    segmented vocabulary the tokenize step reads (q131)."""
+    from collections import Counter
+
+    from morphl_community_edition_spark.operators.bpe import bpe_learn
 
     spark = _ENGINES["spark"]
     docs = spark.createDataFrame([(t,) for t in texts], ["text"])
-    got = [tuple(r) for r in bpe_train(docs, k=k).collect()]
-    assert got == _py_bpe(texts, k)
+    rows, vocab = bpe_learn(docs, k=k)
+    merges, ref_syms, ref_freq = _py_bpe(texts, k)
+    assert [tuple(r) for r in rows] == merges
+    got_vocab = {r["word"]: (r["freq"], list(r["syms"])) for r in vocab.collect()}
+    assert got_vocab == {w: (ref_freq[w], s) for w, s in ref_syms.items()}
