@@ -1,0 +1,85 @@
+"""Deterministic sampling for training-data mixing (K-family, round
+7): the downsampling half of data mixing — q120's epoch_mix
+UPsamples under-represented sources; these operators cut
+over-represented ones. Both are RNG-free: sampling decisions hash
+document identity (functions/hashing.md5_long60 — identical on every
+engine), so a sample is reproducible across runs, engines, cluster
+sizes, and partitionings, and is itself DuckDB-oracle-checkable
+(q132/q133). A `rand()` sample would be none of those.
+
+Two forms, two plan shapes:
+
+- ``hash_rate_sample``: keep a row iff
+  h(key ‖ salt) mod 10^6 < rate·10^6, with a per-stratum rate map.
+  A PURE scan-side filter — no shuffle, no state, whole-stage
+  codegen; the 100 TB default (sampling 100 TB costs one scan). The
+  kept fraction converges to the rate (law of large numbers on the
+  hash), it is not exact per stratum.
+- ``stratified_exact_sample``: exactly ``n`` rows per stratum — the
+  n smallest hashes (rank window per stratum). One shuffle on the
+  stratum key; the window is per-stratum-bounded, and at 100 TB you
+  pre-filter with hash_rate_sample at ~2-3× the target fraction
+  first so the sort ranks a sliver, not the corpus (the standard
+  top-n-by-hash trick; not needed at fixture scale).
+
+Salting: the salt is part of the sampling identity — two pipelines
+using different salts draw independent samples; re-running with the
+same salt reproduces the sample exactly (the property a training-data
+audit needs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from morphl_community_edition_spark.functions.hashing import md5_long60
+
+MOD = 1_000_000
+
+
+def sample_hash(key: Column, salt: str) -> Column:
+    """The sampling coordinate: 60-bit md5 of `key ‖ ':' ‖ salt`,
+    reduced mod 10^6 (uniform enough at 10^6 buckets; exact on both
+    engines)."""
+    return md5_long60(F.concat(key.cast("string"), F.lit(":" + salt))) % MOD
+
+
+def hash_rate_sample(
+    df: DataFrame,
+    key_col: str,
+    rates: dict[str, float],
+    strata_col: str,
+    default_rate: float = 0.0,
+    salt: str = "mix1",
+) -> DataFrame:
+    """Rate-based deterministic stratified sample: keep a row iff its
+    sampling coordinate falls below its stratum's rate. Strata not in
+    ``rates`` use ``default_rate`` (0.0 = drop unknown strata — the
+    allowlist posture a curated mix wants)."""
+    thr = F.lit(int(default_rate * MOD))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(F.col(strata_col) == stratum, F.lit(int(rate * MOD))).otherwise(thr)
+    return df.filter(sample_hash(F.col(key_col), salt) < thr)
+
+
+def stratified_exact_sample(
+    df: DataFrame,
+    key_col: str,
+    n_per_stratum: int,
+    strata_col: str,
+    salt: str = "mix1",
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum (fewer only if the
+    stratum is smaller): the n smallest sampling coordinates, hash
+    then key as the total tie-break order."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        sample_hash(F.col(key_col), salt).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__srk", F.row_number().over(w))
+        .filter(F.col("__srk") <= n_per_stratum)
+        .drop("__srk")
+    )

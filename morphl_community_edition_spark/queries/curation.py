@@ -1051,3 +1051,85 @@ def q122_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "epoch")
     )
+
+
+# the curated mix for q132: full src0-3, half src4-9, a fifth of
+# src10-15, src16-19 dropped (default_rate 0 — allowlist posture).
+# ONE dict builds both the Spark rate map and the oracle CASE chain,
+# so the two sides cannot drift.
+MIX_RATES: dict[str, float] = {
+    **{f"src{i}": 1.0 for i in range(0, 4)},
+    **{f"src{i}": 0.5 for i in range(4, 10)},
+    **{f"src{i}": 0.2 for i in range(10, 16)},
+}
+_MIX_SALT = "mix1"
+_MIX_MOD = 1_000_000
+
+
+def _sample_h_sql(key: str = "doc_id") -> str:
+    return (
+        f"CAST('0x' || substring(md5(CAST({key} AS VARCHAR) || ':{_MIX_SALT}'),"
+        f" 1, 15) AS BIGINT) % {_MIX_MOD}"
+    )
+
+
+def _rate_sample_oracle() -> str:
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {int(r * _MIX_MOD)}"
+        for s, r in sorted(MIX_RATES.items())
+    )
+    return f"""
+    SELECT doc_id, source
+    FROM (SELECT doc_id, source, {_sample_h_sql()} AS h FROM documents)
+    WHERE h < CASE {cases} ELSE 0 END
+    ORDER BY doc_id
+    """
+
+
+@query("q132_hash_rate_sample", oracle=_rate_sample_oracle())
+def q132_hash_rate_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic rate-based stratified downsample (round 7; the
+    cut half of data mixing — q120 upsamples, this drops): keep a doc
+    iff md5(doc_id‖salt) mod 10^6 falls under its source's rate;
+    unknown sources drop (allowlist). RNG-free, so the sample is
+    reproducible across engines/partitionings and hash-checkable.
+
+    Scale shape: a PURE scan-side filter — no shuffle, no window, no
+    state; sampling 100 TB costs exactly one scan (plan-gated: zero
+    Exchanges before the presentation sort)."""
+    from morphl_community_edition_spark.operators.sampling import hash_rate_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return hash_rate_sample(
+        docs, "doc_id", MIX_RATES, "source", default_rate=0.0, salt=_MIX_SALT
+    ).orderBy("doc_id")
+
+
+_EXACT_SAMPLE_N = 7
+
+
+@query(
+    "q133_stratified_exact_sample",
+    oracle=f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+      FROM (SELECT doc_id, source, {{h}} AS h FROM documents))
+    WHERE rk <= {_EXACT_SAMPLE_N} ORDER BY source, doc_id
+    """.format(h=_sample_h_sql()),
+)
+def q133_stratified_exact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sample (round 7): exactly 7 docs per
+    source — the n smallest md5 sampling coordinates, hash-then-id as
+    the total order. One shuffle on the stratum key; per-stratum
+    bounded window. At 100 TB, pre-filter with q132's rate sampler at
+    ~2-3x the target fraction so the rank sorts a sliver, not the
+    corpus (operators/sampling docstring)."""
+    from morphl_community_edition_spark.operators.sampling import (
+        stratified_exact_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_exact_sample(
+        docs, "doc_id", _EXACT_SAMPLE_N, "source", salt=_MIX_SALT
+    ).orderBy("source", "doc_id")

@@ -699,3 +699,41 @@ def test_semdedup_pair_join_stays_cell_bounded(spark):
     )
     assert "FlatMapGroupsInPandas" in gemm_plan, gemm_plan[:1500]
     assert "Join" not in gemm_plan, gemm_plan[:1500]
+
+
+def test_q132_rate_sample_is_pure_scan_side_filter(spark):
+    """q132 deterministic rate sampler (round-7): the sampling
+    decision must be a pure scan-side filter — zero Exchanges, zero
+    Windows, one FileScan. Sampling a 100 TB corpus must cost exactly
+    one scan; any shuffle here means the sampler regressed into a
+    rank/sort formulation."""
+    from morphl_community_edition_spark.catalog import load_table
+    from morphl_community_edition_spark.operators.sampling import hash_rate_sample
+    from morphl_community_edition_spark.queries.curation import MIX_RATES
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "source")
+    plan = (
+        hash_rate_sample(docs, "doc_id", MIX_RATES, "source")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan[:1500]
+    assert "Window" not in plan, plan[:1500]
+    assert plan.count("FileScan") == 1, plan[:1500]
+
+
+def test_q133_exact_sample_single_stratum_shuffle(spark):
+    """q133 exact-quota sampler: one shuffle (the stratum-key
+    exchange feeding the per-stratum rank window) and nothing else —
+    no join, no second exchange before the presentation sort."""
+    from morphl_community_edition_spark.catalog import load_table
+    from morphl_community_edition_spark.operators.sampling import (
+        stratified_exact_sample,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "source")
+    plan = (
+        stratified_exact_sample(docs, "doc_id", 7, "source")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan[:1500]
+    assert "Join" not in plan, plan[:1500]

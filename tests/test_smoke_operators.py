@@ -750,3 +750,33 @@ def test_k5_binaryfile_source_feeds_multimodal_pipeline(spark, tmp_path):
         assert got[i]["n_bytes"] == want["n_bytes"] == len(b)
         assert got[i]["first_byte"] == want["first_byte"]
         assert got[i]["fake_mean_pixel"] == want["fake_mean_pixel"]
+
+
+def test_sampling_determinism_and_quota(spark):
+    """q132/q133 samplers (round-7): same salt => identical sample
+    (the reproducibility property that motivates hashing over rand);
+    different salt => a different-but-valid draw; exact-quota form
+    returns exactly min(n, stratum size) rows per stratum; observed
+    rate tracks the configured rate at the law-of-large-numbers
+    level."""
+    from morphl_community_edition_spark.catalog import load_table
+    from morphl_community_edition_spark.operators.sampling import (
+        hash_rate_sample,
+        stratified_exact_sample,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "source")
+    rates = {f"src{i}": 0.5 for i in range(20)}
+    s1 = {r["doc_id"] for r in hash_rate_sample(docs, "doc_id", rates, "source", salt="a").collect()}
+    s2 = {r["doc_id"] for r in hash_rate_sample(docs, "doc_id", rates, "source", salt="a").collect()}
+    s3 = {r["doc_id"] for r in hash_rate_sample(docs, "doc_id", rates, "source", salt="b").collect()}
+    assert s1 == s2, "same salt must reproduce the sample exactly"
+    assert s1 != s3, "different salts must draw independent samples"
+    n = docs.count()
+    assert 0.4 < len(s1) / n < 0.6, f"0.5-rate sample kept {len(s1)}/{n}"
+
+    ex = stratified_exact_sample(docs, "doc_id", 7, "source").groupBy("source").count()
+    assert {r["count"] for r in ex.collect()} == {7}
+    big = stratified_exact_sample(docs, "doc_id", 10**6, "source")
+    assert big.count() == n, "quota above stratum size must return the stratum"
