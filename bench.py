@@ -97,7 +97,7 @@ EXTRA = {
 RUNS = 5
 PASSES = 3
 # best-of-N per EXTRA query per pass; 2 (not 5) bounds wall time for
-# the 20-query breadth tier while still giving PASSES x 2 = 6 samples
+# the breadth tier (~23 queries) while still giving PASSES x 2 = 6 samples
 EXTRA_RUNS = 2
 
 

@@ -1063,7 +1063,9 @@ MIX_RATES: dict[str, float] = {
     **{f"src{i}": 0.2 for i in range(10, 16)},
 }
 _MIX_SALT = "mix1"
-_MIX_MOD = 1_000_000
+# imported, not re-declared: the oracle CASE chain must use the SAME
+# bucket modulus as the Spark-side sampler (round-7 review)
+from morphl_community_edition_spark.operators.sampling import MOD as _MIX_MOD  # noqa: E402
 
 
 def _sample_h_sql(key: str = "doc_id") -> str:

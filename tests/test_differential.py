@@ -520,7 +520,7 @@ def test_fuzz_exact_dedup_invariant_under_repartition(rows, n_parts):
         assert got == expected
 
 
-def _py_bpe(texts: list[str], k: int) -> list[tuple]:
+def _py_bpe(texts: list[str], k: int) -> tuple[list[tuple], dict, dict]:
     """Pure-Python BPE merge training: the textbook greedy-leftmost
     loop (Sennrich et al. 2016), tie-break (count DESC, lhs, rhs) —
     the third independent formulation next to Spark's stack fold and

@@ -543,3 +543,27 @@ def test_s9_stream_static_asof_join_equals_batch(spark, staged, events_batch):
     n_matched = want.filter(F.col("asof_value").isNotNull()).count()
     n_matched_tol = want_tol.filter(F.col("asof_value").isNotNull()).count()
     assert n_matched_tol < n_matched, "tolerance cap never fired — vacuous"
+
+
+def test_s10_streaming_hash_rate_sample_equals_batch(spark, staged_docs):
+    """K-sampling under A6 ingest (round-7): the deterministic rate
+    sampler is a stateless scan-side filter, so it applies to a
+    stream UNCHANGED — no watermark, no state — and the streamed
+    sample must equal the batch sample exactly (the reproducibility
+    property, now across execution modes)."""
+    from morphl_community_edition_spark.operators.sampling import hash_rate_sample
+    from morphl_community_edition_spark.queries.curation import MIX_RATES
+    from morphl_community_edition_spark.sources.stream import read_stream_dir
+
+    stream = read_stream_dir(spark, staged_docs, "documents").select(
+        "doc_id", "source"
+    )
+    got = run_stream(
+        spark,
+        hash_rate_sample(stream, "doc_id", MIX_RATES, "source"),
+        "s10_sample",
+        mode="append",
+    )
+    docs = load_table(spark, SF_DIR_SMOKE, "documents").select("doc_id", "source")
+    want = hash_rate_sample(docs, "doc_id", MIX_RATES, "source")
+    assert_frames_equal(got, want)
