@@ -1,0 +1,161 @@
+"""Persisted dedup postings index (A5 × K1 composition, round 7):
+the PRODUCTION form of q114's incremental-ingest dedup.
+
+The round-7 decomposition (SCALE.md, tools/profile_q114.py) named
+q114's irreducible per-batch term: the corpus-wide shingle
+explode+distinct (2.24 s of its 3.44 s at sf0.1), re-derived 14×
+across the plan's branches — the one cost that grows with the corpus
+no matter how small the batch is. A continuously-fed pipeline does
+not re-shingle 100 TB per batch; it maintains an inverted index.
+This module is that index:
+
+- ``build_dedup_index(docs, path)`` — one corpus pass writes three
+  parquet tables under ``path``: ``postings`` (doc_id, s — the
+  distinct 3-gram inverted file, the expensive explode paid ONCE),
+  ``doc_stats`` (doc_id, n_sh_total), ``hashes`` (content md5 set
+  for the exact tier). At cluster scale the postings table would be
+  bucketed by shingle; incremental maintenance is an append of the
+  accepted batch's rows to all three (the A5 partitioned-sink
+  shape).
+- ``incremental_dedup_with_index(spark, path, batch, n_docs)`` —
+  classify a new batch exactly like q114, but every corpus-side
+  input comes from the index: per-batch work is batch-shingling (the
+  batch is small by definition) + index probes that are
+  batch-bounded (postings semi-joined to the broadcast batch-shingle
+  set) — no text decode, no corpus explode.
+
+Semantics are EQUAL to incremental_dedup_frame by construction, and
+asserted row-for-row by the suite: the df-valve counts batch +
+existing contributions separately (q114's df includes the batch's
+own occurrences); valved sizes for existing docs are
+``n_sh_total − |doc's shingles ∩ stop|`` where the correction join
+is stop-bounded; the Jaccard/near/exact tiers are shared shapes.
+
+Measured at sf0.1 (tools/measure_indexed.py): see SCALE.md round 7 —
+the per-batch cost with the index approaches the batch-bounded tail
+of the decomposition, which is the point.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from morphl_community_edition_spark.operators.dedup import (
+    resolve_doc_freq_limit,
+    word_shingles,
+)
+
+SHINGLE_N = 3
+
+
+def _shingle_rows(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, s): the distinct n-gram posting rows of each doc."""
+    return word_shingles(docs, text_col, SHINGLE_N).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+
+
+def build_dedup_index(docs: DataFrame, path: str, text_col: str = "text") -> None:
+    """One corpus pass -> postings / doc_stats / hashes parquet under
+    ``path``. ``docs`` needs (doc_id, text)."""
+    sh = _shingle_rows(docs.select("doc_id", text_col), text_col)
+    sh.write.mode("overwrite").parquet(os.path.join(path, "postings"))
+    sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh_total")
+    ).write.mode("overwrite").parquet(os.path.join(path, "doc_stats"))
+    docs.select(
+        F.md5(F.col(text_col).cast("binary")).alias("h")
+    ).distinct().write.mode("overwrite").parquet(os.path.join(path, "hashes"))
+
+
+def incremental_dedup_with_index(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    n_docs: int,
+    stop_frac: float = 0.02,
+    min_df: int = 2,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, status) for each batch doc — exact_dup / near_dup /
+    unique — against the persisted index; same result as
+    incremental_dedup_frame over (existing ∪ batch) with the batch as
+    the new side. ``n_docs`` = existing + batch document count (the
+    valve is corpus-relative; the caller tracks corpus size — one
+    number, not a job)."""
+    postings = spark.read.parquet(os.path.join(path, "postings"))
+    doc_stats = spark.read.parquet(os.path.join(path, "doc_stats"))
+    hashes = spark.read.parquet(os.path.join(path, "hashes"))
+    stop_df_limit = resolve_doc_freq_limit(stop_frac, n_docs, min_df=min_df)
+
+    bsh = _shingle_rows(batch.select("doc_id", text_col), text_col)
+    batch_sh = bsh.select("s").distinct()
+    # corpus df of each batch shingle = existing postings + the
+    # batch's own occurrences (q114 counts both sides)
+    df_exist = (
+        postings.join(F.broadcast(batch_sh), "s")
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("__dfe"))
+    )
+    df_batch = bsh.groupBy("s").agg(F.count(F.lit(1)).alias("__dfb"))
+    stop = (
+        df_batch.join(df_exist, "s", "left")
+        .filter(
+            (F.coalesce(F.col("__dfe"), F.lit(0)) + F.col("__dfb")) > stop_df_limit
+        )
+        .select("s")
+    )
+    bshv = bsh.join(F.broadcast(stop), "s", "left_anti")
+    b_sz = bshv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
+
+    # candidate existing postings: batch shingles only, stop-valved
+    cand = (
+        postings.join(F.broadcast(batch_sh), "s")
+        .join(F.broadcast(stop), "s", "left_anti")
+    )
+    inter = (
+        bshv.select(F.col("doc_id").alias("new_doc"), "s")
+        .join(cand.select(F.col("doc_id").alias("ex_doc"), "s"), "s")
+        .groupBy("new_doc", "ex_doc")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    # valved size of an existing doc = total − |its shingles ∩ stop|:
+    # the correction probe is stop-bounded (stop is a subset of the
+    # batch's shingles — broadcastable by construction)
+    stop_correction = (
+        postings.join(F.broadcast(stop), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__in_stop"))
+    )
+    e_sz = doc_stats.join(stop_correction, "doc_id", "left").select(
+        "doc_id",
+        (F.col("n_sh_total") - F.coalesce(F.col("__in_stop"), F.lit(0))).alias("nb"),
+    )
+    raw_j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    near = (
+        inter.join(b_sz.withColumnRenamed("doc_id", "new_doc"), "new_doc")
+        .join(e_sz.withColumnRenamed("doc_id", "ex_doc"), "ex_doc")
+        .filter(raw_j >= threshold)
+        .select("new_doc")
+        .distinct()
+        .withColumn("__near", F.lit(1))
+    )
+    new_docs = batch.select(
+        "doc_id", F.md5(F.col(text_col).cast("binary")).alias("h")
+    )
+    return (
+        new_docs.join(hashes.withColumn("__exact", F.lit(1)), "h", "left")
+        .join(F.broadcast(near.withColumnRenamed("new_doc", "doc_id")), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("__exact") == 1, "exact_dup")
+            .when(F.col("__near") == 1, "near_dup")
+            .otherwise("unique")
+            .alias("status"),
+        )
+        .orderBy("doc_id")
+    )

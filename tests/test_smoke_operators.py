@@ -780,3 +780,54 @@ def test_sampling_determinism_and_quota(spark):
     assert {r["count"] for r in ex.collect()} == {7}
     big = stratified_exact_sample(docs, "doc_id", 10**6, "source")
     assert big.count() == n, "quota above stratum size must return the stratum"
+
+
+def test_q134_indexed_dedup_equals_direct_form(spark, tmp_path):
+    """q134 (persisted postings index) must classify EXACTLY like
+    q114's direct form — on the adversarial valve fixture (all three
+    tiers + the df-valve firing, where the index form must reproduce
+    the batch+existing df accounting and the stop-corrected existing
+    sizes), and the expected statuses hold on both."""
+    import pandas as pd
+
+    from morphl_community_edition_spark.operators.incremental_index import (
+        build_dedup_index,
+        incremental_dedup_with_index,
+    )
+    from morphl_community_edition_spark.queries import QUERIES
+
+    boiler = "the quick brown fox jumps over"
+    rows = [
+        (1, boiler, "en", "src1", len(boiler)),
+        (2, "alpha beta gamma delta epsilon zeta", "en", "src1", 35),
+        (3, "calm river stone bridge winter night", "en", "src1", 36),
+        (4, "totally different content entirely here now", "en", "src1", 43),
+        (11, boiler + " unique tail eleven", "en", "src2", 50),
+        (12, "alpha beta gamma delta epsilon eta", "en", "src2", 34),
+        (13, "calm river stone bridge winter night", "en", "src2", 36),
+        (14, boiler + " unique tail fourteen", "en", "src2", 52),
+        (15, boiler + " unique tail fifteen", "en", "src2", 51),
+        (16, boiler + " unique tail sixteen", "en", "src2", 51),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    pdf.to_parquet(tmp_path / "documents.parquet")
+
+    direct = {
+        r["doc_id"]: r["status"]
+        for r in QUERIES["q114_incremental_dedup"](spark, str(tmp_path)).collect()
+    }
+    docs = load_table(spark, str(tmp_path), "documents")
+    build_dedup_index(
+        docs.filter(F.col("source") != "src1").select("doc_id", "text"),
+        str(tmp_path / "index"),
+    )
+    indexed = {
+        r["doc_id"]: r["status"]
+        for r in incremental_dedup_with_index(
+            spark,
+            str(tmp_path / "index"),
+            docs.filter(F.col("source") == "src1").select("doc_id", "text"),
+            n_docs=len(rows),
+        ).collect()
+    }
+    assert indexed == direct == {1: "unique", 2: "near_dup", 3: "exact_dup", 4: "unique"}

@@ -59,6 +59,9 @@ DOC_QUERIES = (
     "q121_simhash_hamming_pairs",
     "q123_minhash_lsh_pairs_exact",
     "q127_bpe_merges",
+    "q131_bpe_tokenize",
+    "q132_hash_rate_sample",
+    "q133_stratified_exact_sample",
 )
 EVENT_QUERIES = (
     "q16_sessionize",
