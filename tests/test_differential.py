@@ -586,3 +586,91 @@ def test_fuzz_bpe_matches_reference(texts, k):
     assert [tuple(r) for r in rows] == merges
     got_vocab = {r["word"]: (r["freq"], list(r["syms"])) for r in vocab.collect()}
     assert got_vocab == {w: (ref_freq[w], s) for w, s in ref_syms.items()}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ids=st.lists(st.integers(0, 10**6), min_size=1, max_size=40, unique=True),
+    rate_bps=st.integers(0, 10_000),
+    salt=st.sampled_from(["a", "mix1", "x9"]),
+)
+def test_fuzz_hash_rate_sample_matches_md5_reference(ids, rate_bps, salt):
+    """operators/sampling.hash_rate_sample == a pure-Python hashlib
+    md5 reference on random id sets, rates and salts — pins the exact
+    bytes hashed (str(id) + ':' + salt), the 60-bit hex parse, the
+    10^6 bucket modulus and the strict < threshold, independently of
+    the DuckDB oracle (which shares none of Spark's code but could
+    share a misunderstanding)."""
+    import hashlib
+
+    from morphl_community_edition_spark.operators.sampling import (
+        MOD,
+        hash_rate_sample,
+    )
+
+    rate = rate_bps / 10_000
+    spark = _ENGINES["spark"]
+    df = spark.createDataFrame([(i, "s") for i in ids], "doc_id long, source string")
+    got = {
+        r["doc_id"]
+        for r in hash_rate_sample(df, "doc_id", {"s": rate}, "source", salt=salt).collect()
+    }
+    want = {
+        i
+        for i in ids
+        if int(hashlib.md5(f"{i}:{salt}".encode()).hexdigest()[:15], 16) % MOD
+        < int(rate * MOD)
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    left=st.lists(
+        st.tuples(st.one_of(st.none(), st.integers(0, 2)), st.integers(0, 50)),
+        min_size=1, max_size=15,
+    ),
+    right=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 2)),
+            st.integers(0, 50),
+            st.one_of(st.none(), st.integers(0, 9)),
+        ),
+        min_size=0, max_size=15,
+    ),
+    strict=st.booleans(),
+    tol=st.one_of(st.none(), st.integers(0, 20)),
+)
+def test_fuzz_interval_asof_matches_union_window_asof(left, right, strict, tol):
+    """The streaming as-of's interval device == the batch union+window
+    asof_join on random inputs covering every claimed-equal case:
+    NULL keys (eqNullSafe vs partitionBy grouping), duplicate version
+    timestamps (max-payload tie-break), strict equal-ts exclusion,
+    NULL payloads, and the tolerance cap. Run in BATCH mode (the
+    device is a plain join; S9 covers the streaming execution)."""
+    from morphl_community_edition_spark.operators.asof import asof_join
+    from morphl_community_edition_spark.streaming.joins import asof_join_stream_static
+
+    spark = _ENGINES["spark"]
+    ldf = spark.createDataFrame(
+        [(k, float(t), i) for i, (k, t) in enumerate(left)],
+        "k int, ts double, lid int",
+    )
+    rdf = spark.createDataFrame(
+        [(k, float(t), v) for k, t, v in right], "k int, ts double, payload int"
+    )
+    got = {
+        (r["lid"], r["asof_payload"])
+        for r in asof_join_stream_static(
+            ldf, rdf, "k", "ts", ["payload"], watermark=None, strict=strict,
+            tolerance_seconds=float(tol) if tol is not None else None,
+        ).collect()
+    }
+    want = {
+        (r["lid"], r["asof_payload"])
+        for r in asof_join(
+            ldf, rdf, "k", "ts", ["payload"], strict=strict,
+            tolerance_seconds=float(tol) if tol is not None else None,
+        ).collect()
+    }
+    assert got == want
