@@ -177,3 +177,46 @@ def bpe_subword_frequencies(
         .filter(F.col("rk") <= top_n)
         .select("rk", "token", "cnt")
     )
+
+
+def bpe_token_accounting(
+    docs: DataFrame,
+    k: int,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group corpus token accounting under the learned k-merge
+    tokenizer (the budget step q103's sequence packing consumes):
+    each corpus word costs size(its final segmentation); groups
+    aggregate doc token totals. Returns (group, n_docs, sum_tokens,
+    max_doc_tokens) ordered by group.
+
+    Plan shape — the CORPUS-side apply: the segmented vocabulary
+    collapses to (word, n_tokens) and joins onto the exploded corpus
+    words. The vocabulary is dimension-sized (10^5-10^6 rows at any
+    corpus scale), so Catalyst broadcasts it and the corpus side
+    never shuffles until the final per-group agg (plan-gated)."""
+    _, vocab = bpe_learn(docs, k, text_col)
+    word_cost = vocab.select(
+        "word", F.size("syms").cast("bigint").alias("n_tok")
+    )
+    words = docs.select(
+        F.col("doc_id"),
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    per_doc = (
+        words.join(F.broadcast(word_cost), "word")
+        .groupBy("grp", "doc_id")
+        .agg(F.sum("n_tok").alias("doc_tok"))
+    )
+    return (
+        per_doc.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("doc_tok").cast("bigint").alias("sum_tokens"),
+            F.max("doc_tok").cast("bigint").alias("max_doc_tokens"),
+        )
+        .select(F.col("grp").alias("source"), "n_docs", "sum_tokens", "max_doc_tokens")
+        .orderBy("source")
+    )

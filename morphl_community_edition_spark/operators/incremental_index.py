@@ -59,8 +59,11 @@ def _shingle_rows(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def build_dedup_index(docs: DataFrame, path: str, text_col: str = "text") -> None:
-    """One corpus pass -> postings / doc_stats / hashes parquet under
-    ``path``. ``docs`` needs (doc_id, text)."""
+    """One corpus pass -> postings / doc_stats / hashes / meta parquet
+    under ``path``. ``docs`` needs (doc_id, text). ``meta`` holds the
+    indexed DOCUMENT count (doc_stats only has rows for docs with ≥1
+    shingle, so it cannot stand in for corpus size — the valve is
+    corpus-relative)."""
     sh = _shingle_rows(docs.select("doc_id", text_col), text_col)
     sh.write.mode("overwrite").parquet(os.path.join(path, "postings"))
     sh.groupBy("doc_id").agg(
@@ -69,6 +72,37 @@ def build_dedup_index(docs: DataFrame, path: str, text_col: str = "text") -> Non
     docs.select(
         F.md5(F.col(text_col).cast("binary")).alias("h")
     ).distinct().write.mode("overwrite").parquet(os.path.join(path, "hashes"))
+    _write_meta(docs.sparkSession, path, docs.count())
+
+
+def _write_meta(spark: SparkSession, path: str, n_docs: int) -> None:
+    spark.createDataFrame([(int(n_docs),)], "n_docs long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "meta"))
+
+
+def read_index_doc_count(spark: SparkSession, path: str) -> int:
+    """Indexed-corpus document count, from the one-row meta table."""
+    return spark.read.parquet(os.path.join(path, "meta")).collect()[0]["n_docs"]
+
+
+def append_to_index(batch: DataFrame, path: str, text_col: str = "text") -> None:
+    """Incremental index maintenance (the A5 append shape): fold an
+    ACCEPTED batch into the index — postings/doc_stats rows append,
+    the content-hash set appends the batch's distinct hashes (the
+    exact-tier probe dedupes at read time, so repeats across batches
+    are harmless), meta advances by the batch doc count. Caller
+    contract: append each doc once."""
+    sh = _shingle_rows(batch.select("doc_id", text_col), text_col)
+    sh.write.mode("append").parquet(os.path.join(path, "postings"))
+    sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh_total")
+    ).write.mode("append").parquet(os.path.join(path, "doc_stats"))
+    batch.select(
+        F.md5(F.col(text_col).cast("binary")).alias("h")
+    ).distinct().write.mode("append").parquet(os.path.join(path, "hashes"))
+    spark = batch.sparkSession
+    _write_meta(spark, path, read_index_doc_count(spark, path) + batch.count())
 
 
 def incremental_dedup_with_index(
@@ -89,7 +123,10 @@ def incremental_dedup_with_index(
     number, not a job)."""
     postings = spark.read.parquet(os.path.join(path, "postings"))
     doc_stats = spark.read.parquet(os.path.join(path, "doc_stats"))
-    hashes = spark.read.parquet(os.path.join(path, "hashes"))
+    # distinct at read time: append_to_index appends per-batch distinct
+    # hash sets, which can repeat ACROSS batches — a duplicate h would
+    # multiply rows through the exact-tier left join
+    hashes = spark.read.parquet(os.path.join(path, "hashes")).distinct()
     stop_df_limit = resolve_doc_freq_limit(stop_frac, n_docs, min_df=min_df)
 
     bsh = _shingle_rows(batch.select("doc_id", text_col), text_col)
@@ -158,4 +195,45 @@ def incremental_dedup_with_index(
             .alias("status"),
         )
         .orderBy("doc_id")
+    )
+
+
+def streaming_dedup_ingest(
+    stream_docs: DataFrame,
+    index_path: str,
+    out_path: str,
+    text_col: str = "text",
+):
+    """The full production ingest loop (A5 × K1 × I8, round 7): each
+    micro-batch of documents is (1) classified against the persisted
+    index, (2) its verdicts appended to ``out_path`` as
+    (doc_id, status, batch_id), and (3) folded into the index — so
+    the NEXT batch dedups against everything before it, exactly like
+    the continuously-fed corpus q114 models.
+
+    Ordering inside the handler matters: the verdict write runs
+    BEFORE append_to_index mutates the tables it read (foreachBatch
+    bodies are synchronous, and the parquet write materializes the
+    classification eagerly). n_docs for the valve = indexed count +
+    this batch (q114 counts both sides). Restart safety comes from
+    the meta table, not closure state."""
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        b = batch.select("doc_id", text_col).localCheckpoint(eager=True)
+        n_b = b.count()
+        if n_b == 0:
+            return
+        n_docs = read_index_doc_count(spark, index_path) + n_b
+        res = incremental_dedup_with_index(spark, index_path, b, n_docs=n_docs)
+        res.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            out_path
+        )
+        append_to_index(b, index_path, text_col)
+
+    return (
+        stream_docs.writeStream.foreachBatch(handle)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
     )

@@ -995,3 +995,37 @@ def q131_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_subword_frequencies(
         load_table(spark, sf_dir, "documents"), k=BPE_K, top_n=30
     ).orderBy("rk")
+
+
+def _bpe_accounting_oracle(k: int) -> str:
+    """q135's oracle: per-source token accounting replayed from the
+    chain's final segmented vocabulary w{k} joined onto the exploded
+    corpus words."""
+    return _bpe_cte_chain(k) + f"""
+    , wc AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_tok FROM w{k}),
+    cw AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+    pd AS (SELECT source, doc_id, sum(n_tok) AS doc_tok
+           FROM cw JOIN wc USING (word) WHERE word <> ''
+           GROUP BY source, doc_id)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_tok) AS BIGINT) AS sum_tokens,
+           CAST(max(doc_tok) AS BIGINT) AS max_doc_tokens
+    FROM pd GROUP BY source ORDER BY source
+    """
+
+
+@query("q135_bpe_token_accounting", oracle=_bpe_accounting_oracle(BPE_K))
+def q135_bpe_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budget under the trained 12-merge tokenizer
+    (round 7): the corpus-side APPLY — segmented vocabulary collapsed
+    to (word, token cost), broadcast onto the exploded corpus, doc
+    totals aggregated per source. This is the accounting q103's
+    packing and any per-source token-budget mix consume; the oracle
+    replays it off the same unrolled chain, so train + corpus apply
+    hash-certify together."""
+    from morphl_community_edition_spark.operators.bpe import bpe_token_accounting
+
+    return bpe_token_accounting(
+        load_table(spark, sf_dir, "documents"), k=BPE_K, group_col="source"
+    )

@@ -737,3 +737,16 @@ def test_q133_exact_sample_single_stratum_shuffle(spark):
     )
     assert plan.count("Exchange") == 1, plan[:1500]
     assert "Join" not in plan, plan[:1500]
+
+
+def test_q135_vocab_cost_join_broadcasts(spark):
+    """q135 corpus token accounting (round-7): the (word, token cost)
+    side is dimension-sized by construction, so the corpus-word join
+    must be a BroadcastHashJoin — a shuffled corpus-side join here
+    would ship every exploded word over the network at 100 TB."""
+    plan = (
+        QUERIES["q135_bpe_token_accounting"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1500]

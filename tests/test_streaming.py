@@ -567,3 +567,69 @@ def test_s10_streaming_hash_rate_sample_equals_batch(spark, staged_docs):
     docs = load_table(spark, SF_DIR_SMOKE, "documents").select("doc_id", "source")
     want = hash_rate_sample(docs, "doc_id", MIX_RATES, "source")
     assert_frames_equal(got, want)
+
+
+def test_s11_streaming_indexed_dedup_ingest_loop(spark, tmp_path):
+    """The full production ingest loop (round-7): documents streamed
+    in micro-batches through streaming_dedup_ingest — classify
+    against the persisted index, emit verdicts, fold the batch into
+    the index — must produce, batch for batch, the SAME verdicts as
+    the direct q114 form replayed sequentially (batch i vs the union
+    of batches 0..i-1). Starts from an EMPTY index: batch 0 is all
+    'unique' by construction, later batches see earlier ones."""
+    import glob as _glob
+
+    from morphl_community_edition_spark.operators.incremental_index import (
+        build_dedup_index,
+        streaming_dedup_ingest,
+    )
+    from morphl_community_edition_spark.queries.pipeline_ops import (
+        incremental_dedup_frame,
+    )
+    from morphl_community_edition_spark.sources.stream import (
+        read_stream_dir,
+        stage_stream_input,
+    )
+
+    staged = stage_stream_input(
+        spark, SF_DIR_SMOKE, "documents", n_chunks=3, order_col="doc_id"
+    )
+    index_path = str(tmp_path / "index")
+    out_path = str(tmp_path / "verdicts")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    build_dedup_index(empty, index_path)
+
+    q = streaming_dedup_ingest(
+        read_stream_dir(spark, staged, "documents"), index_path, out_path
+    )
+    q.awaitTermination(600)
+    assert q.exception() is None
+
+    got = {
+        (r["doc_id"], r["status"])
+        for r in spark.read.parquet(out_path).collect()
+    }
+
+    # direct-form sequential twin over the same chunk files (mtime
+    # order == sorted part-name order, the staging contract)
+    parts = sorted(_glob.glob(f"{staged}/part-*.parquet"))
+    assert len(parts) == 3
+    seen = None
+    want = set()
+    for part in parts:
+        chunk = spark.read.parquet(part).select("doc_id", "text")
+        # newness rides in the source column (the stage builder prunes
+        # to doc_id/source/text, so a side-channel marker would drop)
+        marked = chunk.withColumn("source", F.lit("__batch"))
+        if seen is not None:
+            marked = seen.withColumn("source", F.lit("__corpus")).unionByName(marked)
+        res = incremental_dedup_frame(
+            marked.select("doc_id", "source", "text"),
+            F.col("source") == "__batch",
+            n_docs=marked.count(),
+        )
+        want |= {(r["doc_id"], r["status"]) for r in res.collect()}
+        seen = chunk if seen is None else seen.unionByName(chunk)
+    assert got == want
+    statuses = {s for _, s in got}
+    assert "unique" in statuses, "empty-index first batch must be unique"
