@@ -1029,3 +1029,20 @@ def q135_bpe_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_accounting(
         load_table(spark, sf_dir, "documents"), k=BPE_K, group_col="source"
     )
+
+
+@query("q136_ivf_quantized_full_probe", oracle=_QUANTIZED_RETRIEVAL_ORACLE)
+def q136_ivf_quantized_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED production ANN (IVF routing × int8 scoring ×
+    float re-rank) at n_probe == n_cells, where routing prunes
+    nothing — so the result must equal the flat quantized pipeline
+    and q130's oracle certifies the whole composition exactly (the
+    q124 full-probe device applied one level up). The pruned
+    configuration's recall rides the tolerance suite."""
+    from morphl_community_edition_spark.operators.similarity import ivf_quantized_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return ivf_quantized_topk(
+        emb, probes, k=5, n_candidates=50, n_cells=16, n_probe=16
+    ).orderBy("q_vec", "rnk")

@@ -311,3 +311,29 @@ def test_quantized_retrieval_recall_vs_exact(spark):
     total = sum(len(v) for v in exact.values())
     recall = hits / total
     assert recall >= 0.9, f"quantized recall@5 regressed: {recall:.3f} ({hits}/{total})"
+
+
+def test_ivf_quantized_pruned_recall(spark):
+    """The composed ANN (q136's machinery) at the PRUNED scale
+    configuration (n_probe=8 of 16 cells): recall@5 vs unquantized
+    exact KNN must stay >= 0.7 — routing plus int8 can only lose
+    so much on 64-dim fixture geometry, and the full-probe twin is
+    oracle-exact, so a collapse here isolates to the routing cut."""
+    from morphl_community_edition_spark.catalog import load_table
+    from morphl_community_edition_spark.operators.similarity import ivf_quantized_topk
+    from morphl_community_edition_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    exact = {}
+    for r in QUERIES["q39_ann_topk"](spark, SF_DIR).collect():
+        exact.setdefault(r["q_vec"], set()).add(r["n_vec"])
+    pruned = {}
+    for r in ivf_quantized_topk(emb, probes, k=5, n_candidates=50, n_cells=16, n_probe=8).collect():
+        pruned.setdefault(r["q_vec"], set()).add(r["n_vec"])
+    hits = sum(len(exact[q] & pruned.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    recall = hits / total
+    assert recall >= 0.7, f"pruned composed-ANN recall@5: {recall:.3f}"
