@@ -355,6 +355,15 @@ def invalidate_tables(spark: SparkSession, sf_dir: str | None = None) -> int:
         else:
             counts.pop(sf_dir, None)
     _dedup._FRAC_COUNT_MEMO.pop(spark, None)
+    # the q134 built-index memo is the same staleness class: a
+    # rewritten fixture needs a REBUILT index, not a re-probe of the
+    # old one
+    idx = _pipe._INDEX_MEMO.get(spark)
+    if idx is not None:
+        if sf_dir is None:
+            idx.clear()
+        else:
+            idx.pop(sf_dir, None)
     # the staged micro-batch input cache (sources/stream) snapshots
     # table CONTENT on disk — same staleness class, cleared lazily to
     # avoid a circular import

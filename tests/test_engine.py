@@ -163,3 +163,11 @@ def test_refresh_clears_valve_count_memos(spark, tmp_path):
     assert pipe_mod._DOC_COUNT_MEMO[spark][sf_dir] == 10, (
         "valve did not re-resolve from the rewritten corpus"
     )
+    # q134's built-index memo shares the staleness class (round-7)
+    pipe_mod._INDEX_MEMO.setdefault(spark, {})[sf_dir] = "/tmp/fake-index"
+    from morphl_community_edition_spark.catalog import invalidate_tables
+
+    invalidate_tables(spark, sf_dir)
+    assert sf_dir not in pipe_mod._INDEX_MEMO.get(spark, {}), (
+        "index memo survived refresh — q134 would probe a stale index"
+    )
