@@ -187,12 +187,14 @@ def semantic_dedup(
     """Per-vector verdict (vec_id, comp, cluster_size, keep): comp is
     the duplicate-group label (min reachable id; singletons label
     themselves), keep marks the elected representative. Pair tier:
-    the exact single-cell configuration stays on the JVM fold (the
-    oracle-twin shape); any real clustering uses the per-cell GEMM."""
+    GEMM for both configurations (single cell = one whole-corpus
+    group; the round-7 sweep read 12.5 s at sf0.1 through the fold vs
+    ~3 s GEMM, and the GEMM-under-oracle posture has the q38/q12
+    precedent). The fold tier remains the oracle-twin FORMULA and
+    keeps live coverage through the refinement suite, which runs the
+    exact side on fold against this gemm path."""
     assigned = assign_cells(emb, n_cells, id_col, vec_col)
-    edges = semantic_dup_edges(
-        assigned, threshold, method="fold" if n_cells <= 1 else "gemm"
-    )
+    edges = semantic_dup_edges(assigned, threshold, method="gemm")
     comp = connected_components(edges, "a_vec", "b_vec")
     full = (
         assigned.select("n_vec")
