@@ -29,6 +29,13 @@ from morphl_community_edition_spark.plans.hints import fan_out_narrow_scan
 
 _FRAC_COUNT_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
+# incremental-dedup (q114/q134) contract constants — canonical home,
+# shared by the direct form, its oracle f-string, and the persisted
+# postings index so the "equal by construction" claim is structural
+INCR_VALVE_FRAC = 0.02
+INCR_VALVE_MIN_DF = 2
+INCR_NEAR_THRESHOLD = 0.5
+
 
 def _memo_count(df: DataFrame) -> int:
     """Corpus row count memoized per (session, semantic plan) — the

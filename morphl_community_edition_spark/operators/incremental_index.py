@@ -44,6 +44,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from morphl_community_edition_spark.operators.dedup import (
+    INCR_NEAR_THRESHOLD,
+    INCR_VALVE_FRAC,
+    INCR_VALVE_MIN_DF,
     resolve_doc_freq_limit,
     word_shingles,
 )
@@ -64,15 +67,39 @@ def build_dedup_index(docs: DataFrame, path: str, text_col: str = "text") -> Non
     indexed DOCUMENT count (doc_stats only has rows for docs with ≥1
     shingle, so it cannot stand in for corpus size — the valve is
     corpus-relative)."""
+    _write_index_tables(docs, path, text_col, mode="overwrite")
+    _write_meta(docs.sparkSession, path, docs.count())
+
+
+def _write_index_tables(
+    docs: DataFrame, path: str, text_col: str, mode: str
+) -> None:
+    """Shared by build (overwrite) and append: doc_stats is derived by
+    READING BACK the just-written postings slice, so the corpus
+    shingle explode — the cost this module exists to amortize — runs
+    exactly once per build/append instead of twice (round-7 review:
+    the lazy `sh` frame was re-derived for each write)."""
     sh = _shingle_rows(docs.select("doc_id", text_col), text_col)
-    sh.write.mode("overwrite").parquet(os.path.join(path, "postings"))
-    sh.groupBy("doc_id").agg(
+    postings_dir = os.path.join(path, "postings")
+    if mode == "overwrite":
+        sh.write.mode("overwrite").parquet(postings_dir)
+        stats_src = docs.sparkSession.read.parquet(postings_dir)
+    else:
+        # append: write THIS slice to a staging subdir-free read is not
+        # possible, so aggregate from the explode once and reuse the
+        # narrow post-agg frame for the write (doc_stats is doc-sized,
+        # not postings-sized — the double-explode was the real cost)
+        sh = sh.localCheckpoint(eager=True)
+        sh.write.mode("append").parquet(postings_dir)
+        stats_src = sh
+    stats_src.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sh_total")
-    ).write.mode("overwrite").parquet(os.path.join(path, "doc_stats"))
+    ).write.mode("append" if mode == "append" else "overwrite").parquet(
+        os.path.join(path, "doc_stats")
+    )
     docs.select(
         F.md5(F.col(text_col).cast("binary")).alias("h")
-    ).distinct().write.mode("overwrite").parquet(os.path.join(path, "hashes"))
-    _write_meta(docs.sparkSession, path, docs.count())
+    ).distinct().write.mode(mode).parquet(os.path.join(path, "hashes"))
 
 
 def _write_meta(spark: SparkSession, path: str, n_docs: int) -> None:
@@ -93,16 +120,10 @@ def append_to_index(batch: DataFrame, path: str, text_col: str = "text") -> None
     exact-tier probe dedupes at read time, so repeats across batches
     are harmless), meta advances by the batch doc count. Caller
     contract: append each doc once."""
-    sh = _shingle_rows(batch.select("doc_id", text_col), text_col)
-    sh.write.mode("append").parquet(os.path.join(path, "postings"))
-    sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_sh_total")
-    ).write.mode("append").parquet(os.path.join(path, "doc_stats"))
-    batch.select(
-        F.md5(F.col(text_col).cast("binary")).alias("h")
-    ).distinct().write.mode("append").parquet(os.path.join(path, "hashes"))
     spark = batch.sparkSession
-    _write_meta(spark, path, read_index_doc_count(spark, path) + batch.count())
+    n_before = read_index_doc_count(spark, path)
+    _write_index_tables(batch, path, text_col, mode="append")
+    _write_meta(spark, path, n_before + batch.count())
 
 
 def incremental_dedup_with_index(
@@ -110,9 +131,9 @@ def incremental_dedup_with_index(
     path: str,
     batch: DataFrame,
     n_docs: int,
-    stop_frac: float = 0.02,
-    min_df: int = 2,
-    threshold: float = 0.5,
+    stop_frac: float = INCR_VALVE_FRAC,
+    min_df: int = INCR_VALVE_MIN_DF,
+    threshold: float = INCR_NEAR_THRESHOLD,
     text_col: str = "text",
 ) -> DataFrame:
     """(doc_id, status) for each batch doc — exact_dup / near_dup /
@@ -202,6 +223,7 @@ def streaming_dedup_ingest(
     stream_docs: DataFrame,
     index_path: str,
     out_path: str,
+    checkpoint_path: str,
     text_col: str = "text",
 ):
     """The full production ingest loop (A5 × K1 × I8, round 7): each
@@ -215,8 +237,18 @@ def streaming_dedup_ingest(
     BEFORE append_to_index mutates the tables it read (foreachBatch
     bodies are synchronous, and the parquet write materializes the
     classification eagerly). n_docs for the valve = indexed count +
-    this batch (q114 counts both sides). Restart safety comes from
-    the meta table, not closure state."""
+    this batch (q114 counts both sides).
+
+    Restart safety: ``checkpoint_path`` is REQUIRED (round-7 review —
+    with a temp checkpoint, a restart re-reads every source file,
+    appending duplicate verdicts and postings and doubling the meta
+    count). With a durable checkpoint the file source skips
+    already-committed batches on restart. Remaining honest caveat: a
+    crash BETWEEN the verdict write and append_to_index replays that
+    one batch's side effects (foreachBatch is at-least-once); a
+    production deployment keys the verdict sink by (batch_id, doc_id)
+    and makes the index append idempotent per batch_id — the same
+    discipline any foreachBatch sink needs."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -234,6 +266,7 @@ def streaming_dedup_ingest(
     return (
         stream_docs.writeStream.foreachBatch(handle)
         .outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()
     )

@@ -388,8 +388,15 @@ def q98_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 10 > max observed df 7) the cut is a fixture no-op; at corpus scale
 # it bounds the batch×corpus intersection the way q106's
 # STOP_SHINGLE_MAX_DF bounds the contamination screen.
-INCR_VALVE_FRAC = 0.02
-INCR_VALVE_MIN_DF = 2
+# canonical home: operators/dedup.py — one definition feeds q114's
+# direct form, its f-string oracle, AND the persisted-index form
+# (operators/incremental_index), which are "equal by construction"
+# only while these stay shared (round-7 review)
+from morphl_community_edition_spark.operators.dedup import (  # noqa: E402
+    INCR_NEAR_THRESHOLD,
+    INCR_VALVE_FRAC,
+    INCR_VALVE_MIN_DF,
+)
 
 
 def incremental_dedup_stages(
@@ -443,7 +450,7 @@ def incremental_dedup_stages(
     near = (
         inter.join(sz.select(F.col("doc_id").alias("new_doc"), F.col("n_sh").alias("na")), "new_doc")
         .join(sz.select(F.col("doc_id").alias("ex_doc"), F.col("n_sh").alias("nb")), "ex_doc")
-        .filter(raw_j >= 0.5)
+        .filter(raw_j >= INCR_NEAR_THRESHOLD)
         .select("new_doc")
         .distinct()
         .withColumn("__near", F.lit(1))
@@ -529,7 +536,7 @@ def incremental_dedup_frame(
     near AS (SELECT DISTINCT new_doc
              FROM i JOIN sz sa ON i.new_doc = sa.doc_id
                     JOIN sz sb ON i.ex_doc = sb.doc_id
-             WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+             WHERE inter / (sa.n_sh + sb.n_sh - inter) >= {INCR_NEAR_THRESHOLD}),
     exact AS (SELECT DISTINCT n.doc_id
               FROM w n JOIN w e ON md5(n.text) = md5(e.text)
               WHERE n.source = 'src1' AND e.source <> 'src1')
@@ -607,15 +614,23 @@ def q134_indexed_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFram
     if n_docs is None:
         n_docs = docs.count()
         _DOC_COUNT_MEMO[spark][sf_dir] = n_docs
+    # path is per-APPLICATION (applicationId), not shared across
+    # processes: two concurrent runs on one host must never overwrite
+    # each other's index mid-read (round-7 review)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = os.path.join("/tmp", "morphl_dedup_index", tag)
+    path = os.path.join(
+        "/tmp", "morphl_dedup_index", spark.sparkContext.applicationId, tag
+    )
     # the index build is the ingest-time cost a production pipeline
     # pays ONCE — memoized per (session, sf_dir) like the count memos
     # (fixtures immutable in-process; invalidate_tables drops it), so
     # warm re-runs measure the amortized per-batch classify, not a
-    # rebuild (round-7 sweep: 17.9 s/run unmemoized vs ~2 s amortized)
+    # rebuild (round-7 sweep: 17.9 s/run unmemoized vs ~2 s amortized).
+    # The directory is re-checked on every hit: a /tmp cleaner can
+    # remove it in a long-lived session, and the right response is a
+    # rebuild, not an AnalysisException.
     built = _INDEX_MEMO.setdefault(spark, {})
-    if built.get(sf_dir) != path:
+    if built.get(sf_dir) != path or not os.path.isdir(os.path.join(path, "meta")):
         build_dedup_index(existing, path)
         built[sf_dir] = path
     return incremental_dedup_with_index(spark, path, batch, n_docs=n_docs)

@@ -599,8 +599,9 @@ def test_s11_streaming_indexed_dedup_ingest_loop(spark, tmp_path):
     empty = spark.createDataFrame([], "doc_id long, text string")
     build_dedup_index(empty, index_path)
 
+    ckpt = str(tmp_path / "ckpt")
     q = streaming_dedup_ingest(
-        read_stream_dir(spark, staged, "documents"), index_path, out_path
+        read_stream_dir(spark, staged, "documents"), index_path, out_path, ckpt
     )
     q.awaitTermination(600)
     assert q.exception() is None
@@ -633,3 +634,25 @@ def test_s11_streaming_indexed_dedup_ingest_loop(spark, tmp_path):
     assert got == want
     statuses = {s for _, s in got}
     assert "unique" in statuses, "empty-index first batch must be unique"
+
+    # restart with the SAME durable checkpoint: the committed batches
+    # must be skipped — no duplicate verdicts, no double-appended
+    # index rows, meta unchanged (round-7 review: with a temp
+    # checkpoint a restart replayed everything and corrupted the index)
+    from morphl_community_edition_spark.operators.incremental_index import (
+        read_index_doc_count,
+    )
+
+    n_verdicts = spark.read.parquet(out_path).count()
+    n_meta = read_index_doc_count(spark, index_path)
+    q2 = streaming_dedup_ingest(
+        read_stream_dir(spark, staged, "documents"), index_path, out_path, ckpt
+    )
+    q2.awaitTermination(600)
+    assert q2.exception() is None
+    assert spark.read.parquet(out_path).count() == n_verdicts, (
+        "restart replayed committed batches into the verdict sink"
+    )
+    assert read_index_doc_count(spark, index_path) == n_meta, (
+        "restart double-appended into the index"
+    )
