@@ -1135,3 +1135,79 @@ def q133_stratified_exact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_exact_sample(
         docs, "doc_id", _EXACT_SAMPLE_N, "source", salt=_MIX_SALT
     ).orderBy("source", "doc_id")
+
+
+@query(
+    "q138_unigram_nll_quality",
+    oracle="""
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents),
+    wf AS (SELECT doc_id, word FROM w WHERE word <> ''),
+    v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM wf GROUP BY word),
+    t AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM v),
+    m AS (SELECT word,
+                 CAST(floor(ln(freq / CAST(t.total AS DOUBLE)) * 1e6 + 0.5)
+                      AS BIGINT) AS slp
+          FROM v, t),
+    d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(slp) AS BIGINT) AS s
+          FROM wf JOIN m USING (word) GROUP BY doc_id)
+    SELECT doc_id, n_words,
+           floor(((-CAST(s AS DOUBLE)) / (CAST(n_words AS DOUBLE) * 1e6))
+                 * 1e6 + 0.5) / 1e6 AS avg_nll
+    FROM d ORDER BY doc_id
+    """,
+)
+def q138_unigram_nll_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score (round 7; the CCNet-style
+    'how typical is this document of the corpus' filter, K4 family):
+    per-doc average negative log-likelihood under the corpus unigram
+    model — boilerplate/common-word docs score low, lexically unusual
+    docs high; the score feeds a keep/bucket decision like q112's
+    repetition signals.
+
+    Hash-exactness device: per-word log-probs are rounded to 6
+    decimals and INTEGER-SCALED once on the vocabulary-sized model
+    frame, so the per-doc aggregation is an exact BIGINT sum —
+    order-independent, immune to float-accumulation divergence (the
+    functions/rounding money-column rule applied to logs; ln() itself
+    is the one empirical-agreement operand, at 1e-6 granularity).
+
+    Scale shape: corpus word count (two-phase agg) -> vocab-sized
+    model projection -> model BROADCAST onto the exploded corpus ->
+    per-doc integer-sum agg. No window, one corpus-side shuffle (the
+    doc_id agg); the 1-row total joins by broadcast."""
+    from morphl_community_edition_spark.operators.bpe import corpus_vocab
+
+    docs = fan_out_narrow_scan(load_table(spark, sf_dir, "documents"))
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    vocab = corpus_vocab(docs)
+    total = vocab.agg(F.sum("freq").cast("bigint").alias("total"))
+    model = vocab.crossJoin(F.broadcast(total)).select(
+        "word",
+        F.floor(
+            F.log(F.col("freq") / F.col("total").cast("double")) * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("slp"),
+    )
+    d = (
+        words.join(F.broadcast(model), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("slp").cast("bigint").alias("s"),
+        )
+    )
+    return d.select(
+        "doc_id",
+        "n_words",
+        crnd(
+            (-F.col("s").cast("double"))
+            / (F.col("n_words").cast("double") * F.lit(1e6)),
+            6,
+        ).alias("avg_nll"),
+    ).orderBy("doc_id")

@@ -307,3 +307,73 @@ def q102_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q137_scd2_history",
+    oracle=f"""
+    WITH p AS (SELECT user_id, ts, event_id,
+                      CAST(floor(value / 10) AS BIGINT) AS band
+               FROM {EVENTS_US} e WHERE event_type = 'purchase'),
+    c AS (SELECT *, lag(band) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev_band
+          FROM p),
+    ch AS (SELECT user_id, ts, event_id, band FROM c
+           WHERE prev_band IS NULL OR band <> prev_band),
+    v AS (SELECT user_id, band, ts AS valid_from,
+                 lead(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS valid_to,
+                 CAST(row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS INTEGER)
+                     AS version_no
+          FROM ch)
+    SELECT user_id, band, valid_from, valid_to, version_no,
+           valid_to IS NULL AS is_current
+    FROM v ORDER BY user_id, version_no
+    """,
+)
+def q137_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-TYPE-2 dimension history build (round 7; completes L6 —
+    q96 is the SCD-1 'current state' merge, this is the full
+    validity-interval history a warehouse keeps): each user's
+    purchase-value band becomes a versioned attribute — consecutive
+    equal values collapse (the SCD-2 change-detection rule: a new
+    version starts only when the value CHANGES), versions carry
+    [valid_from, valid_to) with NULL = current, plus version_no and
+    is_current. This is also exactly the dimension shape the
+    streaming as-of join (streaming/joins) consumes — lead() here IS
+    its validity-interval device, run at dimension-build time.
+
+    Scale shape: two windows over the same (user_id) partitioning —
+    one shuffle total (Catalyst reuses the exchange), change rows are
+    a tiny fraction of events, and everything after the first window
+    is change-row-sized. Deterministic: (ts, event_id) total order,
+    integer bands."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.floor(F.col("value") / 10).cast("bigint").alias("band"),
+        )
+        .withColumn("prev_band", F.lag("band").over(w))
+    )
+    ch = p.filter(
+        F.col("prev_band").isNull() | (F.col("band") != F.col("prev_band"))
+    )
+    return (
+        ch.select(
+            "user_id",
+            "band",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.row_number().over(w).cast("int").alias("version_no"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .orderBy("user_id", "version_no")
+    )

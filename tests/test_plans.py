@@ -750,3 +750,27 @@ def test_q135_vocab_cost_join_broadcasts(spark):
     )
     assert "BroadcastHashJoin" in plan, plan[:1500]
     assert "SortMergeJoin" not in plan, plan[:1500]
+
+
+def test_q137_scd2_single_user_shuffle(spark):
+    """q137 SCD-2 history (round-7): both windows share the (user_id)
+    partitioning, so the plan carries ONE data shuffle plus the
+    presentation sort — a second exchange between the windows would
+    mean Catalyst stopped reusing the partitioning."""
+    from morphl_community_edition_spark.plans import count_exchanges
+
+    df = QUERIES["q137_scd2_history"](spark, SF_DIR)
+    assert count_exchanges(df) <= 2, (
+        df._jdf.queryExecution().executedPlan().toString()[:1500]
+    )
+
+
+def test_q138_model_join_broadcasts_no_window(spark):
+    """q138 unigram NLL (round-7): the vocab-sized model must
+    BROADCAST onto the exploded corpus (a shuffled corpus-words join
+    is the 100 TB failure mode), and the whole score is agg-shaped —
+    no window anywhere."""
+    df = QUERIES["q138_unigram_nll_quality"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "Window" not in plan, plan[:1500]
