@@ -15,9 +15,12 @@ Families and their adversarial variants (rationales in the two
 source scripts and SCALE.md):
 
 - documents: ``grown`` (honest 10× corpus) and ``dup90`` (90%
-  duplicates — keeper/gram hot-key stress); round-7 adds q127 BPE.
+  duplicates — keeper/gram hot-key stress); round-7 adds the BPE
+  train/tokenize pair, the samplers, the indexed incremental dedup
+  and the unigram-NLL score.
 - events: ``grown`` (10× users) and ``skew10`` (same users, 10×
-  history — per-user window serialization stress).
+  history — per-user window serialization stress); round-7 adds the
+  SCD-2 history build.
 - embeddings (new, round 7): ``grown`` — 10 deterministic copies,
   each shifted by +0.001·i per dimension so vectors stay DISTINCT
   with the same geometry; measures q129 SemDeDup (within-cell pair
@@ -62,6 +65,8 @@ DOC_QUERIES = (
     "q131_bpe_tokenize",
     "q132_hash_rate_sample",
     "q133_stratified_exact_sample",
+    "q134_indexed_incremental_dedup",
+    "q138_unigram_nll_quality",
 )
 EVENT_QUERIES = (
     "q16_sessionize",
@@ -69,6 +74,7 @@ EVENT_QUERIES = (
     "q100_retention_cohorts",
     "q101_rolling_dau",
     "q102_purchase_intervals",
+    "q137_scd2_history",
 )
 EMB_QUERIES = (
     "q129_semantic_dedup",
