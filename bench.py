@@ -85,6 +85,9 @@ EXTRA = {
     "bpe_merges": "q127_bpe_merges",
     "semantic_dedup": "q129_semantic_dedup",
     "quantized_retrieval": "q130_quantized_retrieval",
+    "adaptive_quality_cut": "q139_adaptive_quality_cut",
+    "bigram_nll": "q140_bigram_nll_quality",
+    "bm25_retrieval": "q141_bm25_retrieval",
 }
 
 # best-of-5 blocks × 3 full-suite passes: single-JVM local mode has

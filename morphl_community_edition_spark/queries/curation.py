@@ -1211,3 +1211,152 @@ def q138_unigram_nll_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_nll"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q139_adaptive_quality_cut",
+    oracle="""
+    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+               FROM documents),
+    sc AS (SELECT doc_id, source,
+                  CAST(len(list_distinct(ws)) AS BIGINT) * 1000000
+                      // CAST(len(ws) AS BIGINT) AS score
+           FROM w),
+    th AS (SELECT source, quantile_cont(score, 0.25) AS thr
+           FROM sc GROUP BY source)
+    SELECT sc.doc_id AS doc_id, sc.source AS source, score,
+           floor(thr * 1e6 + 0.5) / 1e6 AS thr
+    FROM sc JOIN th USING (source)
+    WHERE CAST(score AS DOUBLE) >= thr
+    ORDER BY doc_id
+    """,
+)
+def q139_adaptive_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style ADAPTIVE per-source quality threshold (round 7,
+    K4 family): instead of one global cutoff, each source keeps only
+    documents at or above its own 25th-percentile quality — the
+    published pipelines' answer to "a fixed threshold calibrated on
+    web text guts books/code sources". Quality here = lexical
+    diversity (distinct words per word), integer-scaled.
+
+    Exactness: score = n_uniq·10⁶ DIV n_tok is PURE integer
+    arithmetic (both positive, so trunc == floor == DuckDB //); the
+    per-source threshold is the exact interpolated percentile over
+    those integers — the q72 device, bit-identical across engines on
+    integer inputs at fixture group sizes.
+
+    Scale shape: the score is a per-row array projection (no explode,
+    no shuffle); the threshold agg shuffles only (source, score)
+    pairs — ~16-byte rows, not text — into a source-count-sized
+    frame; thresholds BROADCAST back onto the corpus (plan-gated).
+    At 100 TB the exact percentile's per-source sort is the known
+    cost: the documented scale path swaps in approx_percentile
+    (q73's GK sketch twin) with everything else unchanged."""
+    docs = fan_out_narrow_scan(load_table(spark, sf_dir, "documents"))
+    sc = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CAST((CAST(size(array_distinct(split(text, ' '))) AS BIGINT)"
+            " * 1000000) DIV CAST(size(split(text, ' ')) AS BIGINT) AS BIGINT)"
+        ).alias("score"),
+    )
+    th = sc.groupBy("source").agg(F.expr("percentile(score, 0.25)").alias("thr"))
+    return (
+        sc.join(F.broadcast(th), "source")
+        .filter(F.col("score").cast("double") >= F.col("thr"))
+        .select("doc_id", "source", "score", crnd(F.col("thr"), 6).alias("thr"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q140_bigram_nll_quality",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    p AS (SELECT doc_id, ws[gs] AS w1, ws[gs + 1] AS w2
+          FROM w, LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(gs)),
+    m AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+          FROM p GROUP BY w1, w2),
+    c AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM m GROUP BY w1),
+    sl AS (SELECT m.w1, m.w2,
+                  CAST(floor(ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))
+                             * 1e6 + 0.5) AS BIGINT) AS slp
+           FROM m JOIN c USING (w1)),
+    d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 CAST(sum(slp) AS BIGINT) AS s
+          FROM p JOIN sl ON p.w1 = sl.w1 AND p.w2 = sl.w2
+          GROUP BY doc_id)
+    SELECT doc_id, n_bigrams,
+           floor(((-CAST(s AS DOUBLE)) / (CAST(n_bigrams AS DOUBLE) * 1e6))
+                 * 1e6 + 0.5) / 1e6 AS avg_nll
+    FROM d ORDER BY doc_id
+    """,
+)
+def q140_bigram_nll_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score (round 7; q138's unigram
+    NLL upgraded to the conditional form real CCNet-style filters
+    use): per-doc average negative log-likelihood of each word given
+    its predecessor, P(w₂|w₁) = c(w₁w₂)/c(w₁·) with the denominator
+    summed over the MODEL frame (= count of w₁ in non-final
+    positions). Repetitive docs score near zero; docs with unusual
+    word transitions score high.
+
+    Exactness: q138's device — per-bigram log-probs are rounded and
+    integer-scaled ONCE on the model frame (ln at 1e-6 granularity is
+    the single empirical-agreement operand), so the per-doc
+    aggregation is an exact order-independent BIGINT sum. Docs with
+    <2 words have no bigrams and drop out in both engines identically.
+
+    Scale shape: the bigram model is unique-bigram-sized — bounded by
+    vocab² and in practice by corpus content, so unlike q138's vocab
+    frame it is NOT assumed broadcastable at 100 TB: the doc-side
+    score join is a plain (w1, w2) equi-join that AQE may broadcast
+    when the model is small (it is here) and shuffle otherwise; both
+    sides partial-agg before any exchange. No window anywhere
+    (plan-gated)."""
+    docs = fan_out_narrow_scan(load_table(spark, sf_dir, "documents"))
+    ws = F.split(F.col("text"), " ")
+    pairs = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.struct(
+                F.element_at(ws, i).alias("w1"),
+                F.element_at(ws, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    p = docs.select("doc_id", F.explode(pairs).alias("pr")).select(
+        "doc_id", "pr.w1", "pr.w2"
+    )
+    m = p.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    c = m.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    sl = m.join(c, "w1").select(
+        "w1",
+        "w2",
+        F.floor(
+            F.log(F.col("c12").cast("double") / F.col("c1").cast("double"))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("slp"),
+    )
+    d = (
+        p.join(sl, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("slp").cast("bigint").alias("s"),
+        )
+    )
+    return d.select(
+        "doc_id",
+        "n_bigrams",
+        crnd(
+            (-F.col("s").cast("double"))
+            / (F.col("n_bigrams").cast("double") * F.lit(1e6)),
+            6,
+        ).alias("avg_nll"),
+    ).orderBy("doc_id")

@@ -30,6 +30,7 @@ from morphl_community_edition_spark.operators.textstats import (
     token_stats,
 )
 from morphl_community_edition_spark.functions.rounding import crnd, sql_crnd, sql_dsum, dsum
+from morphl_community_edition_spark.plans.hints import fan_out_narrow_scan
 from morphl_community_edition_spark.queries import query
 from morphl_community_edition_spark.queries.windows import EVENTS_US
 
@@ -1046,3 +1047,137 @@ def q136_ivf_quantized_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame
     return ivf_quantized_topk(
         emb, probes, k=5, n_candidates=50, n_cells=16, n_probe=16
     ).orderBy("q_vec", "rnk")
+
+
+# q141: fixed query-term set for the BM25 retrieval contract query —
+# one rare term (df≈5% of docs) plus two common ones, so the idf
+# spread actually drives the ranking.
+BM25_TERMS = ("dup", "vector", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@query(
+    "q141_bm25_retrieval",
+    oracle=f"""
+    WITH dl AS (SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+                FROM documents),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(dl) AS BIGINT) AS sumdl
+           FROM dl),
+    w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+    tfq AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM w WHERE term IN {BM25_TERMS!r}
+            GROUP BY doc_id, term),
+    dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM tfq GROUP BY term),
+    idf AS (SELECT term,
+                   CAST(floor(ln(1 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                                     / (CAST(df AS DOUBLE) + 0.5)) * 1e6 + 0.5)
+                        AS BIGINT) AS idf_slp
+            FROM dfr, st),
+    co AS (SELECT tfq.doc_id AS doc_id,
+                  CAST(floor(CAST(idf_slp AS DOUBLE)
+                             * ((CAST(tf AS DOUBLE) * ({BM25_K1} + 1))
+                                / (CAST(tf AS DOUBLE)
+                                   + {BM25_K1} * ((1 - {BM25_B})
+                                                  + {BM25_B} * (CAST(dl.dl AS DOUBLE)
+                                                                / (CAST(sumdl AS DOUBLE)
+                                                                   / CAST(n_docs AS DOUBLE))))))
+                             + 0.5) AS BIGINT) AS contrib
+           FROM tfq JOIN dl USING (doc_id) JOIN idf ON tfq.term = idf.term, st),
+    sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+                  CAST(sum(contrib) AS BIGINT) AS score_scaled
+           FROM co GROUP BY doc_id)
+    SELECT doc_id, n_terms, score_scaled,
+           floor((CAST(score_scaled AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6 AS score
+    FROM sc ORDER BY score_scaled DESC, doc_id LIMIT 20
+    """,
+)
+def q141_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-text retrieval (round 7, K4 retrieval surface; the
+    lexical half of the q110 cross-modal serving shape): score every
+    document against a fixed query-term set with Okapi BM25
+    (k1=1.2, b=0.75) and return the top-20. Complements q85's
+    TF-IDF (per-doc top TERMS) with the other direction — per-QUERY
+    top docs, the actual search-serving contract.
+
+    Exactness: idf = ln(1+(N-df+0.5)/(df+0.5)) is rounded and
+    integer-scaled ONCE on the term-count-sized idf frame (q138's
+    device; ln at 1e-6 is the single empirical-agreement operand).
+    The tf-normalization chain is written with IDENTICAL literal
+    parenthesization in both engines — IEEE ops on equal inputs are
+    bit-deterministic — and each per-term contribution is rounded to
+    a BIGINT before the per-doc sum, so the sum is exact and
+    order-independent, and the top-20 cut sorts on (BIGINT score,
+    doc_id): no float comparison anywhere near the ranking.
+
+    Scale shape: the term filter collapses the exploded corpus to
+    matching (doc, term) pairs BEFORE any shuffle (map-side, ~|hits|
+    rows); df/idf/corpus stats are term-count- and 1-row-sized
+    broadcasts; the doc-length join's probe side is the tiny tf
+    frame; the final top-20 is TakeOrderedAndProject (no global
+    sort). The corpus is scanned exactly twice (lengths + terms),
+    both scans column-pruned to (doc_id, text)."""
+    docs = fan_out_narrow_scan(load_table(spark, sf_dir, "documents"))
+    ws = F.split(F.col("text"), " ")
+    dl = docs.select("doc_id", F.size(ws).cast("bigint").alias("dl"))
+    st = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sumdl"),
+    )
+    tfq = (
+        docs.select("doc_id", F.explode(ws).alias("term"))
+        .filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfr = tfq.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    idf = dfr.crossJoin(F.broadcast(st)).select(
+        "term",
+        F.floor(
+            F.log(
+                F.lit(1)
+                + (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+                / (F.col("df").cast("double") + F.lit(0.5))
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("idf_slp"),
+    )
+    avgdl = F.col("sumdl").cast("double") / F.col("n_docs").cast("double")
+    tfnorm = (F.col("tf").cast("double") * F.lit(BM25_K1 + 1)) / (
+        F.col("tf").cast("double")
+        + F.lit(BM25_K1)
+        * (F.lit(1 - BM25_B) + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl))
+    )
+    co = (
+        tfq.join(dl, "doc_id")
+        .join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "doc_id",
+            F.floor(F.col("idf_slp").cast("double") * tfnorm + F.lit(0.5))
+            .cast("bigint")
+            .alias("contrib"),
+        )
+    )
+    return (
+        co.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum("contrib").cast("bigint").alias("score_scaled"),
+        )
+        .select(
+            "doc_id",
+            "n_terms",
+            "score_scaled",
+            crnd(F.col("score_scaled").cast("double") / F.lit(1e6), 6).alias("score"),
+        )
+        .orderBy(F.col("score_scaled").desc(), "doc_id")
+        .limit(20)
+    )

@@ -774,3 +774,40 @@ def test_q138_model_join_broadcasts_no_window(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:1500]
     assert "Window" not in plan, plan[:1500]
+
+
+def test_q139_score_is_projection_thresholds_broadcast(spark):
+    """q139 adaptive quality cut (round-7): the quality score must be
+    a per-row projection — NO explode (Generate) anywhere, the
+    fixture corpus is never row-multiplied — and the per-source
+    threshold frame must come back via BROADCAST, not a shuffled
+    join on the skewed source key. percentile is an agg, so no
+    Window either."""
+    df = QUERIES["q139_adaptive_quality_cut"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan, plan[:1500]
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "Window" not in plan, plan[:1500]
+
+
+def test_q140_bigram_nll_is_agg_join_shaped(spark):
+    """q140 bigram NLL (round-7): like q138 the whole score is
+    agg+join shaped — no window anywhere — and every aggregate is
+    partial-agg (map-side combine) so hot bigrams collapse before
+    the exchange."""
+    df = QUERIES["q140_bigram_nll_quality"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:1500]
+    assert plan.count("partial_count") + plan.count("partial_sum") >= 2, plan[:2000]
+
+
+def test_q141_bm25_topk_no_global_sort(spark):
+    """q141 BM25 retrieval (round-7): the top-20 must be
+    TakeOrderedAndProject (per-partition heap + driver merge), never
+    a global Sort+Limit; the idf/corpus-stat frames must broadcast;
+    and the ranking is agg-shaped — no window."""
+    df = QUERIES["q141_bm25_retrieval"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "Window" not in plan, plan[:1500]

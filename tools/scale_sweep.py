@@ -17,7 +17,8 @@ source scripts and SCALE.md):
 - documents: ``grown`` (honest 10× corpus) and ``dup90`` (90%
   duplicates — keeper/gram hot-key stress); round-7 adds the BPE
   train/tokenize pair, the samplers, the indexed incremental dedup
-  and the unigram-NLL score.
+  the unigram/bigram-NLL scores, the adaptive
+  per-source quality cut and BM25 retrieval.
 - events: ``grown`` (10× users) and ``skew10`` (same users, 10×
   history — per-user window serialization stress); round-7 adds the
   SCD-2 history build.
@@ -67,6 +68,9 @@ DOC_QUERIES = (
     "q133_stratified_exact_sample",
     "q134_indexed_incremental_dedup",
     "q138_unigram_nll_quality",
+    "q139_adaptive_quality_cut",
+    "q140_bigram_nll_quality",
+    "q141_bm25_retrieval",
 )
 EVENT_QUERIES = (
     "q16_sessionize",
