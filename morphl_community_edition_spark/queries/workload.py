@@ -377,3 +377,182 @@ def q137_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_current", F.col("valid_to").isNull())
         .orderBy("user_id", "version_no")
     )
+
+
+# q142: exposure interval length — each event covers [ts, ts+5min)
+COALESCE_WINDOW_US = 300 * 1_000_000
+
+
+@query(
+    "q142_interval_coalesce",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+                      epoch_us(ts) + {COALESCE_WINDOW_US} AS en
+               FROM {EVENTS_US} e),
+    m AS (SELECT *, max(en) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS pm
+          FROM e),
+    f AS (SELECT user_id, event_id, s, en,
+                 CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS ni
+          FROM m),
+    g AS (SELECT *, CAST(sum(ni) OVER (PARTITION BY user_id
+                                       ORDER BY s, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT) AS island
+          FROM f)
+    SELECT user_id, CAST(island AS INTEGER) AS island,
+           CAST(min(s) AS BIGINT) AS start_us,
+           CAST(max(en) AS BIGINT) AS end_us,
+           count(*) AS n_events,
+           CAST(max(en) - min(s) AS BIGINT) AS covered_us
+    FROM g GROUP BY user_id, island
+    ORDER BY user_id, island
+    """,
+)
+def q142_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing / gaps-and-islands UNION (round 7): each
+    event opens a 5-minute exposure interval [ts, ts+5min); per user,
+    overlapping intervals merge into maximal islands — the ad-exposure
+    / device-uptime / coverage-accounting primitive, and the interval
+    generalization of q16's gap sessionize (sessionize breaks on the
+    gap to the PREVIOUS EVENT; this breaks on the gap to the furthest
+    interval END seen so far, which is the correct union semantics
+    when intervals can nest or leapfrog).
+
+    Device: running max of interval end over ROWS UNBOUNDED
+    PRECEDING..1 PRECEDING — a new island starts exactly when the
+    current start clears everything seen before; a running sum of
+    those breaks numbers the islands. All integer microseconds
+    (unix_micros ↔ epoch_us), so the hash check is exact.
+
+    Scale shape: two windows + the island agg all share the (user_id)
+    partitioning — ONE data shuffle total (plan-gated, the q137
+    device; grouping on (user_id, island) is satisfied by user_id
+    clustering). Per-user window serialization is the documented
+    events-family boundary (SCALE.md)."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(COALESCE_WINDOW_US)).alias("en"),
+    )
+    m = e.withColumn(
+        "pm", F.max("en").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    f = m.withColumn(
+        "ni",
+        F.when(F.col("pm").isNull() | (F.col("s") > F.col("pm")), 1).otherwise(0),
+    )
+    g = f.withColumn(
+        "island",
+        F.sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+    return (
+        g.groupBy("user_id", F.col("island").cast("int").alias("island"))
+        .agg(
+            F.min("s").alias("start_us"),
+            F.max("en").alias("end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("en") - F.min("s")).alias("covered_us"),
+        )
+        .orderBy("user_id", "island")
+    )
+
+
+PR_ITERS = 4
+
+
+def _pagerank_oracle(iters: int = PR_ITERS) -> str:
+    """Unrolled MATERIALIZED CTE chain replaying pagerank()'s exact
+    integer iterations (the q127 device: k driver-loop steps become k
+    generated CTE stages; MATERIALIZED per the chained-CTE inlining
+    trap — each r{i} is referenced twice downstream)."""
+    from morphl_community_edition_spark.operators.pagerank import (
+        PR_DAMP_PCT,
+        PR_SCALE,
+    )
+
+    head = f"""
+    WITH bp AS MATERIALIZED (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    eg AS MATERIALIZED (
+        SELECT src, dst FROM bp UNION ALL SELECT dst, src FROM bp),
+    deg AS MATERIALIZED (
+        SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM eg GROUP BY src),
+    nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+    r0 AS MATERIALIZED (
+        SELECT src AS node, CAST({PR_SCALE} // n AS BIGINT) AS r
+        FROM deg, nn)"""
+    steps = []
+    for i in range(iters):
+        steps.append(f""",
+    s{i} AS MATERIALIZED (
+        SELECT eg.dst AS node,
+               CAST(sum(r{i}.r // deg.outdeg) AS BIGINT) AS s
+        FROM eg JOIN r{i} ON eg.src = r{i}.node
+                JOIN deg ON eg.src = deg.src
+        GROUP BY eg.dst),
+    r{i + 1} AS MATERIALIZED (
+        SELECT r{i}.node AS node,
+               CAST(({100 - PR_DAMP_PCT} * {PR_SCALE}) // (100 * nn.n)
+                    + ({PR_DAMP_PCT} * coalesce(s{i}.s, 0)) // 100
+                    AS BIGINT) AS r
+        FROM r{i} LEFT JOIN s{i} USING (node), nn)""")
+    return (
+        head
+        + "".join(steps)
+        + f"""
+    SELECT node, r AS rank_scaled FROM r{iters}
+    ORDER BY rank_scaled DESC, node LIMIT 30
+    """
+    )
+
+
+@query("q143_pagerank", oracle=_pagerank_oracle())
+def q143_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer↔supplier interaction graph
+    (round 7): distinct (customer, supplier) trade pairs from
+    orders⋈lineitem become a symmetric bipartite graph; 4 damped
+    (0.85) iterations rank the hub entities. Completes the graph-
+    analytics pair next to connected components (q77/q87/q93) — the
+    dedup-cluster-authority / entity-salience shape.
+
+    Exactness + oracle: operators/pagerank.py keeps ranks as BIGINT
+    rationals at 10¹² — every step integer arithmetic, so the DuckDB
+    oracle replays the identical 4 iterations as an unrolled
+    MATERIALIZED CTE chain and the top-30 hash-matches exactly
+    (sorted on the BIGINT rank, doc-id tie-break; no float anywhere).
+
+    Scale shape: edge build is one orders⋈lineitem join + distinct;
+    each iteration is one src-keyed equi-join + one dst-keyed partial
+    agg over node/edge-sized frames, localCheckpoint'ed (plan depth
+    O(1) — the BPE loop doctrine). See the operator docstring for the
+    100 TB contract."""
+    from morphl_community_edition_spark.operators.pagerank import (
+        pagerank,
+        symmetrize_edges,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(symmetrize_edges(pairs), iters=PR_ITERS)
+    return (
+        ranks.select("node", F.col("r").alias("rank_scaled"))
+        .orderBy(F.col("rank_scaled").desc(), "node")
+        .limit(30)
+    )
