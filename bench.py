@@ -88,6 +88,8 @@ EXTRA = {
     "adaptive_quality_cut": "q139_adaptive_quality_cut",
     "bigram_nll": "q140_bigram_nll_quality",
     "bm25_retrieval": "q141_bm25_retrieval",
+    "interval_coalesce": "q142_interval_coalesce",
+    "pagerank": "q143_pagerank",
 }
 
 # best-of-5 blocks × 3 full-suite passes: single-JVM local mode has

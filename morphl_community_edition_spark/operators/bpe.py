@@ -107,7 +107,11 @@ MERGES_SCHEMA = StructType(
 
 
 def bpe_learn(
-    docs: DataFrame, k: int, text_col: str = "text"
+    docs: DataFrame,
+    k: int,
+    text_col: str = "text",
+    reliable: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> tuple[list[tuple], DataFrame]:
     """Run the k-merge training loop; returns (merge rows, the final
     segmented vocabulary frame (word, freq, syms)) — the vocabulary
@@ -116,13 +120,25 @@ def bpe_learn(
     directly instead of re-applying merges.
 
     Stops early (fewer than k merges) only if the vocabulary runs out
-    of adjacent pairs — impossible on any non-trivial corpus."""
+    of adjacent pairs — impossible on any non-trivial corpus.
+
+    reliable=True (round 8): per-iteration lineage truncation uses
+    durable ``DataFrame.checkpoint`` against ``checkpoint_dir`` (or a
+    pre-configured sparkContext checkpoint dir) so the k-loop survives
+    executor loss at cluster scale — see operators/checkpointing.py.
+    Default localCheckpoint is the fast local path."""
+    from morphl_community_edition_spark.operators.checkpointing import (
+        ensure_checkpoint_dir,
+        loop_checkpoint,
+    )
+
+    ensure_checkpoint_dir(docs.sparkSession, checkpoint_dir)
     vocab = corpus_vocab(docs, text_col).withColumn(
         "syms", F.split(F.col("word"), "")
     )
     # truncate lineage once up front: the loop must never re-plan the
     # corpus scan (plan-gated in tests/test_plans.py)
-    vocab = vocab.localCheckpoint(eager=True)
+    vocab = loop_checkpoint(vocab, reliable)
 
     rows: list[tuple] = []
     for i in range(k):
@@ -138,7 +154,7 @@ def bpe_learn(
         rows.append((i + 1, l, r, l + r, cnt))
         vocab = vocab.withColumn("syms", apply_merge(F.col("syms"), l, r))
         # re-checkpoint so plan depth stays O(1) across iterations
-        vocab = vocab.localCheckpoint(eager=True)
+        vocab = loop_checkpoint(vocab, reliable)
     return rows, vocab
 
 

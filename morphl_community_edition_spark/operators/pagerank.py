@@ -1,5 +1,5 @@
 """Integer-exact PageRank — iterative graph analytics as a driver-driven
-loop over node-sized frames (round 7).
+loop over node-sized frames (round 7; hardened round 8).
 
 The components operator (operators/components.py) answers "which
 nodes are connected"; this answers "which nodes matter" — the other
@@ -8,7 +8,7 @@ spam scoring, entity salience). Same execution doctrine as the BPE
 trainer (operators/bpe.py): the corpus-scale work happens ONCE (edge
 construction, degree count); the fixed-k iteration loop runs over
 NODE-sized frames driven from the driver, each iteration
-localCheckpoint'ed so plan depth stays O(1).
+lineage-truncated so plan depth stays O(1).
 
 Exactness device: ranks are BIGINT rationals at SCALE = 10¹² — every
 step is integer arithmetic (r DIV outdeg per edge, (85·s) DIV 100 for
@@ -19,19 +19,37 @@ CTE chain (the q127 device). Truncation error vs float PageRank is
 ≤ k·outdeg ulps at 1e-12 — irrelevant for ranking, decisive for
 hash-checkability.
 
-Scale shape (100 TB): per iteration, one edge-keyed equi-join
-(ranks ⋈ edges on src — co-partition both by src once and every
-iteration's join is shuffle-free; AQE broadcasts the node frame while
-it fits) and one dst-keyed agg with map-side partial sums (hot
-dst nodes — celebrities — collapse before the exchange). k is fixed
-and small; nothing is quadratic. Dangling nodes are the caller's
-contract: symmetrize_edges() guarantees outdeg ≥ 1 for every node.
+Scale shape (100 TB), implemented not just promised (round 8):
+the degree-carrying edge list is hash-partitioned by src ONCE and
+``persist()``-ed — an InMemoryRelation preserves outputPartitioning,
+so every iteration's ranks⋈edges join reuses it and the CORPUS-SCALE
+side never re-shuffles (plan-gated: no ENSURE_REQUIREMENTS exchange on
+src in the iteration plan). What does move per iteration is strictly
+NODE-sized: the checkpoint-truncated ranks frame shuffles to meet the
+join (AQE broadcasts it instead while it fits), and the contribution
+sum exchanges on dst with map-side partial aggregation, so hot dst
+nodes (celebrities) collapse before the wire. Nothing is quadratic;
+k is fixed and small. Dangling nodes are the caller's contract:
+symmetrize_edges() guarantees outdeg ≥ 1 for every node.
+
+Durability (round 8): per-iteration truncation goes through
+``operators/checkpointing.loop_checkpoint`` — default localCheckpoint
+for local runs; ``reliable=True`` switches to durable
+``DataFrame.checkpoint`` against the configured checkpoint dir so an
+executor loss mid-loop recomputes instead of aborting. The persisted
+edge frame needs neither: persist keeps lineage, lost cache blocks
+self-heal by recomputation.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from morphl_community_edition_spark.operators.checkpointing import (
+    ensure_checkpoint_dir,
+    loop_checkpoint,
+)
 
 PR_SCALE = 10**12
 PR_DAMP_PCT = 85  # damping factor 0.85 as an integer percentage
@@ -45,45 +63,87 @@ def symmetrize_edges(pairs: DataFrame) -> DataFrame:
     )
 
 
-def pagerank(edges: DataFrame, iters: int = 4) -> DataFrame:
+def _damped_update(s_col: str = "s") -> Column:
+    """teleport + damped contribution sum, all BIGINT integer math."""
+    return F.expr(
+        f"CAST(({100 - PR_DAMP_PCT} * {PR_SCALE}) DIV (100 * n)"
+        f" + ({PR_DAMP_PCT} * coalesce({s_col}, CAST(0 AS BIGINT))) DIV 100"
+        " AS BIGINT)"
+    )
+
+
+def pagerank_step(ed: DataFrame, ranks: DataFrame, nn: DataFrame) -> DataFrame:
+    """ONE damped iteration: contributions (src-keyed equi-join onto
+    the degree-carrying edge frame), dst-keyed partial-agg sum, then
+    the integer teleport/damping update. Factored out so the plan gate
+    (tests/test_plans.py) can assert the iteration shape directly:
+    the persisted src-partitioned edge side joins exchange-free, the
+    contribution agg keeps map-side combine, and no FileScan (corpus
+    re-read) appears anywhere in the loop body."""
+    s = (
+        ed.join(ranks, ed["src"] == ranks["node"])
+        .select(F.col("dst"), F.expr("CAST(r DIV outdeg AS BIGINT)").alias("c"))
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum("c").cast("bigint").alias("s"))
+    )
+    return (
+        ranks.select("node")
+        .join(s, "node", "left")
+        .crossJoin(nn)
+        .select("node", _damped_update().alias("r"))
+    )
+
+
+def pagerank_prepare(
+    edges: DataFrame, reliable: bool = False
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The loop's one-time corpus-scale setup: returns (ed, ranks0,
+    nn) — the degree-carrying edge frame hash-partitioned by src ONCE
+    and ``persist()``-ed (an InMemoryRelation preserves that
+    partitioning, so no iteration re-shuffles the edge side —
+    plan-gated; and persist, unlike localCheckpoint, keeps lineage
+    for durable self-healing), the uniform BIGINT start vector, and
+    the broadcast 1-row node count. Caller owns ``ed.unpersist()``."""
+    spark = edges.sparkSession
+    # one corpus-scale pass: degree per node; node set == deg keys
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("outdeg"))
+    nn = F.broadcast(deg.agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ed = edges.join(deg, "src").repartition(n_part, "src").persist()
+    ranks0 = loop_checkpoint(
+        deg.select(F.col("src").alias("node"))
+        .crossJoin(nn)
+        .select("node", F.expr(f"CAST({PR_SCALE} DIV n AS BIGINT)").alias("r")),
+        reliable,
+    )
+    return ed, ranks0, nn
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 4,
+    reliable: bool = False,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """Integer-exact PageRank over a symmetric edge list.
 
     edges: DataFrame(src string, dst string), outdeg ≥ 1 for every
     node (use symmetrize_edges). Returns (node, r) with r the
-    SCALE-scaled BIGINT rank after `iters` damped iterations from the
-    uniform start r₀ = SCALE DIV n.
+    SCALE-scaled BIGINT rank after ``iters`` damped iterations from
+    the uniform start r₀ = SCALE DIV n.
+
+    reliable=True: per-iteration lineage truncation uses durable
+    ``DataFrame.checkpoint`` (set ``checkpoint_dir``, or configure
+    ``sparkContext.setCheckpointDir`` yourself) so the loop survives
+    executor loss — the cluster setting. Default localCheckpoint is
+    the fast local path.
     """
-    # one corpus-scale pass: degree per node; node set == deg keys
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("outdeg"))
-    nn = F.broadcast(deg.agg(F.count(F.lit(1)).cast("bigint").alias("n")))
-    # edges carry their src outdeg once, checkpointed: the loop below
-    # never re-derives corpus-scale state (the bpe.py rule)
-    ed = edges.join(deg, "src").localCheckpoint(eager=True)
-    ranks = (
-        deg.select(F.col("src").alias("node"))
-        .crossJoin(nn)
-        .select("node", F.expr(f"CAST({PR_SCALE} DIV n AS BIGINT)").alias("r"))
-        .localCheckpoint(eager=True)
-    )
+    ensure_checkpoint_dir(edges.sparkSession, checkpoint_dir)
+    ed, ranks, nn = pagerank_prepare(edges, reliable)
     for _ in range(iters):
-        s = (
-            ed.join(ranks, ed["src"] == ranks["node"])
-            .select(F.col("dst"), F.expr("CAST(r DIV outdeg AS BIGINT)").alias("c"))
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("c").cast("bigint").alias("s"))
-        )
-        ranks = (
-            ranks.select("node")
-            .join(s, "node", "left")
-            .crossJoin(nn)
-            .select(
-                "node",
-                F.expr(
-                    f"CAST(({100 - PR_DAMP_PCT} * {PR_SCALE}) DIV (100 * n)"
-                    f" + ({PR_DAMP_PCT} * coalesce(s, CAST(0 AS BIGINT))) DIV 100"
-                    " AS BIGINT)"
-                ).alias("r"),
-            )
-            .localCheckpoint(eager=True)  # plan depth stays O(1) per iteration
-        )
+        # plan depth stays O(1) per iteration (loop_checkpoint)
+        ranks = loop_checkpoint(pagerank_step(ed, ranks, nn), reliable)
+    # final ranks are materialized independent of the cache by the
+    # eager checkpoint above, so the edge cache can be dropped now
+    ed.unpersist(blocking=False)
     return ranks

@@ -467,6 +467,26 @@ def q142_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
 PR_ITERS = 4
 
 
+def trade_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q143's graph: distinct (customer, supplier) trade pairs from
+    orders⋈lineitem, symmetrized so outdeg ≥ 1 everywhere. Shared
+    with the iteration plan gate (tests/test_plans.py) so the gate
+    inspects the exact frames the query runs."""
+    from morphl_community_edition_spark.operators.pagerank import symmetrize_edges
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return symmetrize_edges(pairs)
+
+
 def _pagerank_oracle(iters: int = PR_ITERS) -> str:
     """Unrolled MATERIALIZED CTE chain replaying pagerank()'s exact
     integer iterations (the q127 device: k driver-loop steps become k
@@ -530,27 +550,17 @@ def q143_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     MATERIALIZED CTE chain and the top-30 hash-matches exactly
     (sorted on the BIGINT rank, doc-id tie-break; no float anywhere).
 
-    Scale shape: edge build is one orders⋈lineitem join + distinct;
-    each iteration is one src-keyed equi-join + one dst-keyed partial
-    agg over node/edge-sized frames, localCheckpoint'ed (plan depth
-    O(1) — the BPE loop doctrine). See the operator docstring for the
-    100 TB contract."""
-    from morphl_community_edition_spark.operators.pagerank import (
-        pagerank,
-        symmetrize_edges,
-    )
+    Scale shape (plan-gated round 8): edge build is one
+    orders⋈lineitem join + distinct; the degree-carrying edge frame is
+    src-partitioned ONCE and persisted, so each iteration's join
+    re-shuffles only the node-sized ranks frame, plus one dst-keyed
+    partial agg; lineage truncated per iteration (plan depth O(1) —
+    the BPE loop doctrine; reliable=True swaps in durable checkpoints
+    for clusters). See the operator docstring for the 100 TB
+    contract."""
+    from morphl_community_edition_spark.operators.pagerank import pagerank
 
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
-        .distinct()
-    )
-    ranks = pagerank(symmetrize_edges(pairs), iters=PR_ITERS)
+    ranks = pagerank(trade_graph_edges(spark, sf_dir), iters=PR_ITERS)
     return (
         ranks.select("node", F.col("r").alias("rank_scaled"))
         .orderBy(F.col("rank_scaled").desc(), "node")

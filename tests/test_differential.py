@@ -674,3 +674,84 @@ def test_fuzz_interval_asof_matches_union_window_asof(left, right, strict, tol):
         ).collect()
     }
     assert got == want
+
+
+def _py_pagerank_int(edges: list, iters: int) -> dict:
+    """Pure-Python textbook PageRank with the SAME integer-rational
+    arithmetic contract as operators/pagerank.py (SCALE-scaled BIGINT,
+    floor division everywhere) — the independent third formulation
+    next to Spark's join-loop and the oracle's unrolled CTE chain."""
+    from collections import defaultdict
+
+    from morphl_community_edition_spark.operators.pagerank import (
+        PR_DAMP_PCT,
+        PR_SCALE,
+    )
+
+    out: dict = defaultdict(int)
+    for s, _ in edges:
+        out[s] += 1
+    nodes = sorted(out)
+    n = len(nodes)
+    r = {v: PR_SCALE // n for v in nodes}
+    for _ in range(iters):
+        acc: dict = defaultdict(int)
+        for a, b in edges:
+            acc[b] += r[a] // out[a]
+        r = {
+            v: ((100 - PR_DAMP_PCT) * PR_SCALE) // (100 * n)
+            + (PR_DAMP_PCT * acc.get(v, 0)) // 100
+            for v in nodes
+        }
+    return r
+
+
+def _py_pagerank_float(edges: list, iters: int, damp: float = 0.85) -> dict:
+    """Classic float PageRank (Page et al. 1999) — validates that the
+    integer-rational contract tracks the textbook semantics, not just
+    itself."""
+    from collections import defaultdict
+
+    out: dict = defaultdict(int)
+    for s, _ in edges:
+        out[s] += 1
+    nodes = sorted(out)
+    n = len(nodes)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        acc: dict = defaultdict(float)
+        for a, b in edges:
+            acc[b] += r[a] / out[a]
+        r = {v: (1 - damp) / n + damp * acc.get(v, 0.0) for v in nodes}
+    return r
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pairs=st.sets(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)), min_size=1, max_size=20
+    ),
+    iters=st.integers(1, 4),
+)
+def test_fuzz_pagerank_matches_textbook(pairs, iters):
+    """operators/pagerank.pagerank == the pure-Python integer textbook
+    loop on random small graphs (self-loops, multi-component,
+    hub-heavy — symmetrized the same way the query symmetrizes), and
+    within float tolerance of the classic float formulation, so the
+    10⁻¹² rational truncation is provably cosmetic."""
+    from morphl_community_edition_spark.operators.pagerank import (
+        PR_SCALE,
+        pagerank,
+        symmetrize_edges,
+    )
+
+    spark = _ENGINES["spark"]
+    named = [(f"n{a}", f"n{b}") for a, b in sorted(pairs)]
+    sym = named + [(b, a) for a, b in named]
+    df = spark.createDataFrame(named, "src string, dst string")
+    got = {
+        r["node"]: r["r"] for r in pagerank(symmetrize_edges(df), iters=iters).collect()
+    }
+    assert got == _py_pagerank_int(sym, iters)
+    ref = _py_pagerank_float(sym, iters)
+    assert all(abs(got[v] / PR_SCALE - ref[v]) < 1e-9 for v in ref)

@@ -811,3 +811,61 @@ def test_q141_bm25_topk_no_global_sort(spark):
     assert "TakeOrderedAndProject" in plan, plan[:1500]
     assert "BroadcastHashJoin" in plan, plan[:1500]
     assert "Window" not in plan, plan[:1500]
+
+
+def test_q142_interval_coalesce_single_user_shuffle(spark):
+    """q142 interval coalesce (round-8 gate, the q137 device): the
+    running-max window, the island-numbering window and the island agg
+    all share the (user_id) partitioning — ONE data shuffle plus the
+    presentation sort; a second exchange between the windows/agg would
+    mean Catalyst stopped reusing the user clustering."""
+    from morphl_community_edition_spark.plans import count_exchanges
+
+    df = QUERIES["q142_interval_coalesce"](spark, SF_DIR)
+    assert count_exchanges(df) <= 2, (
+        df._jdf.queryExecution().executedPlan().toString()[:1500]
+    )
+
+
+def test_q143_pagerank_iteration_copartitioned_no_corpus_reread(spark):
+    """q143 PageRank (round-8 gate): the iteration body must be
+    node-sized traffic only. With broadcast off the table (the
+    at-scale shape), the ranks⋈edges join must read the persisted
+    src-partitioned edge frame WITHOUT a new shuffle on src (the
+    InMemoryRelation preserves the one-time repartition — re-shuffling
+    the corpus-scale side every iteration is the 100 TB failure mode),
+    the contribution sum must keep map-side partial aggregation, and
+    the loop body must not re-derive corpus-scale state (no
+    deg/distinct recomputation: the only aggregates are the dst sum)."""
+    import re
+
+    from morphl_community_edition_spark.operators.pagerank import (
+        pagerank_prepare,
+        pagerank_step,
+    )
+    from morphl_community_edition_spark.queries.workload import trade_graph_edges
+
+    ed, ranks0, nn = pagerank_prepare(trade_graph_edges(spark, SF_DIR))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ed.count()  # materialize the cache so the iteration reads it
+        step = pagerank_step(ed, ranks0, nn)
+        plan = step._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, plan[:1500]
+        # the cached-subtree display legitimately shows the ONE-TIME
+        # REPARTITION_BY_NUM exchange that built the cache; the live
+        # plan above it must not add a new src shuffle
+        live = plan.split("InMemoryRelation")[0]
+        assert not re.search(
+            r"Exchange hashpartitioning\(src#\d+", live
+        ), f"iteration re-shuffles the edge side:\n{plan[:2000]}"
+        assert "partial_sum" in plan, f"dst sum lost map-side combine:\n{plan[:1500]}"
+        # corpus-scale state must come from the cache, not be re-derived:
+        # the live plan has no distinct/degree agg, only the dst sum +
+        # the final update; FileScans may appear only in the cached
+        # subtree display (already-executed build plan)
+        assert "FileScan" not in live, f"iteration replans a corpus scan:\n{live[:2000]}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        ed.unpersist(blocking=True)
