@@ -85,10 +85,12 @@ def _write_index_tables(
         sh.write.mode("overwrite").parquet(postings_dir)
         stats_src = docs.sparkSession.read.parquet(postings_dir)
     else:
-        # append: write THIS slice to a staging subdir-free read is not
-        # possible, so aggregate from the explode once and reuse the
-        # narrow post-agg frame for the write (doc_stats is doc-sized,
-        # not postings-sized — the double-explode was the real cost)
+        # append: we can't re-read ONLY this slice back from the
+        # postings dir (parquet append has no per-write subdir), so
+        # checkpoint the exploded frame once and reuse it for both the
+        # postings append and the doc_stats agg (doc_stats is
+        # doc-sized, not postings-sized — the double-explode was the
+        # real cost)
         sh = sh.localCheckpoint(eager=True)
         sh.write.mode("append").parquet(postings_dir)
         stats_src = sh
@@ -102,28 +104,72 @@ def _write_index_tables(
     ).distinct().write.mode(mode).parquet(os.path.join(path, "hashes"))
 
 
-def _write_meta(spark: SparkSession, path: str, n_docs: int) -> None:
-    spark.createDataFrame([(int(n_docs),)], "n_docs long").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(path, "meta"))
+def _write_meta(
+    spark: SparkSession, path: str, n_docs: int, last_batch_id: int | None = None
+) -> None:
+    spark.createDataFrame(
+        [(int(n_docs), None if last_batch_id is None else int(last_batch_id))],
+        "n_docs long, last_batch_id long",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+
+
+def _read_meta(spark: SparkSession, path: str):
+    return spark.read.parquet(os.path.join(path, "meta")).collect()[0]
 
 
 def read_index_doc_count(spark: SparkSession, path: str) -> int:
     """Indexed-corpus document count, from the one-row meta table."""
-    return spark.read.parquet(os.path.join(path, "meta")).collect()[0]["n_docs"]
+    return _read_meta(spark, path)["n_docs"]
 
 
-def append_to_index(batch: DataFrame, path: str, text_col: str = "text") -> None:
+def read_index_last_batch_id(spark: SparkSession, path: str) -> int | None:
+    """Highest streaming batch_id already folded into the index, or
+    None for a fresh/batch-built index (also for indexes written
+    before the column existed — missing column reads as None)."""
+    row = _read_meta(spark, path)
+    try:
+        return row["last_batch_id"]
+    except (KeyError, ValueError):
+        return None
+
+
+def append_to_index(
+    batch: DataFrame, path: str, text_col: str = "text", batch_id: int | None = None
+) -> None:
     """Incremental index maintenance (the A5 append shape): fold an
     ACCEPTED batch into the index — postings/doc_stats rows append,
     the content-hash set appends the batch's distinct hashes (the
     exact-tier probe dedupes at read time, so repeats across batches
-    are harmless), meta advances by the batch doc count. Caller
-    contract: append each doc once."""
+    are harmless), meta advances by the batch doc count.
+
+    ``batch_id`` makes the fold IDEMPOTENT per batch (round-8 advice):
+    when given, meta records the highest folded batch_id and a replay
+    of an already-folded id is a no-op — foreachBatch is
+    at-least-once, so a crash between a downstream commit and the
+    checkpoint advance replays the batch, and without the guard the
+    replay would double-append postings/doc_stats/hashes and
+    double-advance the valve denominator. Spark's microbatch ids are
+    monotonically increasing per checkpoint, so `<= last` detects a
+    replay. Callers without a batch protocol (batch_id=None) keep the
+    old contract: append each doc once."""
     spark = batch.sparkSession
-    n_before = read_index_doc_count(spark, path)
+    meta = _read_meta(spark, path)
+    n_before = meta["n_docs"]
+    try:
+        last = meta["last_batch_id"]
+    except (KeyError, ValueError):
+        last = None
+    if batch_id is not None and last is not None and batch_id <= last:
+        return
     _write_index_tables(batch, path, text_col, mode="append")
-    _write_meta(spark, path, n_before + batch.count())
+    # a protocol-free append (batch_id=None) preserves the recorded
+    # watermark instead of erasing it
+    _write_meta(
+        spark,
+        path,
+        n_before + batch.count(),
+        last_batch_id=batch_id if batch_id is not None else last,
+    )
 
 
 def incremental_dedup_with_index(
@@ -243,12 +289,16 @@ def streaming_dedup_ingest(
     with a temp checkpoint, a restart re-reads every source file,
     appending duplicate verdicts and postings and doubling the meta
     count). With a durable checkpoint the file source skips
-    already-committed batches on restart. Remaining honest caveat: a
-    crash BETWEEN the verdict write and append_to_index replays that
-    one batch's side effects (foreachBatch is at-least-once); a
-    production deployment keys the verdict sink by (batch_id, doc_id)
-    and makes the index append idempotent per batch_id — the same
-    discipline any foreachBatch sink needs."""
+    already-committed batches on restart. foreachBatch is still
+    at-least-once WITHIN a batch — a crash after the side effects but
+    before the checkpoint advance replays that batch — so both sinks
+    are replay-proof (round-8 advice, was a documented caveat):
+    the index fold is idempotent per batch_id (append_to_index
+    no-ops on an already-folded id via the meta watermark), and the
+    verdict sink is keyed (batch_id, doc_id) with duplicates dropped
+    at read time by ``read_verdicts`` (a replayed classification is
+    deterministic — the guarded index is unchanged — so dropped rows
+    are exact copies)."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -261,7 +311,7 @@ def streaming_dedup_ingest(
         res.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
             out_path
         )
-        append_to_index(b, index_path, text_col)
+        append_to_index(b, index_path, text_col, batch_id=batch_id)
 
     return (
         stream_docs.writeStream.foreachBatch(handle)
@@ -270,3 +320,13 @@ def streaming_dedup_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_verdicts(spark: SparkSession, out_path: str) -> DataFrame:
+    """Replay-safe read of the verdict sink: foreachBatch can append
+    the same batch twice (crash between sink write and checkpoint
+    advance), so consumers dedupe on the (batch_id, doc_id) key. The
+    duplicates are exact row copies (classification against the
+    replay-guarded index is deterministic), so dropDuplicates loses
+    nothing."""
+    return spark.read.parquet(out_path).dropDuplicates(["batch_id", "doc_id"])

@@ -1,14 +1,28 @@
 """SemDeDup-style semantic deduplication (K2/K3 composition, round
-7): embedding-space near-duplicate removal following the public
-SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540) — cluster the
-corpus embeddings into cells, compare pairs only WITHIN a cell,
-connect pairs above a cosine threshold into duplicate groups, keep
-one representative per group.
+7; integer-exact scoring + enforced cell valve round 8): embedding-
+space near-duplicate removal following the public SemDeDup recipe
+(Abbas et al. 2023, arXiv:2303.09540) — cluster the corpus embeddings
+into cells, compare pairs only WITHIN a cell, connect pairs above a
+cosine threshold into duplicate groups, keep one representative per
+group.
 
 Composition of existing machinery, not new physics:
 
+- similarity scoring runs on the INT8 CODES from
+  operators/similarity.quantize_embeddings_int8 (q94's hash-checked
+  quantizer; per-vector scales cancel out of the cosine, q130's
+  device). This is both the 100 TB serving representation (4× less
+  memory traffic than float32) and the exactness device: the ONLY
+  accumulation anywhere is an integer dot product (≤ dim·127² —
+  exact in int64 and in float64), and everything after it is a fixed
+  chain of single IEEE scalar ops (multiply, sqrt, divide, crnd-6) —
+  bit-identical no matter which tier, which blocking, or which
+  engine computes it. The round-7 "GEMM-vs-fold agreement is
+  EMPIRICAL" caveat is thereby closed BY CONSTRUCTION: float
+  accumulation order, the one thing BLAS reorders, no longer exists
+  in the pipeline.
 - cell assignment = the IVF KMeans router (operators/similarity
-  ivf_cosine_topk's corpus side);
+  ivf_cosine_topk's corpus side), on the raw float embeddings;
 - within-cell pairs = equi-join on cell id with ``a_vec < b_vec`` —
   the candidate-volume-bounded join shape shared by every near-dup
   path (cost sum(cell_size²)/2, never corpus²);
@@ -23,19 +37,31 @@ Composition of existing machinery, not new physics:
 
 Scale (100 TB): KMeans state is n_cells × dim on the driver;
 assignments are one narrow transform pass; the pair join shuffles on
-cell id, so skew is bounded by the largest cell (pick n_cells ≈
-corpus/10⁵ and re-split outlier cells — the paper does the same);
-component state is proportional to the above-threshold subgraph,
-orders of magnitude smaller than the corpus.
+cell id, so skew is bounded by the largest cell. The GEMM worker's
+memory bound is ENFORCED IN CODE (round 8, was caller contract):
+cells larger than ``max_cell_rows`` (default derived from the
+session's memory conf, the gemm_row_ceiling device) are re-split into
+hash blocks and processed as BLOCK-PAIR tasks — every (block i,
+block j ≥ i) pair of a cell becomes its own applyInPandas group, so
+one task never holds more than ~2·cap rows while the emitted edge
+set stays IDENTICAL to the unsplit cell's (all within-cell pairs are
+covered exactly once; integer scoring makes the equality bitwise,
+asserted by the suite's mega-cell test). Cost of the re-split is the
+inherent all-pairs row duplication (each row visits n_blocks tasks),
+not a semantic change. Component state is proportional to the
+above-threshold subgraph, orders of magnitude smaller than the
+corpus.
 
 Exactness contract (the q124 full-probe device): at ``n_cells=1``
 the cell partition is trivial, nothing depends on KMeans, and the
-result is exact brute-force semantic dedup — that configuration is
-DuckDB-oracle-checked (q128), certifying the pair math, closure, and
+result is exact brute-force semantic dedup over the quantized codes —
+that configuration is DuckDB-oracle-checked (q128, oracle replays the
+same int8 quantization), certifying the pair math, closure, and
 keeper election. The clustered configuration (q129) prunes the SAME
 pipeline; its edge set is provably a subset of the exact one
 (clustering only removes cross-cell comparisons), asserted by the
-suite's refinement test.
+suite's refinement test; fold-vs-GEMM equality at n_cells=1 is
+asserted directly (exact by construction since round 8).
 """
 
 from __future__ import annotations
@@ -45,7 +71,26 @@ from pyspark.sql import functions as F
 
 from morphl_community_edition_spark.functions.rounding import crnd
 from morphl_community_edition_spark.operators.components import connected_components
-from morphl_community_edition_spark.operators.similarity import dot
+from morphl_community_edition_spark.operators.similarity import (
+    _driver_mem_bytes,
+    dot,
+    quantize_embeddings_int8,
+)
+
+# row-block height for the per-task GEMM inner loop (peak scratch is
+# ~2 · GEMM_BLOCK_ROWS · task_rows · 8 bytes)
+GEMM_BLOCK_ROWS = 1024
+
+
+def cell_row_cap(spark, dim: int = 64, safety_frac: float = 0.05) -> int:
+    """Max rows one GEMM task may hold, derived from the session's
+    memory conf (the gemm_row_ceiling device): a task materializes its
+    code matrix (rows·dim·8 B) plus two row-block scratch panels
+    (2·GEMM_BLOCK_ROWS·rows·8 B), charged against a small fraction of
+    driver/worker memory. At the default 8g/64-dim this is ~24k rows
+    per task — cells above it re-split into block-pair tasks."""
+    per_row = dim * 8 + 2 * GEMM_BLOCK_ROWS * 8
+    return max(2, int(_driver_mem_bytes(spark) * safety_frac / per_row))
 
 
 def assign_cells(
@@ -54,68 +99,150 @@ def assign_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(n_vec, n_emb, cell): KMeans cell per vector; n_cells=1 skips
-    ML entirely (single trivial cell — the exact configuration)."""
+    """(n_vec, code, n2, cell): int8 code + integer norm² + KMeans
+    cell per vector; n_cells=1 skips ML entirely (single trivial cell
+    — the exact configuration). Codes ride as array<double> holding
+    exact integers (the q130 convention: every engine sums them
+    exactly), n2 as the integer self-dot — hoisted here so neither
+    pair tier re-folds it per pair."""
     base = emb.select(
         F.col(id_col).alias("n_vec"),
         F.col(vec_col).cast("array<double>").alias("n_emb"),
     )
+    qz = quantize_embeddings_int8(base, "n_emb", out_q="__q", out_scale="__s")
+    coded = qz.select(
+        "n_vec",
+        "n_emb",
+        F.col("__q").cast("array<double>").alias("code"),
+    ).withColumn("n2", dot(F.col("code"), F.col("code")))
     if n_cells <= 1:
-        return base.withColumn("cell", F.lit(0))
+        return coded.select("n_vec", "code", "n2", F.lit(0).alias("cell"))
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feat = base.withColumn("features", array_to_vector(F.col("n_emb")))
+    feat = coded.withColumn("features", array_to_vector(F.col("n_emb")))
     km = KMeans(k=n_cells, seed=42, featuresCol="features", predictionCol="cell").fit(feat)
-    return km.transform(feat).select("n_vec", "n_emb", "cell")
+    return km.transform(feat).select("n_vec", "code", "n2", "cell")
 
 
-def _gemm_cell_edges(assigned: DataFrame, threshold: float) -> DataFrame:
+def _quantized_sims(dot_int, na2, nb2):
+    """The shared numpy tier of the scoring contract: crnd-6 of
+    int-dot / (sqrt(na²·nb²) + 1e-30). All inputs are exact int64;
+    every op after the integer dot is a single correctly-rounded IEEE
+    scalar op, so the result is bit-identical to the JVM fold
+    expression and the DuckDB oracle."""
+    import numpy as np
+
+    den = np.sqrt((na2[:, None] * nb2[None, :]).astype(np.float64)) + 1e-30
+    sims = dot_int.astype(np.float64) / den
+    return np.floor(sims * 1e6 + 0.5) / 1e6
+
+
+def _gemm_cell_edges(
+    assigned: DataFrame, threshold: float, max_cell_rows: int | None = None
+) -> DataFrame:
     """Per-cell dense-GEMM pair generation (grouped applyInPandas):
-    each cell's vectors become one numpy matrix, similarities one
-    blocked M·Mᵀ — the literal per-cluster similarity matrix from the
-    SemDeDup paper, and the Arrow-batched fast path for the quadratic
-    inner loop (measured 38.6 s -> ~4 s on the 10×-corpus sweep
-    variant vs the JVM fold). Identical crnd-6 rounding FORMULA — but
-    BLAS M·Mᵀ accumulates in a different order than the sequential
-    JVM fold, so agreement of the rounded values is EMPIRICAL, not
-    proven: a cosine within 1 ulp of a floor boundary (or of the
-    threshold) could in principle round apart. The refinement suite
-    is the standing guard (it runs one side on each tier and asserts
-    the gemm edge set ⊆ the fold edge set); same accepted posture as
-    the q38/q12 GEMM dispatcher, oracle-hash-green across rounds.
+    each task's codes become one numpy int64 matrix, similarities one
+    row-blocked integer M·Mᵀ — the literal per-cluster similarity
+    matrix from the SemDeDup paper, Arrow-batched. Scoring is the
+    integer contract (_quantized_sims), so this tier equals the JVM
+    fold bit-for-bit BY CONSTRUCTION — no float accumulation exists
+    to reorder.
 
-    Memory bound: one cell must fit a worker — row-blocked at 1024
-    rows so peak is 1024 × cell_size doubles, plus the cell's
-    vectors; cells are sized (and outliers re-split) so this holds,
-    per the module contract."""
+    Memory bound, enforced (round 8): cells larger than
+    ``max_cell_rows`` (default cell_row_cap) are hash-re-split into
+    blocks and each (bi ≤ bj) block pair becomes its own task —
+    within-block pairs run at bi == bj, cross-block pairs at
+    bi < bj — so the task memory cap holds for ANY cell size while
+    the emitted edge set is identical to the unsplit cell's."""
+    spark = assigned.sparkSession
+    if max_cell_rows is None:
+        max_cell_rows = cell_row_cap(spark)
+    # cell-count-sized frame, broadcast back: how many hash blocks
+    # each cell needs (1 = valve inactive, zero extra rows)
+    sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("__cn"))
+    nb = F.greatest(
+        F.ceil(F.col("__cn") / F.lit(max_cell_rows)).cast("int"), F.lit(1)
+    )
+    blocked = (
+        assigned.join(F.broadcast(sizes.select("cell", nb.alias("__nb"))), "cell")
+        .withColumn("__blk", F.pmod(F.xxhash64("n_vec"), F.col("__nb")).cast("int"))
+        # one output row per (row, counterpart block): the task for
+        # blocks (b, o) is keyed (min(b,o), max(b,o)), so each task
+        # receives exactly the rows of its two blocks (or one, when
+        # bi == bj) and all within-cell pairs are covered exactly once
+        .withColumn(
+            "__task",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, __nb - 1), o -> "
+                    "struct(least(__blk, o) AS bi, greatest(__blk, o) AS bj))"
+                )
+            ),
+        )
+        .select(
+            "cell",
+            F.col("__task.bi").alias("__bi"),
+            F.col("__task.bj").alias("__bj"),
+            "__blk",
+            "n_vec",
+            "code",
+            "n2",
+        )
+    )
 
     def pairs(pdf):
         import numpy as np
         import pandas as pd
 
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame({"a_vec": [], "b_vec": [], "sim": []}).astype(
-                {"a_vec": "int64", "b_vec": "int64", "sim": "float64"}
-            )
-        order = np.argsort(pdf["n_vec"].to_numpy())
-        ids = pdf["n_vec"].to_numpy()[order]
-        M = np.vstack(pdf["n_emb"].to_numpy()[order]).astype(np.float64)
-        nr = np.sqrt((M * M).sum(axis=1))
-        jj = np.arange(n)
+        empty = pd.DataFrame({"a_vec": [], "b_vec": [], "sim": []}).astype(
+            {"a_vec": "int64", "b_vec": "int64", "sim": "float64"}
+        )
+        bi, bj = int(pdf["__bi"].iloc[0]), int(pdf["__bj"].iloc[0])
         out_a, out_b, out_s = [], [], []
-        B = 1024
-        for s0 in range(0, n, B):
-            blk = M[s0 : s0 + B] @ M.T
-            sims = blk / np.outer(nr[s0 : s0 + B], nr)
-            sims = np.floor(sims * 1e6 + 0.5) / 1e6
-            ii = np.arange(s0, min(s0 + B, n))
-            mask = (sims >= threshold) & (jj[None, :] > ii[:, None])
-            r, c = np.nonzero(mask)
-            out_a.append(ids[r + s0])
-            out_b.append(ids[c])
-            out_s.append(sims[r, c])
+
+        def block(sub):
+            order = np.argsort(sub["n_vec"].to_numpy())
+            ids = sub["n_vec"].to_numpy()[order]
+            M = np.vstack(sub["code"].to_numpy()[order]).astype(np.int64)
+            n2 = sub["n2"].to_numpy()[order].astype(np.int64)
+            return ids, M, n2
+
+        if bi == bj:
+            if len(pdf) < 2:
+                return empty
+            ids, M, n2 = block(pdf)
+            n = len(ids)
+            jj = np.arange(n)
+            for s0 in range(0, n, GEMM_BLOCK_ROWS):
+                hi = min(s0 + GEMM_BLOCK_ROWS, n)
+                sims = _quantized_sims(M[s0:hi] @ M.T, n2[s0:hi], n2)
+                ii = np.arange(s0, hi)
+                mask = (sims >= threshold) & (jj[None, :] > ii[:, None])
+                r, c = np.nonzero(mask)
+                out_a.append(ids[r + s0])
+                out_b.append(ids[c])
+                out_s.append(sims[r, c])
+        else:
+            a_side = pdf[pdf["__blk"] == bi]
+            b_side = pdf[pdf["__blk"] == bj]
+            if not len(a_side) or not len(b_side):
+                return empty
+            ida, Ma, n2a = block(a_side)
+            idb, Mb, n2b = block(b_side)
+            for s0 in range(0, len(ida), GEMM_BLOCK_ROWS):
+                hi = min(s0 + GEMM_BLOCK_ROWS, len(ida))
+                sims = _quantized_sims(Ma[s0:hi] @ Mb.T, n2a[s0:hi], n2b)
+                mask = sims >= threshold
+                r, c = np.nonzero(mask)
+                # blocks are disjoint row sets, so orient each pair
+                # by id to keep the a_vec < b_vec edge convention
+                x, y = ida[r + s0], idb[c]
+                out_a.append(np.minimum(x, y))
+                out_b.append(np.maximum(x, y))
+                out_s.append(sims[r, c])
+        if not out_a:
+            return empty
         return pd.DataFrame(
             {
                 "a_vec": np.concatenate(out_a),
@@ -124,49 +251,49 @@ def _gemm_cell_edges(assigned: DataFrame, threshold: float) -> DataFrame:
             }
         )
 
-    return assigned.groupBy("cell").applyInPandas(
+    return blocked.groupBy("cell", "__bi", "__bj").applyInPandas(
         pairs, schema="a_vec bigint, b_vec bigint, sim double"
     )
 
 
 def semantic_dup_edges(
-    assigned: DataFrame, threshold: float, method: str = "fold"
+    assigned: DataFrame,
+    threshold: float,
+    method: str = "fold",
+    max_cell_rows: int | None = None,
 ) -> DataFrame:
-    """(a_vec, b_vec, sim) within-cell pairs with rounded cosine >=
-    threshold. The compare runs on the 6-decimal canonical rounding
-    (functions/rounding) so the edge SET is engine-deterministic.
+    """(a_vec, b_vec, sim) within-cell pairs with the crnd-6 quantized
+    cosine >= threshold. Scoring is the integer contract (module
+    docstring): int8-code dot products are the only accumulation, so
+    the edge set is engine- AND tier-deterministic by construction.
 
     ``method``: 'fold' = pure-JVM array-fold expressions (the
-    oracle-twin shape, used by the exact q128 configuration);
-    'gemm' = per-cell numpy GEMM via applyInPandas (the scale tier —
-    what semantic_dedup picks whenever it actually clusters)."""
+    oracle-twin shape; memory-safe at any cell size — the equi-join
+    streams and spills); 'gemm' = per-cell numpy GEMM via
+    applyInPandas with the enforced ``max_cell_rows`` task valve (the
+    scale tier — what semantic_dedup executes; bitwise-equal to the
+    fold, asserted at n_cells=1 by the suite)."""
     if method == "gemm":
-        return _gemm_cell_edges(assigned, threshold)
+        return _gemm_cell_edges(assigned, threshold, max_cell_rows)
     if method != "fold":
         raise ValueError(f"method must be 'fold' or 'gemm', got {method!r}")
-    # norms hoisted to one fold per VECTOR before the join — inside
-    # the pair expression they would re-fold both self-dots per PAIR,
-    # tripling the dominant cost (measured 144 s -> ~50 s on the 10×
-    # sweep corpus). sqrt(dot(v, v)) on the same rows is bitwise the
-    # same value either side of the join, so the oracle contract is
-    # untouched.
-    withn = assigned.withColumn(
-        "__n", F.sqrt(dot(F.col("n_emb"), F.col("n_emb")))
-    )
-    a = withn.select(
+    a = assigned.select(
         "cell",
         F.col("n_vec").alias("a_vec"),
-        F.col("n_emb").alias("a_emb"),
-        F.col("__n").alias("a_n"),
+        F.col("code").alias("a_code"),
+        F.col("n2").alias("a_n2"),
     )
-    b = withn.select(
+    b = assigned.select(
         "cell",
         F.col("n_vec").alias("b_vec"),
-        F.col("n_emb").alias("b_emb"),
-        F.col("__n").alias("b_n"),
+        F.col("code").alias("b_code"),
+        F.col("n2").alias("b_n2"),
     )
+    # same op chain as _quantized_sims: integer dot, sqrt of the
+    # integer product, +1e-30, divide, crnd-6
     sim = crnd(
-        dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_n") * F.col("b_n")),
+        dot(F.col("a_code"), F.col("b_code"))
+        / (F.sqrt(F.col("a_n2") * F.col("b_n2")) + F.lit(1e-30)),
         6,
     )
     return (
@@ -183,18 +310,23 @@ def semantic_dedup(
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell_rows: int | None = None,
 ) -> DataFrame:
     """Per-vector verdict (vec_id, comp, cluster_size, keep): comp is
     the duplicate-group label (min reachable id; singletons label
     themselves), keep marks the elected representative. Pair tier:
     GEMM for both configurations (single cell = one whole-corpus
-    group; the round-7 sweep read 12.5 s at sf0.1 through the fold vs
-    ~3 s GEMM, and the GEMM-under-oracle posture has the q38/q12
-    precedent). The fold tier remains the oracle-twin FORMULA and
-    keeps live coverage through the refinement suite, which runs the
-    exact side on fold against this gemm path."""
+    group, re-split by the task valve when it exceeds the memory cap;
+    the round-7 sweep read 12.5 s at sf0.1 through the fold vs ~3 s
+    GEMM). Since round 8 the GEMM tier is bitwise-equal to the fold
+    tier by construction (integer scoring contract), so running the
+    oracle-checked q128 configuration through GEMM is exact, not an
+    empirical posture; the fold tier stays live through the suite's
+    direct equality and refinement tests."""
     assigned = assign_cells(emb, n_cells, id_col, vec_col)
-    edges = semantic_dup_edges(assigned, threshold, method="gemm")
+    edges = semantic_dup_edges(
+        assigned, threshold, method="gemm", max_cell_rows=max_cell_rows
+    )
     comp = connected_components(edges, "a_vec", "b_vec")
     full = (
         assigned.select("n_vec")

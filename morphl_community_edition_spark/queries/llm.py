@@ -862,12 +862,20 @@ def q127_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMDEDUP_EXACT_ORACLE = """
     WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                          FROM embeddings),
+    qz AS MATERIALIZED (
+      SELECT vec_id, code, list_dot_product(code, code) AS n2
+      FROM (SELECT vec_id,
+                   list_transform(emb, x -> floor(x * 127.0 / s + 0.5)) AS code
+            FROM (SELECT vec_id, emb,
+                         greatest(list_aggregate(list_transform(emb, x -> abs(x)),
+                                                 'max'), 1e-30) AS s
+                  FROM e))
+    ),
     ed AS MATERIALIZED (
       SELECT a.vec_id AS s, b.vec_id AS d
-      FROM e a JOIN e b ON a.vec_id < b.vec_id
-      WHERE floor((list_dot_product(a.emb, b.emb)
-            / (sqrt(list_dot_product(a.emb, a.emb))
-               * sqrt(list_dot_product(b.emb, b.emb)))) * 1e6 + 0.5) / 1e6 >= 0.4
+      FROM qz a JOIN qz b ON a.vec_id < b.vec_id
+      WHERE floor((list_dot_product(a.code, b.code)
+            / (sqrt(a.n2 * b.n2) + 1e-30)) * 1e6 + 0.5) / 1e6 >= 0.4
     ),
     bi AS MATERIALIZED (SELECT s, d FROM ed UNION SELECT d AS s, s AS d FROM ed),
     lbl AS (
@@ -888,12 +896,16 @@ _SEMDEDUP_EXACT_ORACLE = """
 @query("q128_semantic_dedup_exact", oracle=_SEMDEDUP_EXACT_ORACLE)
 def q128_semantic_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup at the EXACT configuration (round 7; the q124
-    full-probe device): n_cells=1 makes the cell partition trivial —
-    nothing depends on KMeans — so the per-vector verdict (duplicate
-    group, size, keeper) must equal brute-force semantic dedup, which
-    the DuckDB oracle recomputes including the transitive closure (a
-    recursive min-label CTE). A hash match certifies the pair math,
-    the connected-components closure, and the keeper election used by
+    full-probe device; integer scoring round 8): n_cells=1 makes the
+    cell partition trivial — nothing depends on KMeans — so the
+    per-vector verdict (duplicate group, size, keeper) must equal
+    brute-force semantic dedup over the int8-quantized codes (q94's
+    quantizer, q130's scoring device: the only accumulation is an
+    integer dot product, so every tier and engine agrees bitwise),
+    which the DuckDB oracle recomputes including the same
+    quantization and the transitive closure (a recursive min-label
+    CTE). A hash match certifies the quantized pair math, the
+    connected-components closure, and the keeper election used by
     the clustered scale configuration (q129)."""
     from morphl_community_edition_spark.operators.semdedup import semantic_dedup
 
@@ -905,11 +917,13 @@ def q128_semantic_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q129_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup at the clustered scale configuration (16 KMeans
     cells): within-cell pair cost is sum(cell_size^2)/2 instead of
-    corpus^2. No oracle BY DESIGN (cell boundaries depend on KMeans);
-    correctness is covered by q128 (identical pipeline, exact
-    configuration) plus the suite's refinement test — the clustered
-    edge set is provably a subset of the exact one, so clusters can
-    only split, never merge or invent members."""
+    corpus^2, and oversized cells re-split into block-pair tasks
+    under the enforced memory valve (round 8) with a bitwise-
+    identical edge set. No oracle BY DESIGN (cell boundaries depend
+    on KMeans); correctness is covered by q128 (identical pipeline,
+    exact configuration) plus the suite's refinement test — the
+    clustered edge set is provably a subset of the exact one, so
+    clusters can only split, never merge or invent members."""
     from morphl_community_edition_spark.operators.semdedup import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -698,7 +698,13 @@ def test_semdedup_pair_join_stays_cell_bounded(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "FlatMapGroupsInPandas" in gemm_plan, gemm_plan[:1500]
-    assert "Join" not in gemm_plan, gemm_plan[:1500]
+    # round 8: the enforced memory valve joins the cell-count-sized
+    # block-count frame back BROADCAST — that is the only join allowed;
+    # a shuffled join here would mean the valve frame went corpus-sized
+    assert "SortMergeJoin" not in gemm_plan and "ShuffledHashJoin" not in gemm_plan, (
+        gemm_plan[:1500]
+    )
+    assert "CartesianProduct" not in gemm_plan, gemm_plan[:1500]
 
 
 def test_q132_rate_sample_is_pure_scan_side_filter(spark):

@@ -656,3 +656,71 @@ def test_s11_streaming_indexed_dedup_ingest_loop(spark, tmp_path):
     assert read_index_doc_count(spark, index_path) == n_meta, (
         "restart double-appended into the index"
     )
+
+
+def test_s11b_index_append_replay_idempotent(spark, tmp_path):
+    """Round-8 advice: foreachBatch is at-least-once, so the index
+    fold must be a no-op when a batch_id replays (crash between the
+    side effects and the checkpoint advance). Folding batch 0 twice
+    must leave postings/doc_stats/hashes/meta exactly as after the
+    first fold; folding batch 1 then advances normally; and
+    read_verdicts collapses a double-appended verdict batch to one
+    copy per (batch_id, doc_id)."""
+    from morphl_community_edition_spark.operators.incremental_index import (
+        append_to_index,
+        build_dedup_index,
+        read_index_doc_count,
+        read_index_last_batch_id,
+        read_verdicts,
+    )
+
+    index_path = str(tmp_path / "index")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    build_dedup_index(empty, index_path)
+    assert read_index_last_batch_id(spark, index_path) is None
+
+    docs = (
+        load_table(spark, SF_DIR_SMOKE, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(40)
+        .localCheckpoint(eager=True)
+    )
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    append_to_index(b0, index_path, batch_id=0)
+    state = {
+        t: spark.read.parquet(os.path.join(index_path, t)).count()
+        for t in ("postings", "doc_stats", "hashes")
+    }
+    n0 = read_index_doc_count(spark, index_path)
+    assert read_index_last_batch_id(spark, index_path) == 0
+
+    # replay of the SAME batch id: every table must be untouched
+    append_to_index(b0, index_path, batch_id=0)
+    for t, n in state.items():
+        assert (
+            spark.read.parquet(os.path.join(index_path, t)).count() == n
+        ), f"replayed fold double-appended {t}"
+    assert read_index_doc_count(spark, index_path) == n0
+    assert read_index_last_batch_id(spark, index_path) == 0
+
+    # the next batch id advances normally
+    append_to_index(b1, index_path, batch_id=1)
+    assert read_index_doc_count(spark, index_path) == n0 + b1.count()
+    assert read_index_last_batch_id(spark, index_path) == 1
+    assert (
+        spark.read.parquet(os.path.join(index_path, "postings")).count()
+        > state["postings"]
+    )
+
+    # verdict-sink replay: duplicate rows collapse at read time
+    out_path = str(tmp_path / "verdicts")
+    verdicts = b0.select(
+        "doc_id", F.lit("unique").alias("status"), F.lit(0).cast("long").alias("batch_id")
+    )
+    verdicts.write.mode("append").parquet(out_path)
+    verdicts.write.mode("append").parquet(out_path)  # the replay
+    assert spark.read.parquet(out_path).count() == 2 * b0.count()
+    assert read_verdicts(spark, out_path).count() == b0.count()

@@ -79,6 +79,7 @@ EVENT_QUERIES = (
     "q101_rolling_dau",
     "q102_purchase_intervals",
     "q137_scd2_history",
+    "q142_interval_coalesce",
 )
 EMB_QUERIES = (
     "q129_semantic_dedup",
@@ -195,6 +196,66 @@ def main() -> None:
         "semantic_dedup_cells_scaled_160"
     ] = round(best, 3)
     print(f"grown semantic_dedup(n_cells=160): {best:.2f}s", file=sys.stderr)
+
+    # round 8: the enforced GEMM cell valve under a deliberate
+    # mega-cell (n_cells=1 on the 10× corpus exceeds the derived
+    # per-task cap, so the block-pair re-split actually fires —
+    # the skewed-cell case the round-7 verdict flagged as an OOM risk
+    # when it was only a documented caller contract)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        semantic_dedup(emb_grown, threshold=0.4, n_cells=1).collect()
+        best = min(best, time.perf_counter() - t0)
+    report["families"]["embeddings"]["variants"]["grown"]["timings"][
+        "semantic_dedup_megacell_valved"
+    ] = round(best, 3)
+    print(f"grown semantic_dedup(mega-cell, valved): {best:.2f}s", file=sys.stderr)
+
+    # round 8: PageRank decade trend — the iteration loop is the
+    # operator's scale claim (edge side shuffles once at build, each
+    # iteration moves node-sized frames only), so measure the operator
+    # on the sf0.1 trade graph vs 10 disjoint shifted copies of it
+    # (nodes ×10, edges ×10; the per-iteration join/agg frames grow
+    # linearly and the decade ratio should track that)
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from morphl_community_edition_spark.operators.pagerank import pagerank
+    from morphl_community_edition_spark.queries.workload import trade_graph_edges
+
+    base_edges = trade_graph_edges(spark, SF01).localCheckpoint(eager=True)
+    grown_edges = None
+    for i in range(COPIES):
+        c = base_edges.select(
+            F.concat(F.col("src"), F.lit(f"#{i}")).alias("src"),
+            F.concat(F.col("dst"), F.lit(f"#{i}")).alias("dst"),
+        )
+        grown_edges = c if grown_edges is None else grown_edges.union(c)
+    grown_edges = grown_edges.localCheckpoint(eager=True)
+    pr_rows: dict[str, float] = {}
+    for tag, ed_frame in (("pagerank_base", base_edges), ("pagerank_grown10x", grown_edges)):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            pagerank(ed_frame, iters=4).collect()
+            best = min(best, time.perf_counter() - t0)
+        pr_rows[tag] = round(best, 3)
+        print(f"{tag}: {best:.2f}s", file=sys.stderr)
+    report["families"]["graph"] = {
+        "sf0.1": {"q143_pagerank_operator": pr_rows["pagerank_base"]},
+        "variants": {
+            "grown": {
+                "timings": {"q143_pagerank_operator": pr_rows["pagerank_grown10x"]},
+                "decade_ratio": {
+                    "q143_pagerank_operator": (
+                        round(pr_rows["pagerank_grown10x"] / pr_rows["pagerank_base"], 2)
+                        if pr_rows["pagerank_base"] > 0
+                        else None
+                    )
+                },
+            }
+        },
+    }
 
     out_path = os.path.join(REPO, f"SCALE_r{round_no:02d}.json")
     with open(out_path, "w") as f:
