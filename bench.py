@@ -90,6 +90,7 @@ EXTRA = {
     "bm25_retrieval": "q141_bm25_retrieval",
     "interval_coalesce": "q142_interval_coalesce",
     "pagerank": "q143_pagerank",
+    "label_propagation": "q145_label_propagation",
 }
 
 # best-of-5 blocks × 3 full-suite passes: single-JVM local mode has

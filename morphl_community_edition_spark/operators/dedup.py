@@ -109,6 +109,131 @@ def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3, out: str = 
     return df.withColumn(out, F.array_distinct(F.when(F.size(words) >= n, sh).otherwise(empty)))
 
 
+def prefix_jaccard_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """PPJoin-style candidate generation for exact Jaccard >= t
+    (prefix filtering, Chaudhuri et al. 2006 / Xiao et al. 2011 —
+    public technique, implemented from first principles).
+
+    Returns (base, cand):
+      base — (doc, sh array<string>, n_sh) one row per doc with a
+             non-empty distinct-shingle set (the verify side);
+      cand — (a_doc, b_doc, na, nb) DISTINCT candidate pairs, a
+             SUPERSET of all pairs with J >= threshold.
+
+    Device: order every doc's shingles by one global canonical key
+    (document frequency ascending, shingle lexicographic tie-break)
+    and keep only the PREFIX of the first ``n_sh - floor(t·n_sh) + 1``
+    tokens. If J(x,y) >= t then |x∩y| >= ceil(t·max(|x|,|y|)), and by
+    the pigeonhole prefix theorem the two prefixes must share a token
+    — so the prefix-postings self-join finds every true pair while the
+    join cost collapses from Σ_all_shingles df² to Σ_prefix df², and
+    prefixes are by construction the RAREST tokens (smallest df).
+    Conservative roundings only (floor on t·n_sh lengthens the prefix;
+    the length filter uses floor(t·1e6) integer math), so no true pair
+    is ever dropped; the exact verify downstream discards false
+    candidates. Length filter: J >= t forces min(n)·1e6 >=
+    floor(t·1e6)·max(n) — applied inside the candidate join, before
+    the distinct.
+
+    Scale (100 TB): every stage is linear except the candidate join,
+    whose cost is bounded by the prefix tokens' df² — boilerplate
+    shingles (huge df) are exactly the ones prefix ordering pushes
+    OUT of prefixes. No valve needed: an adversarial corpus where
+    rare tokens are shared corpus-wide degrades to the direct join's
+    cost, never worse. df attach is an s-keyed sort-merge join
+    (shingle frame is corpus-scale — NOT broadcast); prefix cut is
+    one doc-keyed window; verify joins are candidate-sized.
+
+    When to use (measured, SCALE.md dedup family): on BENIGN df
+    distributions the direct postings join wins — at the fixture
+    (max_df 25/5k docs) AND its 10×-grown decade (max_df 250/50k) the
+    prefix machinery's extra shuffles cost more than the 4× candidate
+    cut saves (5.9 s vs 3.7 s base; 58 s vs 42 s grown). Prefix wins
+    when Σ df² is dominated by high-df shingles — boilerplate headers,
+    templates, licence blocks (df ≈ corpus size ⇒ direct volume ≈
+    corpus², i.e. IMPOSSIBLE, while prefixes never contain them) —
+    the realistic web-corpus shape, and the only EXACT option there
+    (the max_doc_freq valve handles the same corpus by pruning, which
+    redefines the Jaccard feature space).
+    """
+    shingled = word_shingles(
+        fan_out_narrow_scan(docs.select(id_col, text_col)), text_col, n
+    )
+    base = shingled.select(
+        F.col(id_col).alias("doc"),
+        F.col("shingles").alias("sh"),
+        F.size("shingles").alias("n_sh"),
+    ).filter(F.col("n_sh") > 0)
+    post = base.select("doc", "n_sh", F.explode("sh").alias("s"))
+    dfc = post.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = post.join(dfc, "s")
+    w = Window.partitionBy("doc").orderBy("__df", "s")
+    pref = (
+        ranked.withColumn("__rk", F.row_number().over(w))
+        .filter(
+            F.col("__rk")
+            <= F.col("n_sh") - F.floor(F.lit(threshold) * F.col("n_sh")) + 1
+        )
+        .select("doc", "n_sh", "s")
+    )
+    t6 = int(threshold * 10**6)  # trunc <= t·1e6: conservative
+    cand = (
+        pref.select(F.col("doc").alias("a_doc"), F.col("n_sh").alias("na"), "s")
+        .join(
+            pref.select(F.col("doc").alias("b_doc"), F.col("n_sh").alias("nb"), "s"),
+            "s",
+        )
+        .filter(F.col("a_doc") < F.col("b_doc"))
+        .filter(
+            (F.col("na") * F.lit(10**6) >= F.lit(t6) * F.col("nb"))
+            & (F.col("nb") * F.lit(10**6) >= F.lit(t6) * F.col("na"))
+        )
+        .select("a_doc", "b_doc", "na", "nb")
+        .distinct()
+    )
+    return base, cand
+
+
+def _prefix_jaccard_pairs(
+    docs: DataFrame, id_col: str, text_col: str, n: int, threshold: float
+) -> DataFrame:
+    """Prefix-filtered exact Jaccard: candidates from
+    prefix_jaccard_candidates, then an EXACT verify restricted to the
+    candidate pairs — a-side postings fan the pair out to its
+    shingles, an equi-join on (b_doc, s) counts the intersection
+    (verify volume Σ_cand |a| — narrow string rows, never the full
+    shingle ARRAYS as join payload), and the same raw int/int ratio
+    and crnd-6 output as the direct postings path, so the result is
+    identical tuple-for-tuple (asserted by the suite's equality and
+    hypothesis tests).
+
+    Pairs whose exact intersection is EMPTY can't reach threshold > 0
+    anyway, so the inner-join verify dropping them is correct (they
+    were prefix-collision false candidates)."""
+    base, cand = prefix_jaccard_candidates(docs, id_col, text_col, n, threshold)
+    post = base.select("doc", F.explode("sh").alias("s"))
+    inter = (
+        cand.join(post.select(F.col("doc").alias("a_doc"), "s"), "a_doc")
+        .join(post.select(F.col("doc").alias("b_doc"), "s"), ["b_doc", "s"])
+        .groupBy("a_doc", "b_doc")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.min("na").alias("na"),
+            F.min("nb").alias("nb"),
+        )
+    )
+    raw_j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return inter.filter(raw_j >= threshold).select(
+        "a_doc", "b_doc", crnd(raw_j, 6).alias("jaccard")
+    )
+
+
 def exact_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -116,10 +241,34 @@ def exact_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.05,
     max_doc_freq: int | float | None = None,
+    method: str = "postings",
 ) -> DataFrame:
     """Exact pairwise Jaccard over n-word shingles via inverted index.
 
     Returns (a_doc, b_doc, jaccard) for pairs with J >= threshold.
+
+    ``method`` picks the candidate machinery — every choice returns
+    the IDENTICAL pair set (exact verification defines the result;
+    the method only bounds which pairs get scored):
+
+    - ``"postings"`` (default) — the direct inverted-index self-join;
+      candidate cost Σ_shingle df², flowing straight into a hash
+      partial-agg. MEASURED fastest on benign df distributions (the
+      fixture and its 10×-grown decade — see
+      prefix_jaccard_candidates' docstring for the numbers), and the
+      only path that composes with the df valve.
+    - ``"prefix"`` — PPJoin prefix filtering
+      (prefix_jaccard_candidates): join only on each doc's rarest
+      ``n_sh - floor(t·n_sh) + 1`` shingles, verify candidates
+      exactly. The EXACT boilerplate escape hatch: when high-df
+      template shingles dominate (df ≈ corpus size ⇒ the direct join
+      is corpus²-impossible), prefixes never contain them and the
+      cost stays near-linear. Meaningless below ~t=0.2 (prefix ≈
+      whole set).
+
+    The dispatch is the caller's corpus-shape knob, not magic: benign
+    df → postings; boilerplate-heavy → prefix; boilerplate-heavy AND
+    a lossy feature cut acceptable → postings + max_doc_freq.
 
     ``max_doc_freq`` is the scale valve (SCALE.md, dedup family): the
     candidate join's cost is Σ_shingle df², dominated by stop-shingles
@@ -131,7 +280,9 @@ def exact_jaccard_pairs(
     Two forms (resolve_doc_freq_limit): an int is an absolute count
     (caller owns the scale contract); a float in (0,1) is a fraction
     of the corpus document count — the production form; resolving it
-    costs one count() job here.
+    costs one count() job here. The valve composes with the postings
+    path only (a pruned feature space changes what "Jaccard" means,
+    so the prefix theorem's premise would shift under it).
 
     The input is fanned out first (plans/hints.fan_out_narrow_scan):
     shingling is CPU-bound per row, and a single-row-group corpus file
@@ -139,6 +290,12 @@ def exact_jaccard_pairs(
     on the q93 end-to-end pipeline at sf0.1; no-op on real multi-split
     tables.
     """
+    if method not in ("postings", "prefix"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "prefix":
+        if max_doc_freq is not None:
+            raise ValueError("the df valve composes with the postings path only")
+        return _prefix_jaccard_pairs(docs, id_col, text_col, n, threshold)
     shingled = word_shingles(
         fan_out_narrow_scan(docs.select(id_col, text_col)), text_col, n
     )

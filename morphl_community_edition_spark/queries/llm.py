@@ -1195,3 +1195,45 @@ def q141_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_scaled").desc(), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "q144_prefix_neardup_pairs",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(ws[gs:gs+2], ' ') AS s
+           FROM w, LATERAL unnest(generate_series(1, len(ws) - 2)) AS t(gs)),
+    sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    i AS (SELECT a.doc_id AS a_doc, b.doc_id AS b_doc, count(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+    SELECT a_doc, b_doc, floor((inter / (sa.n_sh + sb.n_sh - inter)) * 1e6 + 0.5) / 1e6 AS jaccard
+    FROM i JOIN sz sa ON sa.doc_id = a_doc JOIN sz sb ON sb.doc_id = b_doc
+    WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5
+    ORDER BY a_doc, b_doc
+    """,
+)
+def q144_prefix_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs (J >= 0.5) through the PPJoin
+    PREFIX-FILTER engine (round 8, operators/dedup.py
+    prefix_jaccard_candidates): candidates join only on each
+    document's rarest ``n_sh - floor(t·n_sh) + 1`` shingles in the
+    global df-ascending canonical order, an integer-scaled length
+    filter rides the join, and an exact postings-restricted verify
+    scores survivors. The DuckDB oracle is plain brute-force exact
+    Jaccard at the same threshold — a hash match certifies that the
+    prefix theorem's pruning dropped NOTHING (the q124 full-probe
+    posture: the scale device must be invisible in the answer).
+
+    Why it exists next to q37/q77 (postings engine): prefix filtering
+    is the EXACT escape hatch for boilerplate-heavy corpora, where
+    template shingles (df ≈ corpus size) make the direct join's
+    Σ df² volume corpus²-impossible and the df valve's pruning would
+    redefine the feature space; prefixes exclude max-df shingles by
+    construction. Measured trade-off + when-to-use table in
+    exact_jaccard_pairs' docstring; boilerplate pruning plan-gated in
+    tests/test_plans.py; prefix==postings equality hypothesis-fuzzed."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_jaccard_pairs(docs, threshold=0.5, method="prefix").orderBy(
+        "a_doc", "b_doc"
+    )

@@ -566,3 +566,86 @@ def q143_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_scaled").desc(), "node")
         .limit(30)
     )
+
+
+LPA_ITERS = 4
+
+
+def _labelprop_oracle(iters: int = LPA_ITERS) -> str:
+    """Unrolled MATERIALIZED CTE chain replaying label_propagation()'s
+    exact synchronous rounds (the q127/q143 device). The oracle picks
+    each round's winner with a row_number window — a different PLAN
+    than the engine's min(struct(-cnt, label)) partial agg, same
+    VALUES by the (cnt DESC, label ASC) total order."""
+    head = """
+    WITH bp AS MATERIALIZED (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    eg AS MATERIALIZED (
+        SELECT src, dst FROM bp UNION ALL SELECT dst, src FROM bp),
+    l0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node, src AS label FROM eg)"""
+    steps = []
+    for i in range(iters):
+        steps.append(f""",
+    c{i} AS MATERIALIZED (
+        SELECT n, label, count(*) AS cnt
+        FROM (SELECT eg.dst AS n, l{i}.label
+              FROM eg JOIN l{i} ON eg.src = l{i}.node
+              UNION ALL SELECT node AS n, label FROM l{i}) v
+        GROUP BY n, label),
+    l{i + 1} AS MATERIALIZED (
+        SELECT n AS node, label FROM (
+            SELECT n, label,
+                   row_number() OVER (PARTITION BY n
+                                      ORDER BY cnt DESC, label) AS rn
+            FROM c{i}) t
+        WHERE rn = 1)""")
+    return (
+        head
+        + "".join(steps)
+        + f"""
+    SELECT l.node AS node, l.label AS community,
+           CAST(s.community_size AS BIGINT) AS community_size
+    FROM l{iters} l
+    JOIN (SELECT label, count(*) AS community_size
+          FROM l{iters} GROUP BY label) s ON s.label = l.label
+    ORDER BY node
+    """
+    )
+
+
+@query("q145_label_propagation", oracle=_labelprop_oracle())
+def q145_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the customer↔supplier trade graph
+    (round 8): 4 deterministic synchronous label-propagation rounds
+    (operators/labelprop.py — majority vote + one self-vote, min-label
+    tie-break) complete the graph-analytics triple next to connected
+    components (q77, connectivity) and PageRank (q143, centrality).
+    Pipeline role: near-dup cluster REFINEMENT — components over-merge
+    through single borderline edges; majority communities split the
+    chains back apart.
+
+    Exactness + oracle: every step is (count, min) integer/string
+    math, so the DuckDB oracle replays the identical 4 rounds as an
+    unrolled MATERIALIZED CTE chain and the full (node, community,
+    community_size) listing hash-matches exactly.
+
+    Scale shape (plan-gated round 8, the q143 device): edge frame
+    src-partitioned ONCE and persisted; each round re-shuffles only
+    node-sized label frames (edge-keyed equi-join, (node, label)
+    partial count, node-keyed min-of-struct partial agg — NO window);
+    lineage truncated per round, reliable=True for durable cluster
+    checkpoints."""
+    from morphl_community_edition_spark.operators.labelprop import label_propagation
+
+    labels = label_propagation(trade_graph_edges(spark, sf_dir), iters=LPA_ITERS)
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("community_size")
+    )
+    return (
+        labels.join(sizes, "label")
+        .select("node", F.col("label").alias("community"), "community_size")
+        .orderBy("node")
+    )

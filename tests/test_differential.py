@@ -452,6 +452,42 @@ def test_fuzz_exact_jaccard_matches_brute_force(texts, valve):
     assert got == want
 
 
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=0, max_size=14)
+        .map(" ".join),
+        min_size=2,
+        max_size=12,
+    ),
+    threshold=st.sampled_from([0.2, 0.34, 0.5, 0.76]),
+)
+def test_fuzz_prefix_filter_equals_postings(texts, threshold):
+    """Round-8 PPJoin path: prefix filtering is candidate machinery
+    only — the (a_doc, b_doc, jaccard) tuple set must equal the direct
+    postings join's EXACTLY on arbitrary corpora and thresholds
+    (including float-boundary thresholds like 0.34·n_sh, where a
+    non-conservative prefix length or length filter would drop a true
+    pair)."""
+    from morphl_community_edition_spark.operators.dedup import exact_jaccard_pairs
+
+    spark = get_spark()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["a_doc"], r["b_doc"]): r["jaccard"]
+        for r in exact_jaccard_pairs(df, n=3, threshold=threshold, method="prefix").collect()
+    }
+    want = {
+        (r["a_doc"], r["b_doc"]): r["jaccard"]
+        for r in exact_jaccard_pairs(
+            df, n=3, threshold=threshold, method="postings"
+        ).collect()
+    }
+    assert got == want
+
+
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     base=st.lists(
@@ -755,3 +791,56 @@ def test_fuzz_pagerank_matches_textbook(pairs, iters):
     assert got == _py_pagerank_int(sym, iters)
     ref = _py_pagerank_float(sym, iters)
     assert all(abs(got[v] / PR_SCALE - ref[v]) < 1e-9 for v in ref)
+
+
+def _py_label_propagation(sym_edges: list, iters: int) -> dict:
+    """Textbook deterministic synchronous LPA with the same contract
+    as operators/labelprop.py: neighbour votes + one self-vote,
+    winner = (max count, min label), labels start as node ids."""
+    nodes = sorted({a for a, _ in sym_edges})
+    lab = {v: v for v in nodes}
+    for _ in range(iters):
+        votes: dict = {}
+        for a, b in sym_edges:
+            votes.setdefault(b, []).append(lab[a])
+        for v in nodes:
+            votes.setdefault(v, []).append(lab[v])
+        new = {}
+        for v, ls in votes.items():
+            cnt: dict = {}
+            for x in ls:
+                cnt[x] = cnt.get(x, 0) + 1
+            new[v] = min(cnt, key=lambda x: (-cnt[x], x))
+        lab = new
+    return lab
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pairs=st.sets(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)), min_size=1, max_size=20
+    ),
+    iters=st.integers(1, 4),
+)
+def test_fuzz_label_propagation_matches_textbook(pairs, iters):
+    """operators/labelprop.label_propagation == the pure-Python
+    deterministic LPA on random small graphs (self-loops,
+    multi-component, bipartite-oscillation shapes — symmetrized the
+    same way the query symmetrizes). Distribution/partitioning must
+    be invisible: synchronous rounds + total-order tie-break make the
+    result exact, not probabilistic."""
+    from morphl_community_edition_spark.operators.labelprop import label_propagation
+    from morphl_community_edition_spark.operators.pagerank import symmetrize_edges
+
+    spark = _ENGINES["spark"]
+    named = [(f"n{a}", f"n{b}") for a, b in sorted(pairs)]
+    # NO dedup: symmetrize_edges on input that already carries both
+    # directions produces multi-edges, and the operator counts each
+    # edge's vote (the pagerank outdeg convention) — the model must too
+    sym = named + [(b, a) for a, b in named]
+    df = spark.createDataFrame(named, "src string, dst string")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(symmetrize_edges(df), iters=iters).collect()
+    }
+    assert got == _py_label_propagation(sym, iters)

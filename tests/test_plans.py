@@ -875,3 +875,107 @@ def test_q143_pagerank_iteration_copartitioned_no_corpus_reread(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         ed.unpersist(blocking=True)
+
+
+def test_prefix_jaccard_boilerplate_pruning_no_cartesian(spark):
+    """Round-8 PPJoin path (exact_jaccard_pairs method='prefix'): on a
+    BOILERPLATE-heavy corpus — every document sharing a template
+    header, the realistic web shape where the direct postings join's
+    Σ df² volume goes corpus² — the prefix filter must (a) keep the
+    candidate join an equi-join on the shingle key (no cartesian /
+    nested-loop), with the prefix cut as the doc-keyed Window
+    row_number; (b) exclude the boilerplate shingles from EVERY
+    prefix (they have the max df, prefixes keep the min-df tokens),
+    so candidate volume stays near the true-pair count while the
+    direct join's volume is dominated by the df=n_docs template
+    terms; (c) return the identical pair set as the direct join."""
+    from pyspark.sql import functions as F
+
+    from morphl_community_edition_spark.catalog import load_table
+    from morphl_community_edition_spark.operators.dedup import (
+        exact_jaccard_pairs,
+        prefix_jaccard_candidates,
+        word_shingles,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("terms of use apply to all content here . "), F.col("text")
+        ).alias("text"),
+    )
+    pairs = exact_jaccard_pairs(docs, threshold=0.5, method="prefix")
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, (
+        plan[:1500]
+    )
+    assert "RunningWindowFunction" in plan or "Window" in plan, plan[:1500]
+
+    base, cand = prefix_jaccard_candidates(docs, threshold=0.5)
+    n_cand = cand.count()
+    # direct-join volume on the SAME corpus: Σ df·(df−1)/2
+    direct_volume = int(
+        word_shingles(docs.select("doc_id", "text"))
+        .select(F.explode("shingles").alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.sum(F.expr("df*(df-1)/2")).alias("v"))
+        .collect()[0]["v"]
+    )
+    assert n_cand * 20 < direct_volume, (
+        f"boilerplate didn't separate the paths: {n_cand} prefix candidates "
+        f"vs direct volume {direct_volume}"
+    )
+    got = {tuple(r) for r in pairs.collect()}
+    want = {
+        tuple(r)
+        for r in exact_jaccard_pairs(docs, threshold=0.5, method="postings").collect()
+    }
+    assert got == want
+
+
+def test_q145_lpa_iteration_copartitioned_no_window(spark):
+    """q145 label propagation (round-8 gate, the q143 device): with
+    broadcast disabled (the at-scale shape), one LPA round must read
+    the persisted src-partitioned edge frame WITHOUT a new src shuffle
+    (InMemoryRelation preserves the one-time repartition), keep
+    map-side partial aggregation on BOTH aggs (the (node,label) vote
+    count and the min-of-struct winner — celebrity nodes collapse
+    before the wire), use NO window, and never re-derive corpus-scale
+    state inside the loop (no FileScan in the live plan)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from morphl_community_edition_spark.operators.labelprop import (
+        label_propagation_step,
+    )
+    from morphl_community_edition_spark.queries.workload import trade_graph_edges
+
+    edges = trade_graph_edges(spark, SF_DIR)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ed = edges.repartition(n_part, "src").persist()
+    labels0 = (
+        edges.select("src").distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ed.count()
+        step = label_propagation_step(ed, labels0)
+        plan = step._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, plan[:1500]
+        live = plan.split("InMemoryRelation")[0]
+        assert not re.search(
+            r"Exchange hashpartitioning\(src#\d+", live
+        ), f"iteration re-shuffles the edge side:\n{plan[:2000]}"
+        assert "partial_count" in plan or "partial_min" in plan or (
+            "partial" in plan
+        ), f"aggs lost map-side combine:\n{plan[:1500]}"
+        assert "Window" not in plan, "winner selection reintroduced a window"
+        assert "FileScan" not in live, f"iteration replans a corpus scan:\n{live[:2000]}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        ed.unpersist(blocking=True)
