@@ -150,8 +150,16 @@ def append_to_index(
     replay would double-append postings/doc_stats/hashes and
     double-advance the valve denominator. Spark's microbatch ids are
     monotonically increasing per checkpoint, so `<= last` detects a
-    replay. Callers without a batch protocol (batch_id=None) keep the
-    old contract: append each doc once."""
+    replay. Residual window (round-8 review): the parquet appends and
+    the meta write are not one atomic transaction — a crash BETWEEN
+    them leaves the watermark behind, so the replay re-appends the
+    slice. That duplication is made harmless at READ time instead
+    (incremental_dedup_with_index dedupes postings on (doc_id, s)
+    candidate-sized, doc_stats on doc_id, hashes were always
+    distinct; meta's count recomputes from the pre-crash value), so
+    the pipeline is exactly-once in effect without a transaction log.
+    Callers without a batch protocol (batch_id=None) keep the old
+    contract: append each doc once."""
     spark = batch.sparkSession
     meta = _read_meta(spark, path)
     n_before = meta["n_docs"]
@@ -189,7 +197,18 @@ def incremental_dedup_with_index(
     valve is corpus-relative; the caller tracks corpus size — one
     number, not a job)."""
     postings = spark.read.parquet(os.path.join(path, "postings"))
-    doc_stats = spark.read.parquet(os.path.join(path, "doc_stats"))
+    # dropDuplicates at read time (round-8 review): append_to_index's
+    # parquet appends + meta advance are not one atomic transaction —
+    # a crash between them lets the replay double-append a batch's
+    # postings/doc_stats slice (the watermark never moved). Writes
+    # stay at-least-once; READS are duplicate-proof, which makes the
+    # pipeline exactly-once in effect: postings dedupe on (doc_id, s)
+    # AFTER the batch-shingle filter (candidate-sized, never a corpus
+    # shuffle), doc_stats on doc_id (doc-sized; replay copies are
+    # exact), hashes were always read distinct.
+    doc_stats = spark.read.parquet(os.path.join(path, "doc_stats")).dropDuplicates(
+        ["doc_id"]
+    )
     # distinct at read time: append_to_index appends per-batch distinct
     # hash sets, which can repeat ACROSS batches — a duplicate h would
     # multiply rows through the exact-tier left join
@@ -198,13 +217,14 @@ def incremental_dedup_with_index(
 
     bsh = _shingle_rows(batch.select("doc_id", text_col), text_col)
     batch_sh = bsh.select("s").distinct()
+    # batch-relevant postings slice, dedup-guarded (see above): shared
+    # by the df probe, the candidate join, and the stop correction
+    pfilt = postings.join(F.broadcast(batch_sh), "s").dropDuplicates(
+        ["doc_id", "s"]
+    )
     # corpus df of each batch shingle = existing postings + the
     # batch's own occurrences (q114 counts both sides)
-    df_exist = (
-        postings.join(F.broadcast(batch_sh), "s")
-        .groupBy("s")
-        .agg(F.count(F.lit(1)).alias("__dfe"))
-    )
+    df_exist = pfilt.groupBy("s").agg(F.count(F.lit(1)).alias("__dfe"))
     df_batch = bsh.groupBy("s").agg(F.count(F.lit(1)).alias("__dfb"))
     stop = (
         df_batch.join(df_exist, "s", "left")
@@ -217,10 +237,7 @@ def incremental_dedup_with_index(
     b_sz = bshv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
 
     # candidate existing postings: batch shingles only, stop-valved
-    cand = (
-        postings.join(F.broadcast(batch_sh), "s")
-        .join(F.broadcast(stop), "s", "left_anti")
-    )
+    cand = pfilt.join(F.broadcast(stop), "s", "left_anti")
     inter = (
         bshv.select(F.col("doc_id").alias("new_doc"), "s")
         .join(cand.select(F.col("doc_id").alias("ex_doc"), "s"), "s")
@@ -229,9 +246,10 @@ def incremental_dedup_with_index(
     )
     # valved size of an existing doc = total − |its shingles ∩ stop|:
     # the correction probe is stop-bounded (stop is a subset of the
-    # batch's shingles — broadcastable by construction)
+    # batch's shingles — broadcastable by construction; pfilt keeps
+    # the read-side dedupe guard on this probe too)
     stop_correction = (
-        postings.join(F.broadcast(stop), "s")
+        pfilt.join(F.broadcast(stop), "s")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("__in_stop"))
     )
@@ -292,16 +310,27 @@ def streaming_dedup_ingest(
     already-committed batches on restart. foreachBatch is still
     at-least-once WITHIN a batch — a crash after the side effects but
     before the checkpoint advance replays that batch — so both sinks
-    are replay-proof (round-8 advice, was a documented caveat):
-    the index fold is idempotent per batch_id (append_to_index
-    no-ops on an already-folded id via the meta watermark), and the
-    verdict sink is keyed (batch_id, doc_id) with duplicates dropped
-    at read time by ``read_verdicts`` (a replayed classification is
-    deterministic — the guarded index is unchanged — so dropped rows
-    are exact copies)."""
+    are replay-proof (round-8 advice + review): the handler SKIPS
+    ENTIRELY when the incoming batch_id is already folded (meta
+    watermark — a replay after the fold would otherwise classify
+    against the post-fold index and write conflicting verdicts), and
+    for a crash in the window BETWEEN the verdict write and the fold,
+    the replayed classification runs against the still-unchanged
+    index, so the duplicate verdict rows are exact copies and
+    ``read_verdicts``' (batch_id, doc_id) dedupe loses nothing."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        # WHOLE-handler replay guard (round-8 review): if this batch_id
+        # was already folded (crash landed between append_to_index and
+        # the checkpoint advance), the verdicts were written too (the
+        # verdict write precedes the fold) — re-classifying now would
+        # run against the POST-fold index, mark the batch's own docs as
+        # exact_dups of themselves, and leave conflicting verdict rows
+        # for read_verdicts to pick among arbitrarily. Skip entirely.
+        last = read_index_last_batch_id(spark, index_path)
+        if last is not None and batch_id <= last:
+            return
         b = batch.select("doc_id", text_col).localCheckpoint(eager=True)
         n_b = b.count()
         if n_b == 0:
@@ -324,9 +353,10 @@ def streaming_dedup_ingest(
 
 def read_verdicts(spark: SparkSession, out_path: str) -> DataFrame:
     """Replay-safe read of the verdict sink: foreachBatch can append
-    the same batch twice (crash between sink write and checkpoint
-    advance), so consumers dedupe on the (batch_id, doc_id) key. The
-    duplicates are exact row copies (classification against the
-    replay-guarded index is deterministic), so dropDuplicates loses
-    nothing."""
+    the same batch twice (crash between the verdict write and the
+    index fold — the only window where the handler's batch_id guard
+    lets a re-classification run, and there the index is still
+    unchanged), so consumers dedupe on the (batch_id, doc_id) key.
+    The duplicates are exact row copies by that ordering argument, so
+    dropDuplicates loses nothing."""
     return spark.read.parquet(out_path).dropDuplicates(["batch_id", "doc_id"])

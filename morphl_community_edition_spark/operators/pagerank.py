@@ -102,19 +102,28 @@ def pagerank_prepare(
     and ``persist()``-ed (an InMemoryRelation preserves that
     partitioning, so no iteration re-shuffles the edge side —
     plan-gated; and persist, unlike localCheckpoint, keeps lineage
-    for durable self-healing), the uniform BIGINT start vector, and
-    the broadcast 1-row node count. Caller owns ``ed.unpersist()``."""
+    for durable self-healing), the uniform BIGINT start vector (a
+    projection over the lineage-truncated node frame), and the node
+    count as a broadcast LITERAL 1-row frame — materialized here
+    exactly once so the k-loop never re-executes corpus lineage for
+    the constant n (plan-gated: zero FileScans in an iteration over
+    checkpointed inputs). Caller owns ``ed.unpersist()``."""
     spark = edges.sparkSession
     # one corpus-scale pass: degree per node; node set == deg keys
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("outdeg"))
-    nn = F.broadcast(deg.agg(F.count(F.lit(1)).cast("bigint").alias("n")))
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     ed = edges.join(deg, "src").repartition(n_part, "src").persist()
-    ranks0 = loop_checkpoint(
-        deg.select(F.col("src").alias("node"))
-        .crossJoin(nn)
-        .select("node", F.expr(f"CAST({PR_SCALE} DIV n AS BIGINT)").alias("r")),
-        reliable,
+    # node frame first, THEN count it off the truncated lineage: nn as
+    # a literal one-row frame carries NO corpus lineage, so the k-loop
+    # can crossJoin it without re-executing the degree agg (or, in
+    # q143's case, the orders⋈lineitem build) every iteration — the
+    # round-8 review caught exactly that re-derivation when nn was the
+    # live broadcast agg frame
+    nodes0 = loop_checkpoint(deg.select(F.col("src").alias("node")), reliable)
+    n_nodes = nodes0.count()
+    nn = F.broadcast(spark.createDataFrame([(n_nodes,)], "n bigint"))
+    ranks0 = nodes0.select(
+        "node", F.lit(PR_SCALE // n_nodes).cast("bigint").alias("r")
     )
     return ed, ranks0, nn
 

@@ -83,3 +83,60 @@ def stratified_exact_sample(
         .filter(F.col("__srk") <= n_per_stratum)
         .drop("__srk")
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "w1",
+    max_weight: int = 16,
+) -> DataFrame:
+    """Deterministic WEIGHTED top-k sample (round 8 — the third
+    sampling form: q132 rate, q133 exact-quota, this one
+    importance-weighted): each row draws ``w`` independent 60-bit
+    sampling coordinates h(key ‖ '#i' ‖ salt), i < w (the row's
+    integer weight, clamped to [1, max_weight]), keeps the MINIMUM as
+    its priority, and the k smallest priorities corpus-wide win.
+
+    This is the bottom-k sketch over replicated hash coordinates —
+    the deterministic integer-weight analogue of the
+    Efraimidis-Spirakis exponential-keys sampler (public recipe): a
+    row with weight w has w chances at a small coordinate, so
+    selection odds grow ~linearly in w for the small-fraction regime
+    (P = 1-(1-p)^w), while the whole draw stays RNG-free — the same
+    sample on every engine, run, cluster size, and partitioning, and
+    DuckDB-oracle-checkable (q146). Exact exponential keys would need
+    float pow/log whose libm rounding differs across engines — the
+    integer replication trades a cosmetic curvature difference for
+    hash-exactness (the q143 rationale).
+
+    Scale shape: the priority is a pure per-row projection (the
+    replica loop is an array expression — no explode, no shuffle) and
+    the global cut is top-k (TakeOrderedAndProject, never a full
+    sort): sampling 100 TB costs one scan + a k-row reduce.
+    ``max_weight`` bounds the per-row array work — a corpus-derived
+    weight column must be clamped anyway (one runaway doc must not
+    monopolize the sample)."""
+    w = F.least(
+        F.greatest(F.col(weight_col).cast("int"), F.lit(1)), F.lit(max_weight)
+    )
+    pr = F.array_min(
+        F.transform(
+            F.sequence(F.lit(0), w - F.lit(1)),
+            lambda i: md5_long60(
+                F.concat(
+                    F.col(key_col).cast("string"),
+                    F.lit("#"),
+                    i.cast("string"),
+                    F.lit(":" + salt),
+                )
+            ),
+        )
+    )
+    return (
+        df.select("*", w.alias("w_eff"), pr.alias("priority"))
+        .orderBy(F.col("priority").asc(), F.col(key_col).asc())
+        .limit(k)
+    )

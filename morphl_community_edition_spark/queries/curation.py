@@ -1360,3 +1360,64 @@ def q140_bigram_nll_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_nll"),
     ).orderBy("doc_id")
+
+
+_WSAMPLE_K = 50
+_WSAMPLE_SALT = "w1"
+_WSAMPLE_MAXW = 8
+# the replica hash: md5(doc_id ‖ '#i' ‖ ':salt') reduced to the same
+# 60-bit integer on both engines (the q133 device, replicated per
+# weight unit)
+_WSAMPLE_W_SQL = "least(greatest(n_chars // 64, 1), 8)"
+_WSAMPLE_H_SQL = (
+    "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#' || "
+    f"CAST(i AS VARCHAR) || ':{_WSAMPLE_SALT}'), 1, 15) AS BIGINT)"
+)
+
+
+@query(
+    "q146_weighted_sample",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, source,
+             CAST({_WSAMPLE_W_SQL} AS INT) AS w_eff,
+             min({_WSAMPLE_H_SQL}) AS priority
+      FROM documents,
+           LATERAL unnest(generate_series(0, {_WSAMPLE_W_SQL} - 1)) AS t(i)
+      GROUP BY doc_id, source, n_chars
+    )
+    SELECT doc_id, source, w_eff, priority
+    FROM p ORDER BY priority, doc_id LIMIT {_WSAMPLE_K}
+    """,
+)
+def q146_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance-weighted sample (round 8; completes
+    the sampling triple — q132 rate cut, q133 exact quota, q146
+    weighted): top-50 docs by the minimum of w independent 60-bit
+    hash coordinates, w = clamp(n_chars DIV 64, 1, 8) — longer docs
+    get proportionally more chances, the integer-weight analogue of
+    Efraimidis-Spirakis bottom-k sampling (exact exponential keys
+    would need cross-engine float pow; the replication device keeps
+    the draw hash-exact on every engine — operators/sampling
+    docstring for the curvature trade-off).
+
+    Scale shape (plan-gated): the priority is a pure per-row array
+    projection (no explode, no shuffle) and the cut is
+    TakeOrderedAndProject — sampling 100 TB costs one scan + a k-row
+    reduce. The DuckDB oracle replays the identical replica hashes
+    via LATERAL unnest and hash-matches exactly."""
+    from morphl_community_edition_spark.operators.sampling import weighted_sample_topk
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr("n_chars DIV 64").cast("int").alias("__w_raw"),
+    )
+    return (
+        weighted_sample_topk(
+            docs, "doc_id", "__w_raw", k=_WSAMPLE_K,
+            salt=_WSAMPLE_SALT, max_weight=_WSAMPLE_MAXW,
+        )
+        .select("doc_id", "source", "w_eff", "priority")
+        .orderBy("priority", "doc_id")
+    )

@@ -844,3 +844,43 @@ def test_fuzz_label_propagation_matches_textbook(pairs, iters):
         for r in label_propagation(symmetrize_edges(df), iters=iters).collect()
     }
     assert got == _py_label_propagation(sym, iters)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(-3, 40)),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda r: r[0],
+    ),
+    k=st.integers(1, 10),
+)
+def test_fuzz_weighted_sample_matches_md5_replay(rows, k):
+    """q146's operator vs a pure-Python md5 replay: per-row priority
+    must equal min over the w clamped replica hashes, and the top-k
+    cut must follow the (priority, key) total order exactly —
+    including weights below 1 (clamped up) and above the cap
+    (clamped down)."""
+    import hashlib as _hl
+
+    from morphl_community_edition_spark.operators.sampling import weighted_sample_topk
+
+    spark = _ENGINES["spark"]
+    df = spark.createDataFrame(rows, "doc_id long, wt long")
+    got = [
+        (r["doc_id"], r["w_eff"], r["priority"])
+        for r in weighted_sample_topk(
+            df, "doc_id", "wt", k=k, salt="w1", max_weight=8
+        ).collect()
+    ]
+
+    def h(key: int, i: int) -> int:
+        return int(_hl.md5(f"{key}#{i}:w1".encode()).hexdigest()[:15], 16)
+
+    want = []
+    for key, wt in rows:
+        w = max(1, min(int(wt), 8))
+        want.append((key, w, min(h(key, i) for i in range(w))))
+    want.sort(key=lambda t: (t[2], t[0]))
+    assert got == want[:k]

@@ -872,6 +872,19 @@ def test_q143_pagerank_iteration_copartitioned_no_corpus_reread(spark):
         # the final update; FileScans may appear only in the cached
         # subtree display (already-executed build plan)
         assert "FileScan" not in live, f"iteration replans a corpus scan:\n{live[:2000]}"
+        # the prefix-slice check above is blind to subtrees that print
+        # AFTER the cached block (the round-8 review found nn's
+        # re-derivation hiding exactly there) — so re-plan the step
+        # over a lineage-TRUNCATED edge frame: now ANY FileScan
+        # anywhere in the plan is corpus re-derivation inside the loop
+        ed_t = ed.localCheckpoint(eager=True)
+        plan_t = (
+            pagerank_step(ed_t, ranks0, nn)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "FileScan" not in plan_t and "Scan parquet" not in plan_t, (
+            f"loop body re-derives corpus state (nn or edges):\n{plan_t[:2000]}"
+        )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         ed.unpersist(blocking=True)
@@ -976,6 +989,32 @@ def test_q145_lpa_iteration_copartitioned_no_window(spark):
         ), f"aggs lost map-side combine:\n{plan[:1500]}"
         assert "Window" not in plan, "winner selection reintroduced a window"
         assert "FileScan" not in live, f"iteration replans a corpus scan:\n{live[:2000]}"
+        # truncated-lineage variant (the q143 device): any FileScan in
+        # a step over checkpointed inputs is loop-body re-derivation
+        ed_t = ed.localCheckpoint(eager=True)
+        plan_t = (
+            label_propagation_step(ed_t, labels0)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "FileScan" not in plan_t and "Scan parquet" not in plan_t, (
+            f"loop body re-derives corpus state:\n{plan_t[:2000]}"
+        )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         ed.unpersist(blocking=True)
+
+
+def test_q146_weighted_sample_scan_side_priority_topk(spark):
+    """q146 weighted sample (round-8 gate): the replicated-hash
+    priority must be a pure per-row projection — NO Generate (an
+    exploded replica row per weight unit would multiply the corpus
+    scan by avg-weight), NO window, NO join — and the corpus-wide cut
+    must be TakeOrderedAndProject (k-row reduce), never a full
+    rangepartitioning sort of the corpus."""
+    plan = (
+        QUERIES["q146_weighted_sample"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "Generate" not in plan, "priority exploded the replica loop"
+    assert "Window" not in plan and "Join" not in plan, plan[:1500]

@@ -724,3 +724,63 @@ def test_s11b_index_append_replay_idempotent(spark, tmp_path):
     verdicts.write.mode("append").parquet(out_path)  # the replay
     assert spark.read.parquet(out_path).count() == 2 * b0.count()
     assert read_verdicts(spark, out_path).count() == b0.count()
+
+
+def test_s11c_midfold_crash_replay_probe_unchanged(spark, tmp_path):
+    """Round-8 review: append_to_index's parquet appends and meta
+    write are not atomic — a crash BETWEEN them un-advances the
+    watermark, so the replay double-appends the slice. The read-side
+    dedupe (postings on (doc_id, s), doc_stats on doc_id, hashes
+    distinct) must make the doubled index probe-equivalent to a
+    clean single-append index: identical verdicts, batch for batch."""
+    from morphl_community_edition_spark.operators.incremental_index import (
+        _write_index_tables,
+        append_to_index,
+        build_dedup_index,
+        incremental_dedup_with_index,
+        read_index_doc_count,
+    )
+
+    docs = (
+        load_table(spark, SF_DIR_SMOKE, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(60)
+        .localCheckpoint(eager=True)
+    )
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    bx = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+
+    # clean reference: build + one clean append + probe
+    ref_path = str(tmp_path / "ref")
+    build_dedup_index(b0, ref_path)
+    append_to_index(bx, ref_path, batch_id=0)
+    n_ref = read_index_doc_count(spark, ref_path) + b2.count()
+    want = {
+        tuple(r)
+        for r in incremental_dedup_with_index(
+            spark, ref_path, b2, n_docs=n_ref
+        ).collect()
+    }
+
+    # crashed fold: tables written, meta NOT advanced; then the replay
+    crash_path = str(tmp_path / "crash")
+    build_dedup_index(b0, crash_path)
+    _write_index_tables(bx, crash_path, "text", mode="append")  # the crash
+    append_to_index(bx, crash_path, batch_id=0)  # the replay double-appends
+    import os as _os
+
+    assert (
+        spark.read.parquet(_os.path.join(crash_path, "postings")).count()
+        > spark.read.parquet(_os.path.join(ref_path, "postings")).count()
+    ), "fixture failed to double-append — test went vacuous"
+    n_crash = read_index_doc_count(spark, crash_path) + b2.count()
+    assert n_crash == n_ref, "meta count diverged across the crash replay"
+    got = {
+        tuple(r)
+        for r in incremental_dedup_with_index(
+            spark, crash_path, b2, n_docs=n_crash
+        ).collect()
+    }
+    assert got == want

@@ -66,6 +66,7 @@ DOC_QUERIES = (
     "q131_bpe_tokenize",
     "q132_hash_rate_sample",
     "q133_stratified_exact_sample",
+    "q146_weighted_sample",
     "q134_indexed_incremental_dedup",
     "q138_unigram_nll_quality",
     "q139_adaptive_quality_cut",
