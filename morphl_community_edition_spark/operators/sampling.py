@@ -10,7 +10,9 @@ sizes, and partitionings, and is itself DuckDB-oracle-checkable
 Two forms, two plan shapes:
 
 - ``hash_rate_sample``: keep a row iff
-  h(key ‖ salt) mod 10^6 < rate·10^6, with a per-stratum rate map.
+  h(key ‖ salt) mod 10^12 < round(rate·10^12), with a per-stratum
+  rate map (10^12 buckets resolve the sub-ppm rates the 100 TB
+  pre-filter recipe needs; ordering uses the FULL 60-bit hash).
   A PURE scan-side filter — no shuffle, no state, whole-stage
   codegen; the 100 TB default (sampling 100 TB costs one scan). The
   kept fraction converges to the rate (law of large numbers on the
@@ -35,14 +37,21 @@ from pyspark.sql import functions as F
 
 from morphl_community_edition_spark.functions.hashing import md5_long60
 
-MOD = 1_000_000
+# rate-bucket modulus: 10^12 resolves parts-per-TRILLION rates — the
+# round-8 review killed the old 10^6: at the 100 TB design point the
+# documented recipe (rate pre-filter at 2-3× a tiny target fraction)
+# needs sub-ppm rates, which int(rate·10^6) floored to ZERO
+MOD = 10**12
 
 
 def sample_hash(key: Column, salt: str) -> Column:
-    """The sampling coordinate: 60-bit md5 of `key ‖ ':' ‖ salt`,
-    reduced mod 10^6 (uniform enough at 10^6 buckets; exact on both
-    engines)."""
-    return md5_long60(F.concat(key.cast("string"), F.lit(":" + salt))) % MOD
+    """The sampling coordinate: the FULL 60-bit md5 of
+    `key ‖ ':' ‖ salt` (round-8 review: the old % 10^6 reduction made
+    the exact sampler's order degenerate to key tie-breaks inside
+    10^6-row buckets at corpus scale — a low-doc_id ingestion-order
+    bias; ordering now uses all 60 bits, and only the RATE compare
+    reduces mod MOD)."""
+    return md5_long60(F.concat(key.cast("string"), F.lit(":" + salt)))
 
 
 def hash_rate_sample(
@@ -54,13 +63,18 @@ def hash_rate_sample(
     salt: str = "mix1",
 ) -> DataFrame:
     """Rate-based deterministic stratified sample: keep a row iff its
-    sampling coordinate falls below its stratum's rate. Strata not in
-    ``rates`` use ``default_rate`` (0.0 = drop unknown strata — the
-    allowlist posture a curated mix wants)."""
-    thr = F.lit(int(default_rate * MOD))
+    sampling coordinate mod MOD falls below round(rate·MOD). Strata
+    not in ``rates`` use ``default_rate`` (0.0 = drop unknown strata —
+    the allowlist posture a curated mix wants). round(), not int():
+    0.29·10^12 is 289999999999.99994 in binary — truncation would
+    silently drop the top bucket of every non-dyadic rate (round-8
+    review)."""
+    thr = F.lit(int(round(default_rate * MOD)))
     for stratum, rate in sorted(rates.items()):
-        thr = F.when(F.col(strata_col) == stratum, F.lit(int(rate * MOD))).otherwise(thr)
-    return df.filter(sample_hash(F.col(key_col), salt) < thr)
+        thr = F.when(
+            F.col(strata_col) == stratum, F.lit(int(round(rate * MOD)))
+        ).otherwise(thr)
+    return df.filter(sample_hash(F.col(key_col), salt) % MOD < thr)
 
 
 def stratified_exact_sample(

@@ -1068,21 +1068,26 @@ _MIX_SALT = "mix1"
 from morphl_community_edition_spark.operators.sampling import MOD as _MIX_MOD  # noqa: E402
 
 
-def _sample_h_sql(key: str = "doc_id") -> str:
-    return (
+def _sample_h_sql(key: str = "doc_id", mod: bool = False) -> str:
+    """The shared 60-bit sampling coordinate; ``mod=True`` appends the
+    rate-bucket reduction (q132's compare). Ordering uses (q133) keep
+    the full hash (round-8 review: a modular order degenerates to key
+    tie-breaks inside buckets at corpus scale)."""
+    h = (
         f"CAST('0x' || substring(md5(CAST({key} AS VARCHAR) || ':{_MIX_SALT}'),"
-        f" 1, 15) AS BIGINT) % {_MIX_MOD}"
+        f" 1, 15) AS BIGINT)"
     )
+    return f"{h} % {_MIX_MOD}" if mod else h
 
 
 def _rate_sample_oracle() -> str:
     cases = " ".join(
-        f"WHEN source = '{s}' THEN {int(r * _MIX_MOD)}"
+        f"WHEN source = '{s}' THEN {int(round(r * _MIX_MOD))}"
         for s, r in sorted(MIX_RATES.items())
     )
     return f"""
     SELECT doc_id, source
-    FROM (SELECT doc_id, source, {_sample_h_sql()} AS h FROM documents)
+    FROM (SELECT doc_id, source, {_sample_h_sql(mod=True)} AS h FROM documents)
     WHERE h < CASE {cases} ELSE 0 END
     ORDER BY doc_id
     """
@@ -1092,7 +1097,7 @@ def _rate_sample_oracle() -> str:
 def q132_hash_rate_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic rate-based stratified downsample (round 7; the
     cut half of data mixing — q120 upsamples, this drops): keep a doc
-    iff md5(doc_id‖salt) mod 10^6 falls under its source's rate;
+    iff md5(doc_id‖salt) mod 10^12 falls under its source's rate;
     unknown sources drop (allowlist). RNG-free, so the sample is
     reproducible across engines/partitionings and hash-checkable.
 
@@ -1365,10 +1370,14 @@ def q140_bigram_nll_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WSAMPLE_K = 50
 _WSAMPLE_SALT = "w1"
 _WSAMPLE_MAXW = 8
+_WSAMPLE_DIV = 64
 # the replica hash: md5(doc_id ‖ '#i' ‖ ':salt') reduced to the same
 # 60-bit integer on both engines (the q133 device, replicated per
-# weight unit)
-_WSAMPLE_W_SQL = "least(greatest(n_chars // 64, 1), 8)"
+# weight unit); BOTH engines' weight expressions derive from the ONE
+# constant pair above (the MIX_RATES convention — round-8 review)
+_WSAMPLE_W_SQL = (
+    f"least(greatest(n_chars // {_WSAMPLE_DIV}, 1), {_WSAMPLE_MAXW})"
+)
 _WSAMPLE_H_SQL = (
     "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#' || "
     f"CAST(i AS VARCHAR) || ':{_WSAMPLE_SALT}'), 1, 15) AS BIGINT)"
@@ -1411,7 +1420,7 @@ def q146_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
-        F.expr("n_chars DIV 64").cast("int").alias("__w_raw"),
+        F.expr(f"n_chars DIV {_WSAMPLE_DIV}").cast("int").alias("__w_raw"),
     )
     return (
         weighted_sample_topk(

@@ -551,7 +551,10 @@ def q78_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         li_dated.filter(F.col("is_late"))
         .join(per_order, F.col("l_orderkey") == F.col("po_ok"))
         .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        # no hint on supplier: SF-growing side, AQE broadcasts it locally
+        # and falls back to shuffle at scale (module-header policy;
+        # round-8 review removed a forced broadcast here)
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
@@ -680,7 +683,8 @@ def q81_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(first, (F.col("l_partkey") == F.col("m_pk")) & (F.col("l_shipdate") == F.col("min_ship")))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        # no hint on supplier (module-header policy; round-8 review)
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("p_partkey", "p_name", "s_name", F.col("l_shipdate").alias("first_ship"))
         .distinct()
         .orderBy("p_partkey", "s_name")
@@ -832,7 +836,9 @@ def q84_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey", "total_qty")
     )
     return (
-        supp.join(F.broadcast(qty), F.col("l_suppkey") == F.col("s_suppkey"))
+        # qty is ~an SF-growing fraction of supplier, not tiny-by-
+        # construction: no forced hint (round-8 review), AQE decides
+        supp.join(qty, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_name", (F.col("total_qty").cast("double") / F.lit(1e2)).alias("shipped_qty"))
         .orderBy("s_name")
     )

@@ -324,7 +324,7 @@ def main() -> None:
         jac[tag] = {
             "direct_join_volume": vol,
             "prefix_candidates": n_cand,
-            "q144_prefix_engine_sec": round(best, 3),
+            "q144_prefix_neardup_pairs": round(best, 3),
         }
         print(f"{tag} jaccard: volume={vol} cand={n_cand} q144={best:.2f}s", file=sys.stderr)
     # the default engine's end-to-end row at the driver fixture (the
@@ -336,7 +336,33 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
     jac["sf0.1"]["q77_postings_engine_components_sec"] = round(best, 3)
     print(f"sf0.1 q77 (postings+closure): {best:.2f}s", file=sys.stderr)
-    report["families"]["jaccard_decomposition"] = jac
+    # family schema (the rotation test's contract): sf0.1 + variants;
+    # 'boiler' is the variant, its ratio the flat-cost headline
+    report["families"]["jaccard_decomposition"] = {
+        "sf0.1": jac["sf0.1"],
+        "variants": {
+            "boiler": {
+                "timings": {
+                    "q144_prefix_neardup_pairs": jac["boiler"][
+                        "q144_prefix_neardup_pairs"
+                    ]
+                },
+                "decade_ratio": {
+                    "q144_prefix_neardup_pairs": (
+                        round(
+                            jac["boiler"]["q144_prefix_neardup_pairs"]
+                            / jac["sf0.1"]["q144_prefix_neardup_pairs"],
+                            2,
+                        )
+                        if jac["sf0.1"]["q144_prefix_neardup_pairs"] > 0
+                        else None
+                    )
+                },
+                "direct_join_volume": jac["boiler"]["direct_join_volume"],
+                "prefix_candidates": jac["boiler"]["prefix_candidates"],
+            }
+        },
+    }
 
     out_path = os.path.join(REPO, f"SCALE_r{round_no:02d}.json")
     with open(out_path, "w") as f:
