@@ -91,6 +91,8 @@ EXTRA = {
     "interval_coalesce": "q142_interval_coalesce",
     "pagerank": "q143_pagerank",
     "label_propagation": "q145_label_propagation",
+    "quality_keeper_dedup": "q147_quality_keeper_dedup",
+    "heavy_hitter_words": "q148_heavy_hitter_words",
 }
 
 # best-of-5 blocks × 3 full-suite passes: single-JVM local mode has

@@ -157,6 +157,45 @@ def dedup_clusters(
     return labels.join(sizes, "comp").select("n", "comp", "cluster_size")
 
 
+def keeper_election(
+    scored: DataFrame,
+    comp_col: str = "comp",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Per-cluster argmax keeper: the member with the HIGHEST score
+    wins, ties broken by minimum id. Returns ``scored`` plus a boolean
+    ``is_keeper`` column.
+
+    This is the quality-aware alternative to dedup_clusters' min-id
+    rule (and to SemDeDup's farthest-from-centroid, which is
+    float-order-fragile): published curation pipelines keep the
+    *best* copy of a duplicated page, not an arbitrary one, and an
+    integer score keeps the election oracle-checkable.
+
+    Scale shape: the winner is min(struct(-score, id)) — an aggregate
+    with MAP-SIDE partial collapse, never a window. Two comp-keyed
+    exchanges, each doing irreducible work: the election exchange
+    ships at most one candidate row per (cluster × input partition) —
+    partial_min collapses a celebrity cluster before the wire, where
+    a window would ship AND sort its full membership — and the
+    flag-join exchange ships membership exactly once (every member
+    must meet its winner somewhere). A single shared exchange
+    (repartition-by-comp consumed twice, the q137 device) was
+    measured and rejected: column pruning specializes the two
+    subtrees so ReuseExchange never fires, and it forfeits the
+    map-side collapse. Plan-gated: no Window, partial_min present,
+    exactly two comp exchanges."""
+    neg = (-F.col(score_col)).alias("neg_score")
+    winners = scored.groupBy(comp_col).agg(
+        F.min(F.struct(neg, F.col(id_col).alias("kid"))).alias("w")
+    )
+    keepers = winners.select(comp_col, F.col("w.kid").alias("__keeper_id"))
+    return scored.join(keepers, comp_col).withColumn(
+        "is_keeper", F.col(id_col) == F.col("__keeper_id")
+    ).drop("__keeper_id")
+
+
 def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     # count + XOR of per-edge hashes: order-independent and
     # overflow-free under ANSI mode (sum(xxhash64) throws). A false

@@ -19,6 +19,7 @@ from morphl_community_edition_spark.operators.dedup import (
     simhash_hamming_pairs,
     simhash_signatures,
 )
+from morphl_community_edition_spark.operators.heavyhitters import heavy_hitters_exact
 from morphl_community_edition_spark.operators.multimodal import attach_media, extract_features
 from morphl_community_edition_spark.operators.quality_checks import profile
 from morphl_community_edition_spark.operators.similarity import cosine_pairs_threshold, cosine_topk_per_query
@@ -1236,4 +1237,35 @@ def q144_prefix_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return exact_jaccard_pairs(docs, threshold=0.5, method="prefix").orderBy(
         "a_doc", "b_doc"
+    )
+
+
+@query(
+    "q148_heavy_hitter_words",
+    oracle="""
+    WITH g AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    t AS (SELECT count(*) AS n FROM g)
+    SELECT word, CAST(count(*) AS BIGINT) AS cnt
+    FROM g GROUP BY word
+    HAVING count(*) * 200 > (SELECT n FROM t)
+    ORDER BY cnt DESC, word
+    """,
+)
+def q148_heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus heavy hitters (round 8): every word with support
+    > 1/200 of all tokens — stopword/boilerplate-head discovery, the
+    frequency sibling of q29's per-language top terms. Computed the
+    100 TB way (operators/heavyhitters.py): per-partition Misra-Gries
+    summaries via one shuffle-free mapInPandas corpus pass (≤ k+1
+    rows per partition cross the wire, NOT per-partition-distinct
+    vocabulary), then a broadcast-join exact recount whose candidate
+    filter collapses the exploded corpus map-side. MG candidates are
+    a guaranteed superset (Agarwal et al. TODS'13 merge bound), the
+    recount is exact arithmetic — so the plain GROUP BY/HAVING oracle
+    certifies the whole composition: the sketch must be invisible in
+    the answer (the q124/q144 posture)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+    return heavy_hitters_exact(words, "word", k=200).orderBy(
+        F.col("cnt").desc(), "word"
     )

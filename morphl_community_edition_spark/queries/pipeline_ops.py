@@ -20,7 +20,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from morphl_community_edition_spark.catalog import load_table
-from morphl_community_edition_spark.operators.components import dedup_clusters
+from morphl_community_edition_spark.operators.components import (
+    dedup_clusters,
+    keeper_election,
+)
 from morphl_community_edition_spark.operators.dedup import exact_jaccard_pairs
 from morphl_community_edition_spark.queries import query
 
@@ -642,6 +645,81 @@ def q134_indexed_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFram
 _INDEX_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[str, str]]" = (
     weakref.WeakKeyDictionary()
 )
+
+
+@query(
+    "q147_quality_keeper_dedup",
+    oracle="""
+    WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(ws[gs:gs+2], ' ') AS s
+           FROM w, LATERAL unnest(generate_series(1, len(ws) - 2)) AS t(gs)),
+    sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    i AS (SELECT a.doc_id AS a_doc, b.doc_id AS b_doc, count(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+    e AS (SELECT a_doc, b_doc FROM i
+          JOIN sz sa ON sa.doc_id = a_doc JOIN sz sb ON sb.doc_id = b_doc
+          WHERE inter >= 0.5 * (sa.n_sh + sb.n_sh - inter)),
+    bi AS (SELECT a_doc AS n, b_doc AS m FROM e
+           UNION SELECT b_doc, a_doc FROM e),
+    reach(n, m) AS (
+        SELECT n, n FROM (SELECT DISTINCT n FROM bi) nodes
+        UNION
+        SELECT r.n, bi.m FROM reach r JOIN bi ON bi.n = r.m
+    ),
+    comp AS (SELECT n AS doc_id, min(m) AS comp FROM reach GROUP BY n),
+    csz AS (SELECT comp, count(*) AS cluster_size FROM comp GROUP BY comp),
+    sc AS (SELECT doc_id,
+                  CAST(len(list_distinct(ws)) AS BIGINT) * 1000000
+                      // CAST(len(ws) AS BIGINT) AS score
+           FROM w),
+    m AS (SELECT c.doc_id, c.comp, CAST(s.cluster_size AS BIGINT) AS cluster_size,
+                 sc.score
+          FROM comp c JOIN csz s USING (comp) JOIN sc USING (doc_id)),
+    k AS (SELECT comp, doc_id AS keeper_id FROM (
+            SELECT comp, doc_id,
+                   row_number() OVER (PARTITION BY comp
+                                      ORDER BY score DESC, doc_id) AS rn
+            FROM m) WHERE rn = 1)
+    SELECT m.doc_id AS doc_id, m.comp AS comp, m.cluster_size AS cluster_size,
+           m.score AS score, (m.doc_id = k.keeper_id) AS is_keeper
+    FROM m JOIN k USING (comp)
+    ORDER BY comp, doc_id
+    """,
+)
+def q147_quality_keeper_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup canonicalization (round 8): q77's
+    clusters, but the keeper per cluster is the member with the BEST
+    quality score (q139's integer lexical-diversity score: distinct
+    words per word, ×10⁶ integer-div), ties to min doc_id — published
+    curation pipelines keep the best copy of a duplicated page, not an
+    arbitrary one. This also answers SemDeDup's documented min-id
+    deviation with an argmax election that stays hash-exact: the score
+    is pure integer arithmetic, so both engines agree bit-for-bit.
+
+    Scale shape: edges/components are the q77 machinery (candidate-
+    sized, not corpus-sized); the score is a per-row array projection
+    on the corpus scan; the election is a min-of-struct agg with
+    map-side partial collapse + a flag join-back
+    (operators/components.keeper_election, plan-gated) — never a
+    window, so a celebrity cluster collapses before the wire instead
+    of shipping and sorting its membership."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = exact_jaccard_pairs(docs, threshold=0.5).select("a_doc", "b_doc")
+    clusters = dedup_clusters(edges, "a_doc", "b_doc").select(
+        F.col("n").alias("doc_id"), "comp", "cluster_size"
+    )
+    score = docs.select(
+        "doc_id",
+        F.expr(
+            "CAST((CAST(size(array_distinct(split(text, ' '))) AS BIGINT)"
+            " * 1000000) DIV CAST(size(split(text, ' ')) AS BIGINT) AS BIGINT)"
+        ).alias("score"),
+    )
+    scored = clusters.join(score, "doc_id")
+    return keeper_election(scored).select(
+        "doc_id", "comp", "cluster_size", "score", "is_keeper"
+    ).orderBy("comp", "doc_id")
 
 
 # same results by construction => same oracle certifies both forms

@@ -884,3 +884,81 @@ def test_fuzz_weighted_sample_matches_md5_replay(rows, k):
         want.append((key, w, min(h(key, i) for i in range(w))))
     want.sort(key=lambda t: (t[2], t[0]))
     assert got == want[:k]
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 30),          # doc_id (deduped below)
+            st.integers(0, 4),           # comp
+            st.integers(-5, 5),          # score (ties + negatives)
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_fuzz_keeper_election_matches_argmax(rows):
+    """operators/components.keeper_election == the pure-Python
+    per-cluster argmax (max score, ties to min id) on random
+    memberships — including all-tied clusters, negative scores, and
+    singleton comps."""
+    from morphl_community_edition_spark.operators.components import keeper_election
+
+    spark = _ENGINES["spark"]
+    df = spark.createDataFrame(
+        [(d, c, 2, s) for d, c, s in rows],
+        "doc_id long, comp long, cluster_size long, score long",
+    )
+    got = {
+        r["doc_id"]: r["is_keeper"]
+        for r in keeper_election(df).collect()
+    }
+    want_keeper = {}
+    for d, c, s in rows:
+        best = want_keeper.get(c)
+        if best is None or (-s, d) < best:
+            want_keeper[c] = (-s, d)
+    want = {d: want_keeper[c][1] == d for d, c, _ in rows}
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    words=st.lists(
+        st.sampled_from([f"w{i}" for i in range(12)] + ["hot1", "hot2"]),
+        min_size=1,
+        max_size=120,
+    ),
+    k=st.integers(2, 8),
+)
+def test_fuzz_heavy_hitters_exact_matches_counter(words, k):
+    """operators/heavyhitters.heavy_hitters_exact == the pure-Python
+    Counter reference (count·k > N) on random skewed streams, at
+    adversarially small k — and the Misra-Gries candidate stage is a
+    superset of the true heavy hitters (the guarantee the recount
+    relies on)."""
+    from collections import Counter
+
+    from morphl_community_edition_spark.operators.heavyhitters import (
+        heavy_hitters_exact,
+        misra_gries_summaries,
+    )
+
+    spark = _ENGINES["spark"]
+    df = spark.createDataFrame([(w,) for w in words], "word string").repartition(4)
+    got = {
+        (r["word"], r["cnt"])
+        for r in heavy_hitters_exact(df, "word", k=k).collect()
+    }
+    cnt = Counter(words)
+    n = len(words)
+    want = {(w, c) for w, c in cnt.items() if c * k > n}
+    assert got == want
+    cand = {
+        r["item"]
+        for r in misra_gries_summaries(df, "word", k=k).collect()
+        if r["item"] is not None
+    }
+    assert {w for w, _ in want} <= cand

@@ -1018,3 +1018,70 @@ def test_q146_weighted_sample_scan_side_priority_topk(spark):
     assert "TakeOrderedAndProject" in plan, plan[:1500]
     assert "Generate" not in plan, "priority exploded the replica loop"
     assert "Window" not in plan and "Join" not in plan, plan[:1500]
+
+
+def test_q147_keeper_election_partial_agg_no_window(spark):
+    """q147 keeper election (round-8 gate): the per-cluster argmax
+    must be a min-of-struct aggregate with MAP-SIDE partial collapse
+    (partial_min BELOW the comp exchange — a celebrity cluster ships
+    one candidate per input partition, not its membership), use NO
+    window, and add exactly the two irreducible comp exchanges (the
+    election's collapsed candidates + the flag join's one membership
+    pass)."""
+    from pyspark.sql import functions as F
+
+    from morphl_community_edition_spark.operators.components import keeper_election
+
+    scored = spark.createDataFrame(
+        [(i, i % 7, 2, (i * 37) % 100) for i in range(100)],
+        "doc_id long, comp long, cluster_size long, score long",
+    ).localCheckpoint(eager=True)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            keeper_election(scored)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Window" not in plan, "keeper election reintroduced a window"
+    assert plan.count("Exchange hashpartitioning(comp") == 2, plan[:2000]
+    # map-side collapse: the partial min(struct) must sit below its
+    # exchange — i.e. in the same stage as the scan, before the wire
+    pre_exchange = plan.split("Exchange hashpartitioning(comp", 2)[-1]
+    assert "partial_min" in pre_exchange, (
+        f"election lost map-side combine:\n{plan[:2000]}"
+    )
+
+
+def test_q148_heavy_hitters_mg_no_shuffle_recount_broadcast(spark):
+    """q148 heavy hitters (round-8 gate): the Misra-Gries candidate
+    pass must run on the scan partitioning with NO exchange (the
+    whole point — nothing vocabulary-sized crosses the wire), and the
+    exact recount must be a BROADCAST join of the candidate list with
+    map-side partial_count below its single exchange (the candidate
+    filter collapses the exploded corpus before the wire)."""
+    from pyspark.sql import functions as F
+
+    from morphl_community_edition_spark.operators.heavyhitters import (
+        heavy_hitters_exact,
+        misra_gries_summaries,
+    )
+    from morphl_community_edition_spark.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+    mg_plan = (
+        misra_gries_summaries(words, "word", k=200)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in mg_plan, f"MG pass shuffles:\n{mg_plan[:2000]}"
+    assert "MapInPandas" in mg_plan, mg_plan[:1500]
+    out = heavy_hitters_exact(words, "word", k=200)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, f"recount lost the broadcast:\n{plan[:2000]}"
+    assert "partial_count" in plan.split("Exchange", 1)[-1], (
+        f"recount lost map-side combine:\n{plan[:2000]}"
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]

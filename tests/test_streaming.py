@@ -784,3 +784,63 @@ def test_s11c_midfold_crash_replay_probe_unchanged(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_s12_streaming_mg_candidates_superset_and_recount(spark, tmp_path):
+    """Heavy hitters under A6 ingest (round-8): streaming Misra-Gries
+    candidate state (applyInPandasWithState, one MG(k) summary per
+    vocabulary slice, re-emitted per trigger with a monotone ver)
+    must end with a candidate union that is a SUPERSET of the true
+    stream-lifetime heavy hitters, and the recount composition over
+    those candidates must equal the exact batch answer — the
+    streaming sketch, like the batch one, must be invisible in the
+    answer. The stream is a deterministic skewed corpus (5 hot words
+    at 15% each + 200 cold words) sized so MG pruning actually fires
+    (k=8 counters per slice vs ~50 distinct words per slice) —
+    the smoke fixture's 31-word vocabulary can't prune non-vacuously."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from morphl_community_edition_spark.operators.heavyhitters import (
+        streaming_mg_candidates,
+    )
+    from morphl_community_edition_spark.sources.stream import read_stream_dir
+
+    k = 8
+    hot = [f"hot{i}" for i in range(5)]
+    cold = [f"cold{i}" for i in range(200)]
+    stream_dir = str(tmp_path / "mg_stream")
+    os.makedirs(stream_dir)
+    all_words = []
+    for chunk in range(3):
+        words = []
+        for h in hot:
+            words += [h] * 225
+        words += [cold[(chunk * 375 + i) % 200] for i in range(375)]
+        all_words += words
+        pd.DataFrame({"word": words}).to_parquet(
+            f"{stream_dir}/part-{chunk:04d}.parquet"
+        )
+    stream = read_stream_dir(spark, stream_dir, name="__synthetic_words")
+    emitted = run_stream(
+        spark,
+        streaming_mg_candidates(stream, "word", k=k, n_slices=4),
+        "s12_mg",
+        mode="update",
+    ).toPandas()
+    # last emission per slice is that slice's final summary
+    last_ver = emitted.groupby("slice")["ver"].transform("max")
+    cand = set(emitted[emitted["ver"] == last_ver]["item"])
+    assert emitted["ver"].max() > 1, "stream collapsed to one batch — not a state test"
+
+    counts = Counter(all_words)
+    n = len(all_words)
+    exact = {w: c for w, c in counts.items() if c * k > n}
+    assert set(exact) == set(hot), exact  # the fixture is non-vacuous by design
+    assert set(exact) <= cand, sorted(set(exact) - cand)[:5]
+    assert len(cand) < len(counts), "MG never pruned — vacuous superset"
+
+    # recount composition == exact batch answer
+    got = {(w, counts[w]) for w in cand if counts[w] * k > n}
+    assert got == set(exact.items())

@@ -72,6 +72,8 @@ DOC_QUERIES = (
     "q139_adaptive_quality_cut",
     "q140_bigram_nll_quality",
     "q141_bm25_retrieval",
+    "q147_quality_keeper_dedup",
+    "q148_heavy_hitter_words",
 )
 EVENT_QUERIES = (
     "q16_sessionize",
