@@ -1430,3 +1430,122 @@ def q146_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "w_eff", "priority")
         .orderBy("priority", "doc_id")
     )
+
+
+def _pipeline_v3_oracle() -> str:
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {int(round(r * _MIX_MOD))}"
+        for s, r in sorted(MIX_RATES.items())
+    )
+    return f"""
+    WITH RECURSIVE w AS (SELECT doc_id, source, n_chars, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(ws[gs:gs+2], ' ') AS s
+           FROM w, LATERAL unnest(generate_series(1, len(ws) - 2)) AS t(gs)),
+    sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    i AS (SELECT a.doc_id AS a_doc, b.doc_id AS b_doc, count(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+    e AS (SELECT a_doc, b_doc FROM i
+          JOIN sz sa ON sa.doc_id = a_doc JOIN sz sb ON sb.doc_id = b_doc
+          WHERE inter >= 0.5 * (sa.n_sh + sb.n_sh - inter)),
+    bi AS (SELECT a_doc AS n, b_doc AS m FROM e
+           UNION SELECT b_doc, a_doc FROM e),
+    reach(n, m) AS (
+        SELECT n, n FROM (SELECT DISTINCT n FROM bi) nodes
+        UNION
+        SELECT r.n, bi.m FROM reach r JOIN bi ON bi.n = r.m
+    ),
+    comp AS (SELECT n AS doc_id, min(m) AS comp FROM reach GROUP BY n),
+    sc AS (SELECT doc_id,
+                  CAST(len(list_distinct(ws)) AS BIGINT) * 1000000
+                      // CAST(len(ws) AS BIGINT) AS score
+           FROM w),
+    k AS (SELECT comp, doc_id AS keeper_id FROM (
+            SELECT c.comp, c.doc_id,
+                   row_number() OVER (PARTITION BY c.comp
+                                      ORDER BY sc.score DESC, c.doc_id) AS rn
+            FROM comp c JOIN sc USING (doc_id)) WHERE rn = 1),
+    losers AS (SELECT c.doc_id FROM comp c
+               LEFT JOIN k ON k.comp = c.comp AND k.keeper_id = c.doc_id
+               WHERE k.keeper_id IS NULL),
+    surv AS (SELECT w.doc_id, w.source, w.n_chars, sc.score
+             FROM w JOIN sc USING (doc_id)
+             WHERE w.doc_id NOT IN (SELECT doc_id FROM losers)),
+    th AS (SELECT source, quantile_cont(score, 0.25) AS thr
+           FROM surv GROUP BY source),
+    cut AS (SELECT surv.* FROM surv JOIN th USING (source)
+            WHERE CAST(score AS DOUBLE) >= thr),
+    samp AS (SELECT * FROM cut
+             WHERE {_sample_h_sql(mod=True)} < CASE {cases} ELSE 0 END)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM samp GROUP BY source ORDER BY source
+    """
+
+
+@query("q149_curation_pipeline_v3", oracle=_pipeline_v3_oracle())
+def q149_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-7/8 curation machinery composed end-to-end, one hash
+    over the chain INCLUDING stage order (the q122 device for this
+    round's family): quality-aware near-dup dedup (q147's keeper
+    election — clusters lose everyone but their best-scoring member)
+    → adaptive per-source quality cut (q139's 25th-percentile rule,
+    recomputed over the POST-dedup survivors — thresholds move when
+    duplicates leave, which is the point of ordering dedup first)
+    → deterministic rate sample (q132's allowlist mix) → per-source
+    accounting (doc count, char mass, id-sum chain fingerprint).
+
+    Scale shape: each stage inherits its component's gated plan —
+    candidate-sized cluster machinery, map-side keeper collapse,
+    broadcast thresholds, scan-side sampling filter; the only
+    corpus-sized shuffles are the ones the components already own."""
+    from morphl_community_edition_spark.operators.components import (
+        dedup_clusters,
+        keeper_election,
+    )
+    from morphl_community_edition_spark.operators.dedup import exact_jaccard_pairs
+    from morphl_community_edition_spark.operators.sampling import hash_rate_sample
+
+    docs = fan_out_narrow_scan(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars", "text"
+        )
+    )
+    score = F.expr(
+        "CAST((CAST(size(array_distinct(split(text, ' '))) AS BIGINT)"
+        " * 1000000) DIV CAST(size(split(text, ' ')) AS BIGINT) AS BIGINT)"
+    )
+    edges = exact_jaccard_pairs(docs, threshold=0.5).select("a_doc", "b_doc")
+    clusters = dedup_clusters(edges, "a_doc", "b_doc").select(
+        F.col("n").alias("doc_id"), "comp"
+    )
+    member_scores = clusters.join(
+        docs.select("doc_id", score.alias("score")), "doc_id"
+    )
+    losers = (
+        keeper_election(member_scores)
+        .filter(~F.col("is_keeper"))
+        .select("doc_id")
+    )
+    surv = docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "source", "n_chars", score.alias("score")
+    )
+    th = surv.groupBy("source").agg(
+        F.expr("percentile(score, 0.25)").alias("thr")
+    )
+    cut = surv.join(F.broadcast(th), "source").filter(
+        F.col("score").cast("double") >= F.col("thr")
+    )
+    samp = hash_rate_sample(
+        cut, "doc_id", MIX_RATES, "source", default_rate=0.0, salt=_MIX_SALT
+    )
+    return (
+        samp.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        )
+        .orderBy("source")
+    )
