@@ -82,8 +82,17 @@ def connected_components(
     distributed iteration below runs unchanged — a 100 TB corpus can
     emit billions of candidates. Pass ``driver_max_edges=None`` (or 0)
     to force the distributed path."""
+    # Materialize the candidate pipeline exactly ONCE (round-8 sweep
+    # finding): when the probe hit the limit, the discarded probe and
+    # the loop's bi checkpoint each re-evaluated the upstream
+    # candidate join — 2× the jaccard machinery at exactly the edge
+    # counts that need the distributed loop (measured 2×~25 s of the
+    # grown variant's 60 s closure). The checkpointed pair frame
+    # serves the tier probe AND the loop; its blocks are released by
+    # ContextCleaner once `pairs` drops out of scope below.
+    pairs = edges.select(src, dst).localCheckpoint(eager=True)
     if driver_max_edges:
-        probe = edges.select(src, dst).limit(driver_max_edges + 1).collect()
+        probe = pairs.limit(driver_max_edges + 1).collect()
         if len(probe) <= driver_max_edges:
             ntype = dict(edges.dtypes)[src]
             labels = _union_find_labels((r[0], r[1]) for r in probe)
@@ -91,11 +100,12 @@ def connected_components(
                 sorted(labels.items()), schema=f"n {ntype}, comp {ntype}"
             )
     bi = (
-        edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
-        .union(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
+        pairs.select(F.col(src).alias("n"), F.col(dst).alias("m"))
+        .union(pairs.select(F.col(dst).alias("n"), F.col(src).alias("m")))
         .distinct()
     )
     bi = bi.localCheckpoint(eager=True)
+    del pairs
     labels = bi.select("n").distinct().withColumn("comp", F.col("n"))
 
     converged = False
@@ -185,15 +195,34 @@ def keeper_election(
     measured and rejected: column pruning specializes the two
     subtrees so ReuseExchange never fires, and it forfeits the
     map-side collapse. Plan-gated: no Window, partial_min present,
-    exactly two comp exchanges."""
-    neg = (-F.col(score_col)).alias("neg_score")
+    exactly two member/candidate-carrying exchanges (the null-safe
+    join-back adds a third that only re-keys the cluster-count-sized
+    winner frame — negligible by construction).
+
+    NULL handling (round-8 review): a NULL score must never beat a
+    real one — struct-min sorts NULL fields FIRST, so a leading
+    is-null flag forces null-scored members to lose unless the whole
+    cluster is unscored (then min id wins, both engines' NULLS LAST
+    order). A NULL comp is a cluster key like any other (groupBy
+    semantics): the join-back is null-safe so those rows get flagged
+    instead of silently vanishing (the round-6 eqNullSafe rule)."""
     winners = scored.groupBy(comp_col).agg(
-        F.min(F.struct(neg, F.col(id_col).alias("kid"))).alias("w")
+        F.min(
+            F.struct(
+                F.col(score_col).isNull().cast("int").alias("null_last"),
+                (-F.col(score_col)).alias("neg_score"),
+                F.col(id_col).alias("kid"),
+            )
+        ).alias("w")
     )
-    keepers = winners.select(comp_col, F.col("w.kid").alias("__keeper_id"))
-    return scored.join(keepers, comp_col).withColumn(
-        "is_keeper", F.col(id_col) == F.col("__keeper_id")
-    ).drop("__keeper_id")
+    keepers = winners.select(
+        F.col(comp_col).alias("__kcomp"), F.col("w.kid").alias("__keeper_id")
+    )
+    return (
+        scored.join(keepers, F.col(comp_col).eqNullSafe(F.col("__kcomp")))
+        .withColumn("is_keeper", F.col(id_col) == F.col("__keeper_id"))
+        .drop("__kcomp", "__keeper_id")
+    )
 
 
 def _fingerprint(edges: DataFrame) -> tuple[int, int]:

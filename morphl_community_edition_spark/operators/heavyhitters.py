@@ -93,13 +93,24 @@ def heavy_hitters_exact(items: DataFrame, col: str, k: int) -> DataFrame:
     recount whose filter collapses the exploded corpus map-side
     (plan-gated). NULLs are excluded (they are not items)."""
     spark = items.sparkSession
-    summaries = misra_gries_summaries(items, col, k).collect()
-    if len(summaries) > MAX_CANDIDATE_ROWS:
-        raise RuntimeError(
-            f"Misra-Gries candidate set ({len(summaries)} rows) exceeds "
-            f"MAX_CANDIDATE_ROWS={MAX_CANDIDATE_ROWS}: k={k} × too many "
-            "partitions for a driver collect — lower k or coalesce the scan"
-        )
+    # the valve must fire BEFORE the driver materializes anything
+    # (round-8 review: a post-collect len() check can't prevent the
+    # OOM it documents): persist the summary frame cluster-side —
+    # it is tiny (≤ k+1 rows per partition) but k × partitions can
+    # still be driver-hostile at 100 TB scan widths — count it there,
+    # and only then collect.
+    summary_df = misra_gries_summaries(items, col, k).persist()
+    try:
+        n_rows = summary_df.count()
+        if n_rows > MAX_CANDIDATE_ROWS:
+            raise RuntimeError(
+                f"Misra-Gries candidate set ({n_rows} rows) exceeds "
+                f"MAX_CANDIDATE_ROWS={MAX_CANDIDATE_ROWS}: k={k} × too many "
+                "partitions for a driver collect — lower k or coalesce the scan"
+            )
+        summaries = summary_df.collect()
+    finally:
+        summary_df.unpersist()
     total = sum(r["n"] for r in summaries if r["item"] is None)
     cand = sorted({r["item"] for r in summaries if r["item"] is not None})
     if not cand:

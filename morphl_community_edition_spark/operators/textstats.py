@@ -110,3 +110,30 @@ def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fp") -> DataF
     term = (md5_long60(F.col("word")) % F.lit(1099511627776)) * (F.col("pos") + 1)
     group_cols = [c for c in df.columns]
     return exploded.groupBy(*group_cols).agg(F.sum(term).alias(out))
+
+
+# the integer lexical-diversity quality score shared by q139 (adaptive
+# cut), q147 (keeper election), and q149 (pipeline v3): distinct words
+# per word, scaled to 10^6 and integer-divided. PURE integer
+# arithmetic on both engines (both operands positive, so trunc ==
+# floor == DuckDB //) — ONE constant pair builds the Spark column AND
+# the oracle SQL so the sides cannot drift (the MIX_RATES convention;
+# round-8 review extracted this from three verbatim copies).
+LEXDIV_SCALE = 1_000_000
+
+
+def lexical_diversity_score(text_col: str = "text") -> Column:
+    """Spark column: distinct-word ratio × LEXDIV_SCALE, BIGINT."""
+    return F.expr(
+        f"CAST((CAST(size(array_distinct(split({text_col}, ' '))) AS BIGINT)"
+        f" * {LEXDIV_SCALE}) DIV CAST(size(split({text_col}, ' ')) AS BIGINT)"
+        " AS BIGINT)"
+    )
+
+
+def lexical_diversity_score_sql(ws_expr: str = "ws") -> str:
+    """DuckDB twin over a pre-split word-list expression."""
+    return (
+        f"CAST(len(list_distinct({ws_expr})) AS BIGINT) * {LEXDIV_SCALE}"
+        f" // CAST(len({ws_expr}) AS BIGINT)"
+    )

@@ -62,6 +62,10 @@ from pyspark.sql import functions as F
 
 from morphl_community_edition_spark.catalog import load_table
 from morphl_community_edition_spark.functions.rounding import crnd
+from morphl_community_edition_spark.operators.textstats import (
+    lexical_diversity_score,
+    lexical_diversity_score_sql,
+)
 from morphl_community_edition_spark.plans.hints import fan_out_narrow_scan
 from morphl_community_edition_spark.queries import query
 
@@ -1220,12 +1224,11 @@ def q138_unigram_nll_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q139_adaptive_quality_cut",
-    oracle="""
+    oracle=f"""
     WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
                FROM documents),
     sc AS (SELECT doc_id, source,
-                  CAST(len(list_distinct(ws)) AS BIGINT) * 1000000
-                      // CAST(len(ws) AS BIGINT) AS score
+                  {lexical_diversity_score_sql("ws")} AS score
            FROM w),
     th AS (SELECT source, quantile_cont(score, 0.25) AS thr
            FROM sc GROUP BY source)
@@ -1261,10 +1264,7 @@ def q139_adaptive_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = docs.select(
         "doc_id",
         "source",
-        F.expr(
-            "CAST((CAST(size(array_distinct(split(text, ' '))) AS BIGINT)"
-            " * 1000000) DIV CAST(size(split(text, ' ')) AS BIGINT) AS BIGINT)"
-        ).alias("score"),
+        lexical_diversity_score().alias("score"),
     )
     th = sc.groupBy("source").agg(F.expr("percentile(score, 0.25)").alias("thr"))
     return (
@@ -1456,9 +1456,7 @@ def _pipeline_v3_oracle() -> str:
         SELECT r.n, bi.m FROM reach r JOIN bi ON bi.n = r.m
     ),
     comp AS (SELECT n AS doc_id, min(m) AS comp FROM reach GROUP BY n),
-    sc AS (SELECT doc_id,
-                  CAST(len(list_distinct(ws)) AS BIGINT) * 1000000
-                      // CAST(len(ws) AS BIGINT) AS score
+    sc AS (SELECT doc_id, {lexical_diversity_score_sql("ws")} AS score
            FROM w),
     k AS (SELECT comp, doc_id AS keeper_id FROM (
             SELECT c.comp, c.doc_id,
@@ -1512,10 +1510,7 @@ def q149_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source", "n_chars", "text"
         )
     )
-    score = F.expr(
-        "CAST((CAST(size(array_distinct(split(text, ' '))) AS BIGINT)"
-        " * 1000000) DIV CAST(size(split(text, ' ')) AS BIGINT) AS BIGINT)"
-    )
+    score = lexical_diversity_score()
     edges = exact_jaccard_pairs(docs, threshold=0.5).select("a_doc", "b_doc")
     clusters = dedup_clusters(edges, "a_doc", "b_doc").select(
         F.col("n").alias("doc_id"), "comp"

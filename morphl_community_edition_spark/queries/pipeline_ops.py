@@ -25,6 +25,10 @@ from morphl_community_edition_spark.operators.components import (
     keeper_election,
 )
 from morphl_community_edition_spark.operators.dedup import exact_jaccard_pairs
+from morphl_community_edition_spark.operators.textstats import (
+    lexical_diversity_score,
+    lexical_diversity_score_sql,
+)
 from morphl_community_edition_spark.queries import query
 
 # hex digit 1 of md5(key): '0'..'b' → train (12/16), 'c','d' → val,
@@ -649,7 +653,7 @@ _INDEX_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[str, str]]" = (
 
 @query(
     "q147_quality_keeper_dedup",
-    oracle="""
+    oracle=f"""
     WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
     sh AS (SELECT DISTINCT doc_id, array_to_string(ws[gs:gs+2], ' ') AS s
            FROM w, LATERAL unnest(generate_series(1, len(ws) - 2)) AS t(gs)),
@@ -669,9 +673,7 @@ _INDEX_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[str, str]]" = (
     ),
     comp AS (SELECT n AS doc_id, min(m) AS comp FROM reach GROUP BY n),
     csz AS (SELECT comp, count(*) AS cluster_size FROM comp GROUP BY comp),
-    sc AS (SELECT doc_id,
-                  CAST(len(list_distinct(ws)) AS BIGINT) * 1000000
-                      // CAST(len(ws) AS BIGINT) AS score
+    sc AS (SELECT doc_id, {lexical_diversity_score_sql("ws")} AS score
            FROM w),
     m AS (SELECT c.doc_id, c.comp, CAST(s.cluster_size AS BIGINT) AS cluster_size,
                  sc.score
@@ -709,14 +711,19 @@ def q147_quality_keeper_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = dedup_clusters(edges, "a_doc", "b_doc").select(
         F.col("n").alias("doc_id"), "comp", "cluster_size"
     )
-    score = docs.select(
-        "doc_id",
-        F.expr(
-            "CAST((CAST(size(array_distinct(split(text, ' '))) AS BIGINT)"
-            " * 1000000) DIV CAST(size(split(text, ' ')) AS BIGINT) AS BIGINT)"
-        ).alias("score"),
+    # score AFTER the member join, not corpus-wide: clusters is
+    # candidate-sized (near-dup members only) and nothing downstream
+    # needs non-member scores, so the split/array_distinct work runs
+    # on member rows alone — AQE broadcasts the cluster side, so the
+    # corpus never shuffles for this join (round-8 review)
+    scored = (
+        docs.select("doc_id", "text")
+        .join(clusters, "doc_id")
+        .select(
+            "doc_id", "comp", "cluster_size",
+            lexical_diversity_score().alias("score"),
+        )
     )
-    scored = clusters.join(score, "doc_id")
     return keeper_election(scored).select(
         "doc_id", "comp", "cluster_size", "score", "is_keeper"
     ).orderBy("comp", "doc_id")

@@ -890,9 +890,9 @@ def test_fuzz_weighted_sample_matches_md5_replay(rows, k):
 @given(
     rows=st.lists(
         st.tuples(
-            st.integers(0, 30),          # doc_id (deduped below)
-            st.integers(0, 4),           # comp
-            st.integers(-5, 5),          # score (ties + negatives)
+            st.integers(0, 30),                        # doc_id (deduped below)
+            st.one_of(st.none(), st.integers(0, 4)),   # comp (NULL = its own group)
+            st.one_of(st.none(), st.integers(-5, 5)),  # score (NULL must lose)
         ),
         min_size=1,
         max_size=25,
@@ -902,8 +902,10 @@ def test_fuzz_weighted_sample_matches_md5_replay(rows, k):
 def test_fuzz_keeper_election_matches_argmax(rows):
     """operators/components.keeper_election == the pure-Python
     per-cluster argmax (max score, ties to min id) on random
-    memberships — including all-tied clusters, negative scores, and
-    singleton comps."""
+    memberships — including all-tied clusters, negative scores,
+    singleton comps, NULL scores (never beat a real score; all-NULL
+    cluster falls back to min id) and NULL comps (one group, flagged
+    not dropped — the round-8 review edge cases)."""
     from morphl_community_edition_spark.operators.components import keeper_election
 
     spark = _ENGINES["spark"]
@@ -917,11 +919,13 @@ def test_fuzz_keeper_election_matches_argmax(rows):
     }
     want_keeper = {}
     for d, c, s in rows:
+        key = (s is None, -(s if s is not None else 0), d)
         best = want_keeper.get(c)
-        if best is None or (-s, d) < best:
-            want_keeper[c] = (-s, d)
-    want = {d: want_keeper[c][1] == d for d, c, _ in rows}
+        if best is None or key < best:
+            want_keeper[c] = key
+    want = {d: want_keeper[c][2] == d for d, c, _ in rows}
     assert got == want
+    assert len(got) == len(rows), "rows vanished from the election output"
 
 
 @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))

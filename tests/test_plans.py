@@ -1025,11 +1025,11 @@ def test_q147_keeper_election_partial_agg_no_window(spark):
     must be a min-of-struct aggregate with MAP-SIDE partial collapse
     (partial_min BELOW the comp exchange — a celebrity cluster ships
     one candidate per input partition, not its membership), use NO
-    window, and add exactly the two irreducible comp exchanges (the
-    election's collapsed candidates + the flag join's one membership
-    pass)."""
-    from pyspark.sql import functions as F
-
+    window, and carry exactly two member/candidate-sized exchanges
+    (the members' one null-safe-keyed pass for the flag join + the
+    election's collapsed candidates on comp); the null-safe join-back
+    is allowed ONE extra exchange re-keying the cluster-count-sized
+    winner frame, nothing more."""
     from morphl_community_edition_spark.operators.components import keeper_election
 
     scored = spark.createDataFrame(
@@ -1046,10 +1046,15 @@ def test_q147_keeper_election_partial_agg_no_window(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "Window" not in plan, "keeper election reintroduced a window"
-    assert plan.count("Exchange hashpartitioning(comp") == 2, plan[:2000]
+    # the election agg shuffles on plain comp; the join sides on the
+    # null-safe (coalesce, isnull) key — members once, winners once
+    assert plan.count("Exchange hashpartitioning(comp") == 1, plan[:2000]
+    assert plan.count("Exchange hashpartitioning(coalesce(comp") == 1, plan[:2000]
+    assert plan.count("Exchange hashpartitioning(coalesce(__kcomp") == 1, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") == 3, plan[:2000]
     # map-side collapse: the partial min(struct) must sit below its
     # exchange — i.e. in the same stage as the scan, before the wire
-    pre_exchange = plan.split("Exchange hashpartitioning(comp", 2)[-1]
+    pre_exchange = plan.split("Exchange hashpartitioning(comp", 1)[-1]
     assert "partial_min" in pre_exchange, (
         f"election lost map-side combine:\n{plan[:2000]}"
     )
