@@ -93,6 +93,7 @@ EXTRA = {
     "label_propagation": "q145_label_propagation",
     "quality_keeper_dedup": "q147_quality_keeper_dedup",
     "heavy_hitter_words": "q148_heavy_hitter_words",
+    "persisted_ann_serve": "q150_persisted_ann_serve",
 }
 
 # best-of-5 blocks × 3 full-suite passes: single-JVM local mode has

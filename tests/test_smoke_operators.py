@@ -831,3 +831,41 @@ def test_q134_indexed_dedup_equals_direct_form(spark, tmp_path):
         ).collect()
     }
     assert indexed == direct == {1: "unique", 2: "near_dup", 3: "exact_dup", 4: "unique"}
+
+
+def test_persisted_ann_serve_equals_live_pipeline_pruned(spark, tmp_path):
+    """build→persist→serve == the in-session ivf_quantized_topk at the
+    SAME pruned configuration (n_probe < n_cells — stricter than
+    q150's full-probe oracle, which is routing-invariant): the stored
+    centroids/codes/floats must round-trip parquet bit-exactly and the
+    shared routing must behave identically live and persisted."""
+    from pyspark.sql import functions as F
+
+    from morphl_community_edition_spark.catalog import load_table
+    from morphl_community_edition_spark.operators.ann_index import (
+        ann_index_topk,
+        build_ann_index,
+    )
+    from morphl_community_edition_spark.operators.similarity import (
+        ivf_quantized_topk,
+    )
+    from tests.conftest import SF_DIR_SMOKE
+
+    emb = load_table(spark, SF_DIR_SMOKE, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "ann")
+    build_ann_index(emb, path, n_cells=8)
+    got = {
+        tuple(r)
+        for r in ann_index_topk(
+            spark, path, probes, k=5, n_candidates=50, n_probe=3
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in ivf_quantized_topk(
+            emb, probes, k=5, n_candidates=50, n_cells=8, n_probe=3
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0

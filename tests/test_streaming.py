@@ -844,3 +844,67 @@ def test_s12_streaming_mg_candidates_superset_and_recount(spark, tmp_path):
     # recount composition == exact batch answer
     got = {(w, counts[w]) for w in cand if counts[w] * k > n}
     assert got == set(exact.items())
+
+
+def test_s13_streaming_ann_serve_equals_batch(spark, tmp_path):
+    """Continuous retrieval serving under A6 ingest (round-8): probe
+    vectors streamed in micro-batches through streaming_ann_serve
+    (foreachBatch against the q150 persisted index) must produce, per
+    batch, EXACTLY the batch ann_index_topk answer for that probe
+    slice — and the union equals one batch serve of all probes (the
+    serve is per-probe independent, so slicing must be invisible).
+    Restart with the same durable checkpoint appends nothing new."""
+    import glob as _glob
+
+    from morphl_community_edition_spark.catalog import load_table
+    from morphl_community_edition_spark.operators.ann_index import (
+        ann_index_topk,
+        build_ann_index,
+        read_serve_results,
+        streaming_ann_serve,
+    )
+    from morphl_community_edition_spark.sources.stream import (
+        read_stream_dir,
+        stage_stream_input,
+    )
+
+    emb = load_table(spark, SF_DIR_SMOKE, "embeddings")
+    index_path = str(tmp_path / "ann")
+    build_ann_index(emb, index_path, n_cells=8)
+
+    staged = stage_stream_input(
+        spark, SF_DIR_SMOKE, "embeddings", n_chunks=3, order_col="vec_id"
+    )
+    out_path = str(tmp_path / "served")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming_ann_serve(
+        read_stream_dir(spark, staged, "embeddings"),
+        index_path, out_path, ckpt, k=3, n_candidates=20, n_probe=3,
+    )
+    q.awaitTermination(600)
+    assert q.exception() is None
+
+    got = {
+        (r["q_vec"], r["n_vec"], r["sim"], r["rnk"])
+        for r in read_serve_results(spark, out_path).collect()
+    }
+    want = {
+        tuple(r)
+        for r in ann_index_topk(
+            spark, index_path, emb, k=3, n_candidates=20, n_probe=3
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+    n_batches = len({r["batch_id"] for r in spark.read.parquet(out_path).collect()})
+    assert n_batches == 3, f"expected 3 micro-batches, saw {n_batches}"
+
+    # restart on the committed checkpoint: nothing re-served
+    n_rows = spark.read.parquet(out_path).count()
+    q2 = streaming_ann_serve(
+        read_stream_dir(spark, staged, "embeddings"),
+        index_path, out_path, ckpt, k=3, n_candidates=20, n_probe=3,
+    )
+    q2.awaitTermination(600)
+    assert q2.exception() is None
+    assert spark.read.parquet(out_path).count() == n_rows

@@ -87,6 +87,7 @@ EVENT_QUERIES = (
 EMB_QUERIES = (
     "q129_semantic_dedup",
     "q130_quantized_retrieval",
+    "q150_persisted_ann_serve",
 )
 
 
