@@ -94,6 +94,7 @@ EXTRA = {
     "quality_keeper_dedup": "q147_quality_keeper_dedup",
     "heavy_hitter_words": "q148_heavy_hitter_words",
     "persisted_ann_serve": "q150_persisted_ann_serve",
+    "persisted_bm25_serve": "q151_persisted_bm25_serve",
 }
 
 # best-of-5 blocks × 3 full-suite passes: single-JVM local mode has

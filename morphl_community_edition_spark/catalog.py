@@ -367,12 +367,13 @@ def invalidate_tables(spark: SparkSession, sf_dir: str | None = None) -> int:
     # the q150 persisted ANN index memo — same staleness class
     from morphl_community_edition_spark.queries import llm as _llm
 
-    ann = _llm._ANN_INDEX_MEMO.get(spark)
-    if ann is not None:
-        if sf_dir is None:
-            ann.clear()
-        else:
-            ann.pop(sf_dir, None)
+    for _memo in (_llm._ANN_INDEX_MEMO, _llm._TEXT_INDEX_MEMO):
+        m = _memo.get(spark)
+        if m is not None:
+            if sf_dir is None:
+                m.clear()
+            else:
+                m.pop(sf_dir, None)
     # the staged micro-batch input cache (sources/stream) snapshots
     # table CONTENT on disk — same staleness class, cleared lazily to
     # avoid a circular import

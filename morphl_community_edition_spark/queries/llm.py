@@ -1136,66 +1136,12 @@ def q141_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame; the final top-20 is TakeOrderedAndProject (no global
     sort). The corpus is scanned exactly twice (lengths + terms),
     both scans column-pruned to (doc_id, text)."""
+    from morphl_community_edition_spark.operators.text_index import (
+        bm25_topk_inline,
+    )
+
     docs = fan_out_narrow_scan(load_table(spark, sf_dir, "documents"))
-    ws = F.split(F.col("text"), " ")
-    dl = docs.select("doc_id", F.size(ws).cast("bigint").alias("dl"))
-    st = dl.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("dl").cast("bigint").alias("sumdl"),
-    )
-    tfq = (
-        docs.select("doc_id", F.explode(ws).alias("term"))
-        .filter(F.col("term").isin(*BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-    )
-    dfr = tfq.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-    idf = dfr.crossJoin(F.broadcast(st)).select(
-        "term",
-        F.floor(
-            F.log(
-                F.lit(1)
-                + (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
-                / (F.col("df").cast("double") + F.lit(0.5))
-            )
-            * F.lit(1e6)
-            + F.lit(0.5)
-        )
-        .cast("bigint")
-        .alias("idf_slp"),
-    )
-    avgdl = F.col("sumdl").cast("double") / F.col("n_docs").cast("double")
-    tfnorm = (F.col("tf").cast("double") * F.lit(BM25_K1 + 1)) / (
-        F.col("tf").cast("double")
-        + F.lit(BM25_K1)
-        * (F.lit(1 - BM25_B) + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl))
-    )
-    co = (
-        tfq.join(dl, "doc_id")
-        .join(F.broadcast(idf), "term")
-        .crossJoin(F.broadcast(st))
-        .select(
-            "doc_id",
-            F.floor(F.col("idf_slp").cast("double") * tfnorm + F.lit(0.5))
-            .cast("bigint")
-            .alias("contrib"),
-        )
-    )
-    return (
-        co.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
-            F.sum("contrib").cast("bigint").alias("score_scaled"),
-        )
-        .select(
-            "doc_id",
-            "n_terms",
-            "score_scaled",
-            crnd(F.col("score_scaled").cast("double") / F.lit(1e6), 6).alias("score"),
-        )
-        .orderBy(F.col("score_scaled").desc(), "doc_id")
-        .limit(20)
-    )
+    return bm25_topk_inline(docs, BM25_TERMS, k=20, k1=BM25_K1, b=BM25_B)
 
 
 @query(
@@ -1320,3 +1266,45 @@ _ANN_INDEX_MEMO: "_weakref.WeakKeyDictionary[SparkSession, dict[str, str]]" = (
 from morphl_community_edition_spark.queries import ORACLE_SQL as _ORACLE_SQL  # noqa: E402
 
 _ORACLE_SQL["q150_persisted_ann_serve"] = _QUANTIZED_RETRIEVAL_ORACLE
+
+
+@query("q151_persisted_bm25_serve")
+def q151_persisted_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q141's BM25 retrieval served from a PERSISTED search index
+    (round 8; completes the persisted-serving triple with q134 dedup
+    and q150 ANN): postings/doc_stats/meta built in one corpus pass
+    (memoized per (session, sf_dir), hash-bucket-partitioned so the
+    query terms' buckets prune at FILE level via a driver-computed
+    literal partition filter — md5 is the one hash Python and Spark
+    spell identically), then the query served touching only the
+    index. The scoring chain is q141's verbatim with corpus stats
+    entering as exact BIGINT-valued doubles, so the served result
+    EQUALS q141 for the same term set and q141's oracle certifies
+    build→persist→serve (the q114→q134 device)."""
+    import hashlib as _hl
+    import os as _os
+
+    from morphl_community_edition_spark.operators.text_index import (
+        bm25_topk,
+        build_text_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    path = _os.path.join(
+        "/tmp", "morphl_text_index", spark.sparkContext.applicationId, tag
+    )
+    built = _TEXT_INDEX_MEMO.setdefault(spark, {})
+    if built.get(sf_dir) != path or not _os.path.isdir(_os.path.join(path, "meta")):
+        build_text_index(docs.select("doc_id", "text"), path)
+        built[sf_dir] = path
+    return bm25_topk(spark, path, BM25_TERMS, k=20, k1=BM25_K1, b=BM25_B)
+
+
+_TEXT_INDEX_MEMO: "_weakref.WeakKeyDictionary[SparkSession, dict[str, str]]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+# persisted serve == q141 by construction for the same term set =>
+# the same oracle certifies both (the q114→q134 device)
+_ORACLE_SQL["q151_persisted_bm25_serve"] = _ORACLE_SQL["q141_bm25_retrieval"]

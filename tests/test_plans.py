@@ -1124,3 +1124,29 @@ def test_q150_ann_index_serve_prunes_cells_and_reads_no_corpus(spark, tmp_path):
         "serve path re-reads the corpus table"
     )
     assert out.count() > 0
+
+
+def test_q151_bm25_serve_static_bucket_pruning_no_corpus(spark, tmp_path):
+    """q151 persisted BM25 serve (round-8 gate): the postings scan
+    must carry a LITERAL term_bucket partition filter (driver-computed
+    md5 buckets — STATIC pruning, unlike q150's DPP: no subquery, no
+    job), the cut must be TakeOrderedAndProject, and the serve plan
+    must never scan the corpus table."""
+    from morphl_community_edition_spark.catalog import load_table
+    from morphl_community_edition_spark.operators.text_index import (
+        bm25_topk,
+        build_text_index,
+    )
+    from tests.conftest import SF_DIR_SMOKE
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents").select("doc_id", "text")
+    path = str(tmp_path / "tidx")
+    build_text_index(docs, path)
+    out = bm25_topk(spark, path, ("merge", "window"), k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = [seg for seg in plan.split("PartitionFilters: [")[1:] if "term_bucket" in seg.split("]")[0]]
+    assert pf, f"no static term_bucket partition filter:\n{plan[:2000]}"
+    assert "dynamicpruning" not in pf[0].split("]")[0], "bucket filter should be static literals"
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "documents.parquet" not in plan, "serve path re-reads the corpus"
+    assert out.count() > 0

@@ -869,3 +869,27 @@ def test_persisted_ann_serve_equals_live_pipeline_pruned(spark, tmp_path):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_persisted_bm25_serve_equals_inline_arbitrary_terms(spark, tmp_path):
+    """build→persist→serve == the one-shot inline BM25 on a term set
+    DIFFERENT from q141's fixed workload: the index stores FULL
+    postings, so any query must come back exactly as if recomputed
+    from the raw corpus (df/idf re-derived from the pruned buckets,
+    corpus stats from meta — bit-identical float chain)."""
+    from morphl_community_edition_spark.catalog import load_table
+    from morphl_community_edition_spark.operators.text_index import (
+        bm25_topk,
+        bm25_topk_inline,
+        build_text_index,
+    )
+    from tests.conftest import SF_DIR_SMOKE
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents").select("doc_id", "text")
+    path = str(tmp_path / "tidx")
+    build_text_index(docs, path)
+    for terms in [("merge", "window"), ("the", "table", "spark")]:
+        got = [tuple(r) for r in bm25_topk(spark, path, terms, k=15).collect()]
+        want = [tuple(r) for r in bm25_topk_inline(docs, terms, k=15).collect()]
+        assert got == want, terms
+        assert len(got) > 0, terms

@@ -74,6 +74,7 @@ DOC_QUERIES = (
     "q141_bm25_retrieval",
     "q147_quality_keeper_dedup",
     "q148_heavy_hitter_words",
+    "q151_persisted_bm25_serve",
 )
 EVENT_QUERIES = (
     "q16_sessionize",
