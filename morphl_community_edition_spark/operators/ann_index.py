@@ -8,7 +8,8 @@ a serving system, where the corpus-scale work must be paid ONCE at
 ingest and each probe batch touches only the index. This module
 splits the q136 composition at exactly that line:
 
-- ``build_ann_index`` (one corpus pass, ingest-time): KMeans(seed=42)
+- ``build_ann_index`` (ingest-time; KMeans's own iterations plus ONE
+  projection pipeline — no corpus-vs-corpus join): KMeans(seed=42)
   cell assignment + per-vector int8 codes (q94's floor-half-up
   quantization) + the float vector for re-rank, written as parquet
   ``vectors/`` (n_vec, cell, n_code, n_emb) partitioned by cell —
@@ -30,7 +31,7 @@ equals the flat quantized pipeline, which is q130's DuckDB oracle.
 One oracle certifies the whole build→persist→serve chain (the
 q114→q134 shared-oracle device; cited: queries/llm.py q136).
 
-100 TB shape: the build is one KMeans.transform + one quantization
+100 TB shape: the build is KMeans + one transform/quantization
 projection + one partitioned write; the vectors table is ~5× smaller
 to SCAN than the corpus for candidate work (int8 codes vs float32,
 and only probed cell partitions are read); centroids stay
@@ -41,14 +42,12 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from morphl_community_edition_spark.functions.rounding import crnd
 from morphl_community_edition_spark.operators.similarity import (
-    dot,
-    norm,
     quantize_embeddings_int8,
+    quantized_candidate_rerank,
     route_probes_to_cells,
 )
 
@@ -60,28 +59,27 @@ def build_ann_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
-    """One corpus pass → self-contained serving index at ``path``."""
+    """Ingest-time build → self-contained serving index at ``path``."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     spark = emb.sparkSession
-    corpus_vec = emb.select(
+    # codes + floats ride THROUGH KMeans.transform (it passes input
+    # columns along), so the build is one projection pipeline — no
+    # corpus-vs-corpus join to re-attach them (round-8 review; fit
+    # reads only featuresCol, so the extra columns cannot change the
+    # model — the persisted==live equality test pins that)
+    qc = quantize_embeddings_int8(emb.select(id_col, vec_col), vec_col)
+    corpus_vec = qc.select(
         F.col(id_col).alias("n_vec"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+        F.col("q_emb").alias("n_code"),
+        F.col(vec_col).cast("array<double>").alias("n_emb"),
     )
     km = KMeans(
         k=n_cells, seed=42, featuresCol="features", predictionCol="cell"
     ).fit(corpus_vec)
-    cells = km.transform(corpus_vec).select("n_vec", "cell")
-    qc = quantize_embeddings_int8(emb.select(id_col, vec_col), vec_col)
-    vectors = cells.join(
-        qc.select(
-            F.col(id_col).alias("n_vec"),
-            F.col("q_emb").alias("n_code"),
-            F.col(vec_col).cast("array<double>").alias("n_emb"),
-        ),
-        "n_vec",
-    )
+    vectors = km.transform(corpus_vec).select("n_vec", "cell", "n_code", "n_emb")
     # partitioned by cell: a probe of p cells reads p directories —
     # partition pruning does the IVF pruning at the FILE level
     vectors.write.mode("overwrite").partitionBy("cell").parquet(
@@ -92,8 +90,11 @@ def build_ann_index(
         schema="cell int, c_emb array<double>",
     )
     centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    # n_vecs from the WRITTEN index (column-pruned count of a tiny
+    # table), not another corpus scan (round-8 review)
+    n_vecs = spark.read.parquet(os.path.join(path, "vectors")).count()
     spark.createDataFrame(
-        [(int(n_cells), int(emb.count()))], "n_cells int, n_vecs long"
+        [(int(n_cells), int(n_vecs))], "n_cells int, n_vecs long"
     ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
 
 
@@ -125,44 +126,26 @@ def ann_index_topk(
     assigned = vectors.select(
         "cell", "n_vec", F.col("n_code").cast("array<double>").alias("n_code")
     )
-    isim = crnd(
-        dot(F.col("q_code"), F.col("n_code"))
-        / (
-            F.sqrt(
-                dot(F.col("q_code"), F.col("q_code"))
-                * dot(F.col("n_code"), F.col("n_code"))
-            )
-            + F.lit(1e-30)
-        ),
-        6,
-    )
-    wc = Window.partitionBy("q_vec").orderBy(F.col("isim").desc(), "n_vec")
-    cands = (
-        assigned.join(probes, "cell")
-        .filter(F.col("q_vec") != F.col("n_vec"))
-        .select("q_vec", "n_vec", isim.alias("isim"))
-        .withColumn("crk", F.row_number().over(wc))
-        .filter(F.col("crk") <= n_candidates)
-        .select("q_vec", "n_vec")
-    )
     # float re-rank from the INDEX's stored vectors (self-contained:
-    # no corpus read at serve time); probe floats from the live batch
+    # no corpus read at serve time); probe floats from the live batch.
+    # fln keeps the cell column and the join runs on (cell, n_vec) so
+    # partition pruning reaches the float branch too — each n_vec
+    # lives in exactly one cell, so the extra key only prunes
+    # (round-8 review: an n_vec-only join re-scanned ALL cell
+    # partitions' float64 column on every probe batch)
     flq = queries.select(
         F.col(id_col).alias("q_vec"),
         F.col(vec_col).cast("array<double>").alias("q_emb"),
     )
-    fln = vectors.select("n_vec", F.col("n_emb"))
-    rer = cands.join(flq, "q_vec").join(fln, "n_vec")
-    sim = crnd(
-        dot(F.col("q_emb"), F.col("n_emb"))
-        / (norm(F.col("q_emb")) * norm(F.col("n_emb"))),
-        6,
-    )
-    w = Window.partitionBy("q_vec").orderBy(F.col("sim").desc(), "n_vec")
-    return (
-        rer.select("q_vec", "n_vec", sim.alias("sim"))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
+    fln = vectors.select("cell", "n_vec", F.col("n_emb"))
+    return quantized_candidate_rerank(
+        assigned,
+        probes,
+        flq,
+        fln,
+        k=k,
+        n_candidates=n_candidates,
+        rerank_keys=("cell", "n_vec"),
     )
 
 

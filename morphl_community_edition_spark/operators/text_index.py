@@ -7,7 +7,8 @@ q141 re-derives postings, document lengths, and corpus stats from the
 raw corpus on every query — right for a batch scoring job, wrong for
 a search system. The split at the ingest/serve line:
 
-- ``build_text_index`` (one corpus pass): full postings
+- ``build_text_index`` (two corpus scans — lengths + the postings
+  explode/agg, the irreducible cost of a search build): full postings
   (term, doc_id, tf) partitioned by ``term_bucket`` =
   md5-hash(term) mod n_buckets — a real vocabulary cannot be
   partitioned BY TERM (directory-per-distinct-term explodes), but a
@@ -55,7 +56,9 @@ def _bucket_py(term: str, n_buckets: int) -> int:
 def build_text_index(
     docs: DataFrame, path: str, text_col: str = "text", n_buckets: int = N_BUCKETS
 ) -> None:
-    """One corpus pass → persisted search index at ``path``."""
+    """Two corpus scans (doc lengths; postings) → persisted search
+    index at ``path``; corpus stats re-aggregate off the tiny written
+    doc_stats table, not the raw corpus."""
     spark = docs.sparkSession
     ws = F.split(F.col(text_col), " ")
     dl = docs.select("doc_id", F.size(ws).cast("bigint").alias("dl"))
@@ -71,10 +74,17 @@ def build_text_index(
     postings.write.mode("overwrite").partitionBy("term_bucket").parquet(
         os.path.join(path, "postings")
     )
-    st = dl.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("dl").cast("bigint").alias("sumdl"),
-    ).collect()[0]
+    # corpus stats from the WRITTEN doc_stats table (tiny, 2 columns)
+    # — aggregating over dl's lineage would re-scan the raw corpus a
+    # third time (round-8 review)
+    st = (
+        spark.read.parquet(os.path.join(path, "doc_stats"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("dl").cast("bigint").alias("sumdl"),
+        )
+        .collect()[0]
+    )
     spark.createDataFrame(
         [(int(st["n_docs"]), int(st["sumdl"]), int(n_buckets))],
         "n_docs long, sumdl long, n_buckets int",
@@ -100,54 +110,14 @@ def bm25_topk(
         .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(*terms))
         .select("doc_id", "term", "tf")
     )
-    dfr = tfq.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-    # identical float chain to q141: n_docs/sumdl enter as exact
-    # doubles (BIGINT-valued), so every IEEE op sees the same operands
-    idf = dfr.select(
-        "term",
-        F.floor(
-            F.log(
-                F.lit(1)
-                + (F.lit(float(n_docs)) - F.col("df").cast("double") + F.lit(0.5))
-                / (F.col("df").cast("double") + F.lit(0.5))
-            )
-            * F.lit(1e6)
-            + F.lit(0.5)
-        )
-        .cast("bigint")
-        .alias("idf_slp"),
-    )
     dl = spark.read.parquet(os.path.join(path, "doc_stats"))
-    avgdl = F.lit(float(sumdl)) / F.lit(float(n_docs))
-    tfnorm = (F.col("tf").cast("double") * F.lit(k1 + 1)) / (
-        F.col("tf").cast("double")
-        + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl))
+    # corpus stats re-enter as a 1-row frame of the stored BIGINTs, so
+    # the shared scorer sees the SAME column-typed operands as the
+    # inline path — one scoring chain, zero literal-vs-column skew
+    st = spark.createDataFrame(
+        [(int(n_docs), int(sumdl))], "n_docs long, sumdl long"
     )
-    co = (
-        tfq.join(dl, "doc_id")
-        .join(F.broadcast(idf), "term")
-        .select(
-            "doc_id",
-            F.floor(F.col("idf_slp").cast("double") * tfnorm + F.lit(0.5))
-            .cast("bigint")
-            .alias("contrib"),
-        )
-    )
-    return (
-        co.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
-            F.sum("contrib").cast("bigint").alias("score_scaled"),
-        )
-        .select(
-            "doc_id",
-            "n_terms",
-            "score_scaled",
-            crnd(F.col("score_scaled").cast("double") / F.lit(1e6), 6).alias("score"),
-        )
-        .orderBy(F.col("score_scaled").desc(), "doc_id")
-        .limit(k)
-    )
+    return _bm25_score(tfq, dl, st, k=k, k1=k1, b=b)
 
 
 def bm25_topk_inline(
@@ -175,6 +145,26 @@ def bm25_topk_inline(
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
+    return _bm25_score(tfq, dl, st, k=k, k1=k1, b=b)
+
+
+def _bm25_score(
+    tfq: DataFrame,
+    dl: DataFrame,
+    st: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """The ONE Okapi scoring chain (round-8 review: it existed twice,
+    literal-vs-column, in this module) — q141's exact device: idf
+    integer-scaled on the term-sized frame, IEEE tf-normalization
+    with fixed parenthesization, BIGINT per-term contributions summed
+    exactly, (score, doc_id) ordering. ``tfq``=(doc_id, term, tf),
+    ``dl``=(doc_id, dl), ``st``=1-row (n_docs, sumdl) — from a live
+    aggregate (inline path) or the index's stored meta (serve path);
+    both are exact BIGINTs, so the float chain sees identical
+    operands either way."""
     dfr = tfq.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     idf = dfr.crossJoin(F.broadcast(st)).select(
         "term",
@@ -193,8 +183,7 @@ def bm25_topk_inline(
     avgdl = F.col("sumdl").cast("double") / F.col("n_docs").cast("double")
     tfnorm = (F.col("tf").cast("double") * F.lit(k1 + 1)) / (
         F.col("tf").cast("double")
-        + F.lit(k1)
-        * (F.lit(1 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl))
+        + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl))
     )
     co = (
         tfq.join(dl, "doc_id")
