@@ -95,6 +95,7 @@ EXTRA = {
     "heavy_hitter_words": "q148_heavy_hitter_words",
     "persisted_ann_serve": "q150_persisted_ann_serve",
     "persisted_bm25_serve": "q151_persisted_bm25_serve",
+    "heavy_hitter_bigrams": "q152_heavy_hitter_bigrams",
 }
 
 # best-of-5 blocks × 3 full-suite passes: single-JVM local mode has

@@ -1308,3 +1308,45 @@ _TEXT_INDEX_MEMO: "_weakref.WeakKeyDictionary[SparkSession, dict[str, str]]" = (
 # persisted serve == q141 by construction for the same term set =>
 # the same oracle certifies both (the q114→q134 device)
 _ORACLE_SQL["q151_persisted_bm25_serve"] = _ORACLE_SQL["q141_bm25_retrieval"]
+
+
+@query(
+    "q152_heavy_hitter_bigrams",
+    oracle="""
+    WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT array_to_string(ws[gs:gs+1], ' ') AS bigram
+          FROM w, LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(gs)),
+    t AS (SELECT count(*) AS n FROM g)
+    SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+    FROM g GROUP BY bigram
+    HAVING count(*) * 2000 > (SELECT n FROM t)
+    ORDER BY cnt DESC, bigram
+    """,
+)
+def q152_heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-fragment mining (round 8): every word BIGRAM with
+    support > 1/2000 of all bigram positions — the template-phrase
+    discovery step a dedup pipeline feeds its stop-shingle lists
+    from. Same candidates-then-verify machinery as q148 at the scale
+    point that actually stresses it: k=2000 Misra-Gries counters per
+    partition over a combinatorially larger item space (bigrams ≈
+    vocabulary², mostly rare — exactly where the shuffle-free MG
+    pass beats the naive GROUP BY, whose map-side combine still
+    ships per-partition-DISTINCT bigrams). Exact output, plain
+    GROUP BY/HAVING oracle: the sketch must stay invisible."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    bigrams = docs.select(
+        F.explode(
+            F.when(
+                F.size(ws) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(ws) - 2),
+                    lambda i: F.concat_ws(" ", F.element_at(ws, i + 1), F.element_at(ws, i + 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram")
+    )
+    return heavy_hitters_exact(bigrams, "bigram", k=2000).orderBy(
+        F.col("cnt").desc(), "bigram"
+    )

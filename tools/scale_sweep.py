@@ -75,6 +75,7 @@ DOC_QUERIES = (
     "q147_quality_keeper_dedup",
     "q148_heavy_hitter_words",
     "q151_persisted_bm25_serve",
+    "q152_heavy_hitter_bigrams",
 )
 EVENT_QUERIES = (
     "q16_sessionize",
