@@ -99,18 +99,39 @@ def _write_index_tables(
     ).write.mode("append" if mode == "append" else "overwrite").parquet(
         os.path.join(path, "doc_stats")
     )
+    # (doc_id, h), one row per doc — doc_id makes the exact-tier probe
+    # excludable per batch (round-8 review: a replay after a PARTIAL
+    # fold must not let a doc exact-match its own half-appended hash);
+    # the read side projects distinct h AFTER that exclusion
     docs.select(
-        F.md5(F.col(text_col).cast("binary")).alias("h")
-    ).distinct().write.mode(mode).parquet(os.path.join(path, "hashes"))
+        "doc_id", F.md5(F.col(text_col).cast("binary")).alias("h")
+    ).write.mode(mode).parquet(os.path.join(path, "hashes"))
 
 
 def _write_meta(
-    spark: SparkSession, path: str, n_docs: int, last_batch_id: int | None = None
+    spark: SparkSession,
+    path: str,
+    n_docs: int,
+    last_batch_id: int | None = None,
+    ckpt_tag: str | None = None,
 ) -> None:
     spark.createDataFrame(
-        [(int(n_docs), None if last_batch_id is None else int(last_batch_id))],
-        "n_docs long, last_batch_id long",
+        [(
+            int(n_docs),
+            None if last_batch_id is None else int(last_batch_id),
+            ckpt_tag,
+        )],
+        "n_docs long, last_batch_id long, ckpt_tag string",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+
+
+def _meta_field(row, name: str):
+    """Tolerant meta access: indexes written before a column existed
+    read as None."""
+    try:
+        return row[name]
+    except (KeyError, ValueError):
+        return None
 
 
 def _read_meta(spark: SparkSession, path: str):
@@ -126,21 +147,23 @@ def read_index_last_batch_id(spark: SparkSession, path: str) -> int | None:
     """Highest streaming batch_id already folded into the index, or
     None for a fresh/batch-built index (also for indexes written
     before the column existed — missing column reads as None)."""
-    row = _read_meta(spark, path)
-    try:
-        return row["last_batch_id"]
-    except (KeyError, ValueError):
-        return None
+    return _meta_field(_read_meta(spark, path), "last_batch_id")
 
 
 def append_to_index(
-    batch: DataFrame, path: str, text_col: str = "text", batch_id: int | None = None
+    batch: DataFrame,
+    path: str,
+    text_col: str = "text",
+    batch_id: int | None = None,
+    meta=None,
+    ckpt_tag: str | None = None,
 ) -> None:
     """Incremental index maintenance (the A5 append shape): fold an
     ACCEPTED batch into the index — postings/doc_stats rows append,
-    the content-hash set appends the batch's distinct hashes (the
-    exact-tier probe dedupes at read time, so repeats across batches
-    are harmless), meta advances by the batch doc count.
+    the content-hash table appends one (doc_id, h) row per doc (the
+    exact-tier probe projects distinct h at read time, so repeats
+    across batches are harmless), meta advances by the batch doc
+    count.
 
     ``batch_id`` makes the fold IDEMPOTENT per batch (round-8 advice):
     when given, meta records the highest folded batch_id and a replay
@@ -161,22 +184,22 @@ def append_to_index(
     Callers without a batch protocol (batch_id=None) keep the old
     contract: append each doc once."""
     spark = batch.sparkSession
-    meta = _read_meta(spark, path)
+    if meta is None:
+        meta = _read_meta(spark, path)
     n_before = meta["n_docs"]
-    try:
-        last = meta["last_batch_id"]
-    except (KeyError, ValueError):
-        last = None
+    last = _meta_field(meta, "last_batch_id")
+    old_tag = _meta_field(meta, "ckpt_tag")
     if batch_id is not None and last is not None and batch_id <= last:
         return
     _write_index_tables(batch, path, text_col, mode="append")
     # a protocol-free append (batch_id=None) preserves the recorded
-    # watermark instead of erasing it
+    # watermark/tag instead of erasing them
     _write_meta(
         spark,
         path,
         n_before + batch.count(),
         last_batch_id=batch_id if batch_id is not None else last,
+        ckpt_tag=ckpt_tag if ckpt_tag is not None else old_tag,
     )
 
 
@@ -196,6 +219,19 @@ def incremental_dedup_with_index(
     the new side. ``n_docs`` = existing + batch document count (the
     valve is corpus-relative; the caller tracks corpus size — one
     number, not a job)."""
+    # Own-batch EXCLUSION on every index read (round-8 review): a
+    # replay after a PARTIAL fold (crash inside append_to_index,
+    # between the table appends and the meta advance) sees the batch's
+    # own half-appended rows in the index — without exclusion the
+    # re-classification would exact/near-match docs against THEMSELVES
+    # and write verdicts that conflict with the pre-crash ones. With
+    # it, classification is idempotent under any fold prefix: the
+    # batch's own rows are invisible by construction, so the replayed
+    # verdicts are exact copies and read_verdicts' dedupe loses
+    # nothing. In normal operation (batch not yet folded) the
+    # anti-joins match zero rows, so oracle-checked results are
+    # unchanged; the probe side is batch-sized and broadcast.
+    batch_ids = batch.select("doc_id")
     postings = spark.read.parquet(os.path.join(path, "postings"))
     # dropDuplicates at read time (round-8 review): append_to_index's
     # parquet appends + meta advance are not one atomic transaction —
@@ -205,33 +241,47 @@ def incremental_dedup_with_index(
     # pipeline exactly-once in effect: postings dedupe on (doc_id, s)
     # AFTER the batch-shingle filter (candidate-sized, never a corpus
     # shuffle), doc_stats on doc_id (doc-sized; replay copies are
-    # exact), hashes were always read distinct.
-    doc_stats = spark.read.parquet(os.path.join(path, "doc_stats")).dropDuplicates(
-        ["doc_id"]
+    # exact), hashes project distinct h after the exclusion.
+    doc_stats = (
+        spark.read.parquet(os.path.join(path, "doc_stats"))
+        .join(F.broadcast(batch_ids), "doc_id", "left_anti")
+        .dropDuplicates(["doc_id"])
     )
-    # distinct at read time: append_to_index appends per-batch distinct
-    # hash sets, which can repeat ACROSS batches — a duplicate h would
-    # multiply rows through the exact-tier left join
-    hashes = spark.read.parquet(os.path.join(path, "hashes")).distinct()
+    hashes = (
+        spark.read.parquet(os.path.join(path, "hashes"))
+        .join(F.broadcast(batch_ids), "doc_id", "left_anti")
+        .select("h")
+        .distinct()
+    )
     stop_df_limit = resolve_doc_freq_limit(stop_frac, n_docs, min_df=min_df)
 
     bsh = _shingle_rows(batch.select("doc_id", text_col), text_col)
     batch_sh = bsh.select("s").distinct()
-    # batch-relevant postings slice, dedup-guarded (see above): shared
-    # by the df probe, the candidate join, and the stop correction
-    pfilt = postings.join(F.broadcast(batch_sh), "s").dropDuplicates(
-        ["doc_id", "s"]
+    # batch-relevant postings slice, dedup-guarded + batch-excluded
+    # (see above), MATERIALIZED once: it feeds the df probe, the
+    # candidate join, and the stop correction — without the eager
+    # checkpoint each consumer re-scanned the corpus-sized postings
+    # table (round-8 review measured SIX postings FileScans per batch
+    # in the executed plan); the checkpointed frame is candidate-sized
+    pfilt = (
+        postings.join(F.broadcast(batch_sh), "s")
+        .join(F.broadcast(batch_ids), "doc_id", "left_anti")
+        .dropDuplicates(["doc_id", "s"])
+        .localCheckpoint(eager=True)
     )
     # corpus df of each batch shingle = existing postings + the
     # batch's own occurrences (q114 counts both sides)
     df_exist = pfilt.groupBy("s").agg(F.count(F.lit(1)).alias("__dfe"))
     df_batch = bsh.groupBy("s").agg(F.count(F.lit(1)).alias("__dfb"))
+    # stop is broadcast into three consumers; the eager checkpoint
+    # pins the (tiny) result instead of re-deriving the aggs per use
     stop = (
         df_batch.join(df_exist, "s", "left")
         .filter(
             (F.coalesce(F.col("__dfe"), F.lit(0)) + F.col("__dfb")) > stop_df_limit
         )
         .select("s")
+        .localCheckpoint(eager=True)
     )
     bshv = bsh.join(F.broadcast(stop), "s", "left_anti")
     b_sz = bshv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
@@ -312,35 +362,76 @@ def streaming_dedup_ingest(
     before the checkpoint advance replays that batch — so both sinks
     are replay-proof (round-8 advice + review): the handler SKIPS
     ENTIRELY when the incoming batch_id is already folded (meta
-    watermark — a replay after the fold would otherwise classify
-    against the post-fold index and write conflicting verdicts), and
-    for a crash in the window BETWEEN the verdict write and the fold,
-    the replayed classification runs against the still-unchanged
-    index, so the duplicate verdict rows are exact copies and
-    ``read_verdicts``' (batch_id, doc_id) dedupe loses nothing."""
+    watermark), and for a crash anywhere before the watermark advance
+    — including INSIDE the fold's non-atomic table appends — the
+    replayed classification excludes the batch's own doc_ids from
+    every index read, so it produces exact copies of the original
+    verdicts regardless of how much of the fold landed, and
+    ``read_verdicts``' (batch_id, doc_id) dedupe loses nothing. The
+    watermark itself is guarded by a checkpoint tag recorded in meta:
+    feeding one index from a second checkpoint, or restarting after
+    the checkpoint was deleted, fails loudly at query start instead
+    of silently dropping renumbered batches."""
+
+    import hashlib as _hl
+
+    from morphl_community_edition_spark.streaming.sinks import _sink_exists
+
+    tag = _hl.md5(checkpoint_path.encode()).hexdigest()[:12]
+    # START-time watermark sanity (round-8 review): the batch_id
+    # watermark only means "already folded" when the ids come from the
+    # SAME checkpoint sequence. A different checkpoint (second stream
+    # feeding one index) or a deleted-and-recreated one restarts ids
+    # at 0, and the `<= last` guard would then SILENTLY drop every
+    # replayed-or-new batch. Both cases fail loudly here instead.
+    spark0 = stream_docs.sparkSession
+    meta0 = _read_meta(spark0, index_path)
+    last0 = _meta_field(meta0, "last_batch_id")
+    tag0 = _meta_field(meta0, "ckpt_tag")
+    if last0 is not None:
+        if tag0 is not None and tag0 != tag:
+            raise ValueError(
+                f"index at {index_path} was fed from a different checkpoint "
+                f"(tag {tag0} != {tag}): batch ids are not comparable — use a "
+                "fresh index per ingest stream, or the original checkpoint"
+            )
+        if not _sink_exists(spark0, checkpoint_path):
+            raise ValueError(
+                f"checkpoint {checkpoint_path} is gone but the index at "
+                f"{index_path} retains watermark batch_id={last0}: a restart "
+                "would renumber batches from 0 and the replay guard would "
+                "silently drop them — restore the checkpoint or rebuild the "
+                "index"
+            )
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        # ONE meta read per batch (round-8 review: three separate
+        # read+collect jobs against the one-row table added fixed
+        # latency to every micro-batch)
+        meta = _read_meta(spark, index_path)
         # WHOLE-handler replay guard (round-8 review): if this batch_id
         # was already folded (crash landed between append_to_index and
         # the checkpoint advance), the verdicts were written too (the
-        # verdict write precedes the fold) — re-classifying now would
-        # run against the POST-fold index, mark the batch's own docs as
-        # exact_dups of themselves, and leave conflicting verdict rows
-        # for read_verdicts to pick among arbitrarily. Skip entirely.
-        last = read_index_last_batch_id(spark, index_path)
+        # verdict write precedes the fold) — a replayed batch is
+        # re-classified only when the fold did NOT complete, and the
+        # own-batch exclusion inside incremental_dedup_with_index makes
+        # that re-classification identical under any partial fold.
+        last = _meta_field(meta, "last_batch_id")
         if last is not None and batch_id <= last:
             return
         b = batch.select("doc_id", text_col).localCheckpoint(eager=True)
         n_b = b.count()
         if n_b == 0:
             return
-        n_docs = read_index_doc_count(spark, index_path) + n_b
+        n_docs = meta["n_docs"] + n_b
         res = incremental_dedup_with_index(spark, index_path, b, n_docs=n_docs)
         res.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
             out_path
         )
-        append_to_index(b, index_path, text_col, batch_id=batch_id)
+        append_to_index(
+            b, index_path, text_col, batch_id=batch_id, meta=meta, ckpt_tag=tag
+        )
 
     return (
         stream_docs.writeStream.foreachBatch(handle)
@@ -353,10 +444,10 @@ def streaming_dedup_ingest(
 
 def read_verdicts(spark: SparkSession, out_path: str) -> DataFrame:
     """Replay-safe read of the verdict sink: foreachBatch can append
-    the same batch twice (crash between the verdict write and the
-    index fold — the only window where the handler's batch_id guard
-    lets a re-classification run, and there the index is still
-    unchanged), so consumers dedupe on the (batch_id, doc_id) key.
-    The duplicates are exact row copies by that ordering argument, so
+    the same batch twice (any crash before the meta watermark
+    advance), so consumers dedupe on the (batch_id, doc_id) key. The
+    duplicates are exact row copies because the replayed
+    classification excludes the batch's own doc_ids from every index
+    read — identical verdicts under any fold prefix — so
     dropDuplicates loses nothing."""
     return spark.read.parquet(out_path).dropDuplicates(["batch_id", "doc_id"])

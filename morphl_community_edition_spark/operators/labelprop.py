@@ -103,8 +103,13 @@ def label_propagation(
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     # corpus-scale work ONCE: node set + src-partitioned persisted edges
     ed = edges.repartition(n_part, "src").persist()
+    # labels0 off the PERSISTED frame (round-8 review): deriving it
+    # from raw `edges` re-scanned the corpus-scale source once more;
+    # off `ed` the first action populates the cache and the distinct's
+    # partial agg runs on the existing src partitioning — no extra
+    # exchange, no second source scan
     labels = loop_checkpoint(
-        edges.select("src").distinct().select(
+        ed.select("src").distinct().select(
             F.col("src").alias("node"), F.col("src").alias("label")
         ),
         reliable,

@@ -122,8 +122,12 @@ def pagerank_prepare(
     nodes0 = loop_checkpoint(deg.select(F.col("src").alias("node")), reliable)
     n_nodes = nodes0.count()
     nn = F.broadcast(spark.createDataFrame([(n_nodes,)], "n bigint"))
+    # empty graph: no rows flow anywhere, but the Python-side literal
+    # below must not divide by zero (round-8 review) — the loop then
+    # degrades to an empty (node, r) frame instead of crashing
+    init_r = PR_SCALE // n_nodes if n_nodes else 0
     ranks0 = nodes0.select(
-        "node", F.lit(PR_SCALE // n_nodes).cast("bigint").alias("r")
+        "node", F.lit(init_r).cast("bigint").alias("r")
     )
     return ed, ranks0, nn
 

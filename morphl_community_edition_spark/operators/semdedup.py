@@ -72,7 +72,7 @@ from pyspark.sql import functions as F
 from morphl_community_edition_spark.functions.rounding import crnd
 from morphl_community_edition_spark.operators.components import connected_components
 from morphl_community_edition_spark.operators.similarity import (
-    _driver_mem_bytes,
+    _worker_mem_bytes,
     dot,
     quantize_embeddings_int8,
 )
@@ -87,10 +87,14 @@ def cell_row_cap(spark, dim: int = 64, safety_frac: float = 0.05) -> int:
     memory conf (the gemm_row_ceiling device): a task materializes its
     code matrix (rows·dim·8 B) plus two row-block scratch panels
     (2·GEMM_BLOCK_ROWS·rows·8 B), charged against a small fraction of
-    driver/worker memory. At the default 8g/64-dim this is ~24k rows
-    per task — cells above it re-split into block-pair tasks."""
+    EXECUTOR Python-worker memory (round-8 review: the tasks run in
+    executor workers, so a big-driver/small-executor cluster must not
+    size the valve from the driver; similarity._worker_mem_bytes
+    resolves pyspark.memory → executor.memory → local=driver). At the
+    default 8g/64-dim this is ~24k rows per task — cells above it
+    re-split into block-pair tasks."""
     per_row = dim * 8 + 2 * GEMM_BLOCK_ROWS * 8
-    return max(2, int(_driver_mem_bytes(spark) * safety_frac / per_row))
+    return max(2, int(_worker_mem_bytes(spark) * safety_frac / per_row))
 
 
 def assign_cells(

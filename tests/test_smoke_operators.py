@@ -893,3 +893,110 @@ def test_persisted_bm25_serve_equals_inline_arbitrary_terms(spark, tmp_path):
         want = [tuple(r) for r in bm25_topk_inline(docs, terms, k=15).collect()]
         assert got == want, terms
         assert len(got) > 0, terms
+
+
+def test_incremental_index_replay_after_partial_fold_is_idempotent(spark, tmp_path):
+    """Round-8 review: a crash INSIDE append_to_index (tables appended,
+    meta watermark not advanced) replays the batch against a
+    partially-folded index. The own-batch exclusion must make the
+    re-classification byte-identical to the original — not
+    self-exact-dup — and the classify plan must read the corpus-sized
+    postings parquet only through the one checkpointed probe slice
+    (zero postings scans in the result plan)."""
+    from morphl_community_edition_spark.catalog import load_table
+    from morphl_community_edition_spark.operators.incremental_index import (
+        _write_index_tables,
+        build_dedup_index,
+        incremental_dedup_with_index,
+    )
+    from tests.conftest import SF_DIR_SMOKE
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents").select("doc_id", "text")
+    existing = docs.filter("doc_id % 3 != 0")
+    batch = docs.filter("doc_id % 3 = 0")
+    path = str(tmp_path / "idx")
+    build_dedup_index(existing, path)
+    n_docs = docs.count()
+
+    res = incremental_dedup_with_index(spark, path, batch, n_docs=n_docs)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "postings" not in plan, (
+        f"classify re-reads the postings table outside the checkpointed "
+        f"probe slice:\n{plan[:1500]}"
+    )
+    v1 = {(r["doc_id"], r["status"]) for r in res.collect()}
+
+    # simulate the partial fold: every table appended, meta untouched
+    _write_index_tables(batch, path, "text", mode="append")
+    v2 = {
+        (r["doc_id"], r["status"])
+        for r in incremental_dedup_with_index(
+            spark, path, batch, n_docs=n_docs
+        ).collect()
+    }
+    assert v1 == v2, sorted(v2 - v1)[:5]
+    assert any(s == "unique" for _, s in v1)
+
+
+def test_streaming_dedup_ingest_checkpoint_tag_guards(spark, tmp_path):
+    """Round-8 review: the batch_id watermark is only meaningful
+    within ONE checkpoint's id sequence. A second checkpoint feeding
+    the same index, or a deleted checkpoint with a retained watermark,
+    must fail loudly at query start — not silently drop batches."""
+    import shutil
+
+    import pytest as _pytest
+
+    from morphl_community_edition_spark.operators.incremental_index import (
+        build_dedup_index,
+        streaming_dedup_ingest,
+    )
+    from morphl_community_edition_spark.sources.stream import (
+        read_stream_dir,
+        stage_stream_input,
+    )
+    from tests.conftest import SF_DIR_SMOKE
+
+    staged = stage_stream_input(
+        spark, SF_DIR_SMOKE, "documents", n_chunks=2, order_col="doc_id"
+    )
+    index_path = str(tmp_path / "idx")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    build_dedup_index(empty, index_path)
+    ckpt_a = str(tmp_path / "ckpt_a")
+    q = streaming_dedup_ingest(
+        read_stream_dir(spark, staged, "documents"),
+        index_path, str(tmp_path / "out_a"), ckpt_a,
+    )
+    q.awaitTermination(600)
+    assert q.exception() is None
+
+    # a DIFFERENT checkpoint against the fed index: loud error
+    with _pytest.raises(ValueError, match="different checkpoint"):
+        streaming_dedup_ingest(
+            read_stream_dir(spark, staged, "documents"),
+            index_path, str(tmp_path / "out_b"), str(tmp_path / "ckpt_b"),
+        )
+
+    # the original checkpoint DELETED with the watermark retained:
+    # loud error instead of renumbered-batch silent drops
+    shutil.rmtree(ckpt_a)
+    with _pytest.raises(ValueError, match="checkpoint .* is gone"):
+        streaming_dedup_ingest(
+            read_stream_dir(spark, staged, "documents"),
+            index_path, str(tmp_path / "out_c"), ckpt_a,
+        )
+
+
+def test_pagerank_empty_graph_degrades_to_empty_frame(spark):
+    """Round-8 review: zero edges must yield an empty (node, r) frame,
+    not a driver-side ZeroDivisionError."""
+    from morphl_community_edition_spark.operators.pagerank import (
+        pagerank,
+        symmetrize_edges,
+    )
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    out = pagerank(symmetrize_edges(empty), iters=2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["node", "r"]
