@@ -78,6 +78,14 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    # SQL comparison semantics: a right row with NULL ts satisfies
+    # neither ts < left.ts nor ts > left.ts, so it can never be the
+    # as-of match — but the ascending window order sorts NULLS FIRST,
+    # where last(__r, ignorenulls) would carry it as a spurious match
+    # for left rows with no qualifying right row (round-8 review).
+    # Drop such rows up front. (A left row with NULL ts keeps its
+    # row and gets a NULL match: no defined order, no match.)
+    right = right.filter(F.col(ts).isNotNull())
     left_cols = [c for c in left.columns]
     payload_tagged = [f"asof_{c}" for c in right_payload]
 

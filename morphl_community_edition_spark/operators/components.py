@@ -69,6 +69,12 @@ def connected_components(
     """(node, comp) for every node appearing in `edges`; comp = the
     minimum node id reachable through the pair graph.
 
+    NULL endpoints: an edge with a NULL src or dst asserts membership
+    of nothing and is DROPPED up front (round-8 review: the three
+    tiers previously disagreed — the union-find crashed on
+    min(None, int), label propagation ignored the edge via null-unsafe
+    joins, and the star variant dropped it at n != m — now one rule).
+
     Tier dispatch (same philosophy as the similarity GEMM gate): the
     edge list is CANDIDATE output — normally orders of magnitude
     smaller than the corpus — so when it fits under
@@ -82,6 +88,7 @@ def connected_components(
     distributed iteration below runs unchanged — a 100 TB corpus can
     emit billions of candidates. Pass ``driver_max_edges=None`` (or 0)
     to force the distributed path."""
+    edges = edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
     # Materialize the candidate pipeline exactly ONCE (round-8 sweep
     # finding): when the probe hit the limit, the discarded probe and
     # the loop's bi checkpoint each re-evaluated the upstream
@@ -256,6 +263,7 @@ def connected_components_star(
     stars rooted at component minima. Rounds are O(log n) regardless
     of diameter — a million-node chain converges in ~20 rounds where
     propagation needs a million."""
+    edges = edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
     raw = edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
     # node universe BEFORE dropping self-loops: a node whose only edge
     # is (x, x) is a singleton component and must still be labeled —

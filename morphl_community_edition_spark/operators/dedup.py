@@ -200,6 +200,34 @@ def prefix_jaccard_candidates(
     return base, cand
 
 
+def _verify_candidates_exact(
+    cand: DataFrame, post: DataFrame, threshold: float
+) -> DataFrame:
+    """The ONE candidate-restricted exact-Jaccard verify (round-8
+    review: it existed twice, line-for-line, in the prefix and
+    LSH paths — the oracle claims "identical tuple-for-tuple" rest on
+    this chain, so it must have a single home). ``cand`` =
+    (a_doc, b_doc, na, nb) candidate pairs with their valved set
+    sizes; ``post`` = (doc, s) distinct postings. The a-side join
+    fans each pair out to its shingles, the (b_doc, s) equi-join
+    counts the intersection, the raw int/int ratio thresholds, and
+    crnd-6 renders the output."""
+    inter = (
+        cand.join(post.select(F.col("doc").alias("a_doc"), "s"), "a_doc")
+        .join(post.select(F.col("doc").alias("b_doc"), "s"), ["b_doc", "s"])
+        .groupBy("a_doc", "b_doc")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.min("na").alias("na"),
+            F.min("nb").alias("nb"),
+        )
+    )
+    raw_j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return inter.filter(raw_j >= threshold).select(
+        "a_doc", "b_doc", crnd(raw_j, 6).alias("jaccard")
+    )
+
+
 def _prefix_jaccard_pairs(
     docs: DataFrame, id_col: str, text_col: str, n: int, threshold: float
 ) -> DataFrame:
@@ -218,20 +246,7 @@ def _prefix_jaccard_pairs(
     were prefix-collision false candidates)."""
     base, cand = prefix_jaccard_candidates(docs, id_col, text_col, n, threshold)
     post = base.select("doc", F.explode("sh").alias("s"))
-    inter = (
-        cand.join(post.select(F.col("doc").alias("a_doc"), "s"), "a_doc")
-        .join(post.select(F.col("doc").alias("b_doc"), "s"), ["b_doc", "s"])
-        .groupBy("a_doc", "b_doc")
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.min("na").alias("na"),
-            F.min("nb").alias("nb"),
-        )
-    )
-    raw_j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return inter.filter(raw_j >= threshold).select(
-        "a_doc", "b_doc", crnd(raw_j, 6).alias("jaccard")
-    )
+    return _verify_candidates_exact(cand, post, threshold)
 
 
 def exact_jaccard_pairs(
@@ -337,7 +352,19 @@ def exact_jaccard_pairs(
     )
     sh = shingled.select(F.col(id_col).alias("doc"), F.explode("shingles").alias("s"))
     df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
-    sh = sh.join(F.broadcast(df_counts.filter(F.col("__df") <= df_limit).select("s")), "s")
+    # anti-join against the STOP set (df > limit), not an inner join
+    # with the keep list (round-8 review): the keep list is the
+    # surviving vocabulary — corpus-scale, the one thing the sibling
+    # prefix path's docstring forbids broadcasting — while the stop
+    # set is boilerplate-sized by construction (few shingles exceed a
+    # fractional df limit), the same bounded-broadcast argument the
+    # incremental-index valve makes. Same rows kept either way:
+    # df_counts covers every s in sh.
+    sh = sh.join(
+        F.broadcast(df_counts.filter(F.col("__df") > df_limit).select("s")),
+        "s",
+        "left_anti",
+    )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc").alias("a_doc"), "s")
     b = sh.select(F.col("doc").alias("b_doc"), "s")
@@ -419,10 +446,22 @@ def simhash_signatures(
         .groupBy("doc", "bit")
         .agg(F.sum("vote").alias("s"))
     )
+    sig = bit_votes.groupBy("doc").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("CAST(1 AS BIGINT) << bit")).otherwise(0)
+        ).alias("simhash")
+    )
+    # per-DOC contract (round-8 review): a NULL-text doc produced no
+    # word rows and silently vanished from the signature table; it now
+    # keeps a row with the empty-vote signature (all majorities 0 →
+    # simhash 0), matching what a zero-token doc's votes would yield
     return (
-        bit_votes.groupBy("doc")
-        .agg(F.sum(F.when(F.col("s") > 0, F.expr("CAST(1 AS BIGINT) << bit")).otherwise(0)).alias("simhash"))
-        .select(F.col("doc").alias(id_col), "simhash")
+        docs.select(F.col(id_col).alias("doc"))
+        .join(sig, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce(F.col("simhash"), F.lit(0).cast("bigint")).alias("simhash"),
+        )
     )
 
 
@@ -530,9 +569,18 @@ def minhash_lsh_pairs_exact(
     # exact_jaccard_pairs applies — without it a single-row-group
     # corpus pins shingling to the scan's 2 tasks; measured 7.8 s →
     # ~2 s on the q123 contract query at sf0.1)
-    sh = word_shingles(
-        fan_out_narrow_scan(docs.select(id_col, text_col)), text_col, n
-    ).select(F.col(id_col).alias("doc"), F.explode("shingles").alias("s"))
+    # consumed by the signature agg, the size agg, and BOTH sides of
+    # the verify join — without the eager checkpoint the CPU-bound
+    # shingle explode re-ran ~5× (round-8 review; the same
+    # multiple-evaluation defect the connected-components tier gate
+    # had); the checkpointed frame is postings-sized
+    sh = (
+        word_shingles(
+            fan_out_narrow_scan(docs.select(id_col, text_col)), text_col, n
+        )
+        .select(F.col(id_col).alias("doc"), F.explode("shingles").alias("s"))
+        .localCheckpoint(eager=True)
+    )
     sig = sh.groupBy("doc").agg(
         *[
             F.min(md5_long60(F.concat(F.lit(f"{k}|"), F.col("s")))).alias(f"mh{k}")
@@ -573,20 +621,9 @@ def minhash_lsh_pairs_exact(
         .distinct()
     )
     sz = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("nsh"))
-    inter = (
-        cand.join(sh.withColumnRenamed("doc", "a_doc"), "a_doc")
-        .join(sh.withColumnRenamed("doc", "b_doc"), ["b_doc", "s"])
-        .groupBy("a_doc", "b_doc")
-        .agg(F.count(F.lit(1)).alias("i"))
+    cand_sized = cand.join(
+        sz.withColumnRenamed("doc", "a_doc").withColumnRenamed("nsh", "na"), "a_doc"
+    ).join(
+        sz.withColumnRenamed("doc", "b_doc").withColumnRenamed("nsh", "nb"), "b_doc"
     )
-    j = (
-        inter.join(sz.withColumnRenamed("doc", "a_doc").withColumnRenamed("nsh", "na"), "a_doc")
-        .join(sz.withColumnRenamed("doc", "b_doc").withColumnRenamed("nsh", "nb"), "b_doc")
-        .withColumn(
-            "jac",
-            F.col("i").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("i")).cast("double"),
-        )
-        .filter(F.col("jac") >= threshold)
-    )
-    return j.select("a_doc", "b_doc", crnd(F.col("jac"), 6).alias("jaccard"))
+    return _verify_candidates_exact(cand_sized, sh, threshold)

@@ -169,8 +169,13 @@ def resize_media(media: DataFrame, target_bytes: int = 64) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             resized = [resize_stub(p, target_bytes) for p in pdf["payload"]]
+            # a NULL meta struct (missing-blob provenance, the degraded
+            # input the extract paths already tolerate) arrives as
+            # None — dict-unpacking it would crash the stage
+            # (round-8 review); synthesize the update over an empty
+            # base instead
             meta = [
-                {**m, "n_bytes": len(r), "mime": "application/x-resized"}
+                {**(m or {}), "n_bytes": len(r), "mime": "application/x-resized"}
                 for m, r in zip(pdf["meta"], resized)
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": resized, "meta": meta})

@@ -72,17 +72,35 @@ def merge_upsert(
     if missing:
         raise ValueError(f"merge keys {missing} not in schema {base.columns}")
     payload = [c for c in base.columns if c not in keys]
-    b = base.select(*keys, *[F.col(c).alias(f"__b_{c}") for c in payload])
+    b = base.select(
+        *[F.col(k).alias(f"__bk_{k}") for k in keys],
+        *[F.col(c).alias(f"__b_{c}") for c in payload],
+    )
     # whole-row update semantics need a presence flag, NOT per-column
     # coalesce: a legitimately-NULL delta value must still override the
     # base value, never mix columns from both versions of the row
     d = delta.select(
-        *keys, F.lit(True).alias("__d_present"), *[F.col(c).alias(f"__d_{c}") for c in payload]
+        *[F.col(k).alias(f"__dk_{k}") for k in keys],
+        F.lit(True).alias("__d_present"),
+        *[F.col(c).alias(f"__d_{c}") for c in payload],
     )
-    merged = b.join(d, keys, "full_outer")
+    # NULL-SAFE key equality (round-8 review): the list-form join uses
+    # EqualTo, under which a NULL-keyed delta row never meets the
+    # NULL-keyed base row — both would survive, the exact stale-row
+    # corruption this merge exists to prevent — while the uniqueness
+    # assert above already treats NULL=NULL (struct semantics). One
+    # key definition for both checks.
+    cond = None
+    for k in keys:
+        c = F.col(f"__bk_{k}").eqNullSafe(F.col(f"__dk_{k}"))
+        cond = c if cond is None else (cond & c)
+    merged = b.join(d, cond, "full_outer")
     take_delta = F.col("__d_present").isNotNull()
     return merged.select(
-        *keys,
+        *[
+            F.when(take_delta, F.col(f"__dk_{k}")).otherwise(F.col(f"__bk_{k}")).alias(k)
+            for k in keys
+        ],
         *[
             F.when(take_delta, F.col(f"__d_{c}")).otherwise(F.col(f"__b_{c}")).alias(c)
             for c in payload

@@ -126,3 +126,88 @@ def test_decimal_aggregation_smoke(spark):
     row = df.agg(F.sum("d").alias("s"), F.avg("d").alias("a")).collect()[0]
     assert str(row["s"]) == "6.60"
     assert abs(float(row["a"]) - 2.2) < 1e-9
+
+
+def test_merge_upsert_null_key_delta_wins(spark):
+    """Round-8 review: the merge join must be NULL-SAFE on keys — a
+    NULL-keyed delta row replaces the NULL-keyed base row (one output
+    row, delta's payload), matching the struct semantics the
+    uniqueness assert already uses."""
+    from morphl_community_edition_spark.operators.upsert import merge_upsert
+
+    base = spark.createDataFrame([(None, 1), (7, 10)], "k int, v int")
+    delta = spark.createDataFrame([(None, 2), (8, 20)], "k int, v int")
+    out = {
+        (r["k"], r["v"])
+        for r in merge_upsert(base, delta, ["k"], assert_unique_delta=True).collect()
+    }
+    assert out == {(None, 2), (7, 10), (8, 20)}, out
+
+
+def test_asof_join_ignores_null_ts_right_rows(spark):
+    """Round-8 review: a right row with NULL ts satisfies neither
+    ts < left.ts nor ts > left.ts (SQL comparison semantics), so it
+    must never be carried as a match — previously the ascending
+    window's NULLS FIRST order made it a spurious backward match."""
+    from pyspark.sql import functions as F
+
+    from morphl_community_edition_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 5.0)], "k int, ts double").select(
+        "k", F.col("ts").cast("timestamp").alias("ts")
+    )
+    right = spark.createDataFrame(
+        [(1, None, "phantom")], "k int, ts double, val string"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "val")
+    out = asof_join(left, right, "k", "ts", ["val"]).collect()
+    assert len(out) == 1 and out[0]["asof_val"] is None, out
+
+
+def test_connected_components_null_endpoints_dropped_all_tiers(spark):
+    """Round-8 review: an edge with a NULL endpoint is dropped by ONE
+    rule on every tier — previously the union-find tier crashed with
+    TypeError while the distributed tiers silently diverged."""
+    from morphl_community_edition_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(None, 5), (5, None), (1, 2)], "src int, dst int"
+    )
+    for out in (
+        connected_components(edges),                          # union-find tier
+        connected_components(edges, driver_max_edges=None),   # distributed tier
+        connected_components_star(edges),
+    ):
+        labels = {(r[0], r[1]) for r in out.collect()}
+        assert labels == {(1, 1), (2, 1)}, labels
+
+
+def test_simhash_signatures_keep_null_text_docs(spark):
+    """Round-8 review: a NULL-text doc must keep a signature row (the
+    empty-vote signature, 0) instead of silently vanishing from the
+    per-document signature table."""
+    from morphl_community_edition_spark.operators.dedup import simhash_signatures
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "a b a")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    assert set(out) == {1, 2} and out[1] == 0, out
+
+
+def test_resize_media_tolerates_null_meta(spark):
+    """Round-8 review: a NULL meta struct (missing-blob provenance)
+    must not crash the resize stage."""
+    from pyspark.sql import functions as F
+
+    from morphl_community_edition_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_media,
+    )
+
+    row = spark.createDataFrame([(1, bytearray(b"xyz"))], "doc_id long, payload binary")
+    media = row.withColumn("meta", F.lit(None).cast(MEDIA_SCHEMA["meta"].dataType))
+    out = resize_media(media).collect()
+    assert len(out) == 1 and out[0]["meta"]["n_bytes"] is not None
