@@ -167,17 +167,42 @@ def _gemm_cell_edges(
     bi < bj — so the task memory cap holds for ANY cell size while
     the emitted edge set is identical to the unsplit cell's."""
     spark = assigned.sparkSession
+    # one tiny job resolves BOTH valve inputs (cell sizes + code dim):
+    # ≤ n_cells rows of partial-agg output, so the driver read is
+    # bounded (round-9 fast path; the r8 shape paid a dim-probe job
+    # plus a broadcast-join + explode even when every cell fit)
+    stats = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("__cn"), F.max(F.size("code")).alias("__d")
+    )
+    top = stats.agg(
+        F.max("__cn").alias("mx"), F.max("__d").alias("d")
+    ).first()
+    max_cn = int(top["mx"]) if top and top["mx"] is not None else 0
     if max_cell_rows is None:
-        row = assigned.select(F.size("code").alias("d")).first()
-        max_cell_rows = cell_row_cap(spark, int(row["d"]) if row else 64)
+        max_cell_rows = cell_row_cap(spark, int(top["d"]) if top and top["d"] else 64)
+    if max_cn <= max_cell_rows:
+        # valve inactive everywhere: one task per cell, no block
+        # join, no explode, zero duplicated rows — the common shape
+        # (nb == 1) pays nothing beyond the stats probe
+        blocked = assigned.select(
+            "cell",
+            F.lit(0).alias("__bi"),
+            F.lit(0).alias("__bj"),
+            F.lit(0).alias("__blk"),
+            "n_vec",
+            "code",
+            "n2",
+        )
+        return blocked.groupBy("cell", "__bi", "__bj").applyInPandas(
+            _gemm_pairs_fn(threshold), schema="a_vec bigint, b_vec bigint, sim double"
+        )
     # cell-count-sized frame, broadcast back: how many hash blocks
     # each cell needs (1 = valve inactive, zero extra rows)
-    sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("__cn"))
     nb = F.greatest(
         F.ceil(F.col("__cn") / F.lit(max_cell_rows)).cast("int"), F.lit(1)
     )
     blocked = (
-        assigned.join(F.broadcast(sizes.select("cell", nb.alias("__nb"))), "cell")
+        assigned.join(F.broadcast(stats.select("cell", nb.alias("__nb"))), "cell")
         .withColumn("__blk", F.pmod(F.xxhash64("n_vec"), F.col("__nb")).cast("int"))
         # one output row per (row, counterpart block): the task for
         # blocks (b, o) is keyed (min(b,o), max(b,o)), so each task
@@ -202,6 +227,16 @@ def _gemm_cell_edges(
             "n2",
         )
     )
+
+    return blocked.groupBy("cell", "__bi", "__bj").applyInPandas(
+        _gemm_pairs_fn(threshold), schema="a_vec bigint, b_vec bigint, sim double"
+    )
+
+
+def _gemm_pairs_fn(threshold: float):
+    """The per-task GEMM kernel shared by both valve paths: scores one
+    (cell, block-pair) group — whole cell when __bi == __bj == 0 —
+    and emits its above-threshold (a_vec < b_vec, sim) edges."""
 
     def pairs(pdf):
         import numpy as np
@@ -266,9 +301,7 @@ def _gemm_cell_edges(
             }
         )
 
-    return blocked.groupBy("cell", "__bi", "__bj").applyInPandas(
-        pairs, schema="a_vec bigint, b_vec bigint, sim double"
-    )
+    return pairs
 
 
 def semantic_dup_edges(
