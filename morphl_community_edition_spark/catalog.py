@@ -158,6 +158,25 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def index_root(spark: SparkSession) -> str:
+    """Root directory for PERSISTED index artifacts (the q134 dedup
+    postings, q150 ANN cells, q151 BM25 buckets). Resolution order:
+    ``SPARK_GRAFT_INDEX_ROOT`` env var → ``spark.morphl.indexRoot``
+    session conf → the local temp dir. Local mode works out of the
+    box; a CLUSTER deployment must point this at shared storage —
+    an unqualified /tmp resolves per-machine, so executors and the
+    driver would write/read disjoint local directories and the
+    build→serve chain silently breaks (round-9 advice)."""
+    root = os.environ.get("SPARK_GRAFT_INDEX_ROOT")
+    if not root:
+        root = spark.conf.get("spark.morphl.indexRoot", None)
+    if not root:
+        import tempfile
+
+        root = tempfile.gettempdir()
+    return root
+
+
 # path -> whether events.ts is INT64 TIMESTAMP(NANOS) (or a bare int64,
 # which historic generators used for epoch-ns). One footer read per
 # path for the life of the process — parquet fixtures are immutable.

@@ -29,7 +29,17 @@ from pyspark.sql import DataFrame, SparkSession
 def ensure_checkpoint_dir(spark: SparkSession, path: str | None) -> None:
     """Point the reliable-checkpoint store at ``path`` (no-op when
     None, or when a directory is already configured and no override
-    is given)."""
+    is given).
+
+    Cleanup (round-9 advice): each reliable loop iteration writes its
+    own durable checkpoint directory, and Spark reclaims superseded
+    ones only when ``spark.cleaner.referenceTracking.cleanCheckpoints``
+    is true (default false) — without it a long or repeated k-loop
+    leaks one directory per iteration on the cluster filesystem. The
+    conf is a STATIC SparkConf entry (read by ContextCleaner at
+    SparkContext construction), so it cannot be flipped here on a
+    live session; set it at session build time (session.get_spark
+    does) or plan an external sweep of the checkpoint root."""
     sc = spark.sparkContext
     if path is not None:
         sc.setCheckpointDir(path)

@@ -60,9 +60,14 @@ def misra_gries_summaries(items: DataFrame, col: str, k: int) -> DataFrame:
 
     No shuffle: mapInPandas runs on the scan partitioning; the
     summary state lives across the partition's Arrow batches in the
-    generator."""
+    generator. The summary's item column keeps the INPUT column's
+    type (round-9 advice: a hardcoded string schema silently
+    stringified numeric items, and the recount join-back then
+    compared string-vs-numeric — Spark casts both sides to double,
+    losing precision for large int64 items)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    item_type = dict(items.dtypes)[col]
 
     def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
@@ -77,22 +82,30 @@ def misra_gries_summaries(items: DataFrame, col: str, k: int) -> DataFrame:
                 # from every counter, keep positives (≤ k survive)
                 cut = sorted(counters.values(), reverse=True)[k]
                 counters = {i: v - cut for i, v in counters.items() if v > cut}
+        # object dtype, NOT inferred: a numeric key list with the None
+        # marker appended coerces to float64 (NaN for None), silently
+        # corrupting int64 identities above 2^53 — Arrow converts the
+        # object column to the declared type exactly instead
         yield pd.DataFrame(
             {
-                "item": list(counters.keys()) + [None],
+                "item": pd.Series(list(counters.keys()) + [None], dtype="object"),
                 "n": [0] * len(counters) + [n],
             }
         )
 
-    return items.mapInPandas(mg, schema="item string, n long")
+    return items.mapInPandas(mg, schema=f"item {item_type}, n long")
 
 
 def heavy_hitters_exact(items: DataFrame, col: str, k: int) -> DataFrame:
     """EXACT items with count·k > N over ``items[col]`` (support 1/k),
     as (item, cnt) — Misra-Gries candidates, then a broadcast-join
     recount whose filter collapses the exploded corpus map-side
-    (plan-gated). NULLs are excluded (they are not items)."""
+    (plan-gated). NULLs are excluded (they are not items). The
+    candidate list and the empty frame carry the input column's type,
+    so the recount join is same-typed (never the string-vs-numeric
+    double cast)."""
     spark = items.sparkSession
+    item_type = dict(items.dtypes)[col]
     # the valve must fire BEFORE the driver materializes anything
     # (round-8 review: a post-collect len() check can't prevent the
     # OOM it documents): persist the summary frame cluster-side —
@@ -114,8 +127,8 @@ def heavy_hitters_exact(items: DataFrame, col: str, k: int) -> DataFrame:
     total = sum(r["n"] for r in summaries if r["item"] is None)
     cand = sorted({r["item"] for r in summaries if r["item"] is not None})
     if not cand:
-        return spark.createDataFrame([], f"{col} string, cnt long")
-    cand_df = spark.createDataFrame([(c,) for c in cand], f"{col} string")
+        return spark.createDataFrame([], f"{col} {item_type}, cnt long")
+    cand_df = spark.createDataFrame([(c,) for c in cand], f"{col} {item_type}")
     return (
         items.join(F.broadcast(cand_df), col)
         .groupBy(col)
@@ -150,6 +163,17 @@ def streaming_mg_candidates(
     import pandas as pd  # noqa: F811 — local for the worker closure
     from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    # the group-state schema is declared string — fail loudly instead
+    # of silently stringifying numeric items (the batch pass derives
+    # its schema; the fixed state schema keeps this variant strings-only)
+    col_type = dict(items.dtypes)[col]
+    if col_type != "string":
+        raise ValueError(
+            f"streaming_mg_candidates is strings-only (state schema is "
+            f"array<string>); column {col!r} is {col_type} — cast it to "
+            "string on both the stream and the recount side"
+        )
 
     out_schema = T.StructType(
         [

@@ -68,6 +68,15 @@ def build_dedup_index(docs: DataFrame, path: str, text_col: str = "text") -> Non
     shingle, so it cannot stand in for corpus size — the valve is
     corpus-relative)."""
     _write_index_tables(docs, path, text_col, mode="overwrite")
+    # (doc_id, batch_id) provenance — build-time docs carry NULL.
+    # Exists so the ingest loop can fail loudly on doc_id REUSE
+    # (round-9 advice): the replay guard's own-batch exclusion assumes
+    # a doc_id appears in at most one batch over the stream lifetime;
+    # a legitimately re-submitted id would make its earlier indexed
+    # copy invisible to classification instead.
+    docs.select("doc_id").withColumn(
+        "batch_id", F.lit(None).cast("long")
+    ).write.mode("overwrite").parquet(os.path.join(path, "doc_batches"))
     _write_meta(docs.sparkSession, path, docs.count())
 
 
@@ -192,6 +201,12 @@ def append_to_index(
     if batch_id is not None and last is not None and batch_id <= last:
         return
     _write_index_tables(batch, path, text_col, mode="append")
+    # provenance rows for the doc_id-reuse guard (see build_dedup_index;
+    # replay copies are harmless — the check is equality-on-batch_id)
+    batch.select("doc_id").withColumn(
+        "batch_id",
+        F.lit(None if batch_id is None else int(batch_id)).cast("long"),
+    ).write.mode("append").parquet(os.path.join(path, "doc_batches"))
     # a protocol-free append (batch_id=None) preserves the recorded
     # watermark/tag instead of erasing them
     _write_meta(
@@ -201,6 +216,40 @@ def append_to_index(
         last_batch_id=batch_id if batch_id is not None else last,
         ckpt_tag=ckpt_tag if ckpt_tag is not None else old_tag,
     )
+
+
+def assert_no_doc_id_reuse(
+    spark: SparkSession, path: str, batch: DataFrame, batch_id: int
+) -> None:
+    """Fail loudly when a batch re-submits a doc_id the index already
+    holds from an EARLIER batch (round-9 advice): the replay guard's
+    own-batch exclusion would make the earlier copy invisible to
+    classification — a true duplicate would escape — and the index
+    would accumulate conflicting rows per doc_id. Rows recorded with
+    THIS batch_id are a partial-fold replay (the exact case the
+    exclusion exists for) and do not trip the check; build-time rows
+    (NULL batch_id) are always foreign. Indexes written before the
+    doc_batches table existed skip the check (tolerant read)."""
+    from morphl_community_edition_spark.streaming.sinks import _sink_exists
+
+    db = os.path.join(path, "doc_batches")
+    if not _sink_exists(spark, db):
+        return
+    reused = (
+        spark.read.parquet(db)
+        .join(F.broadcast(batch.select("doc_id")), "doc_id")
+        .filter(F.coalesce(F.col("batch_id"), F.lit(-1)) != F.lit(int(batch_id)))
+        .limit(1)
+        .collect()
+    )
+    if reused:
+        raise ValueError(
+            f"batch {batch_id} re-submits doc_id {reused[0]['doc_id']!r} "
+            f"already indexed by batch {reused[0]['batch_id']} — doc_ids "
+            "must be unique across the stream lifetime (the replay "
+            "exclusion would otherwise hide the earlier copy); assign "
+            "fresh ids or rebuild the index"
+        )
 
 
 def incremental_dedup_with_index(
@@ -218,7 +267,13 @@ def incremental_dedup_with_index(
     incremental_dedup_frame over (existing ∪ batch) with the batch as
     the new side. ``n_docs`` = existing + batch document count (the
     valve is corpus-relative; the caller tracks corpus size — one
-    number, not a job)."""
+    number, not a job).
+
+    Contract: doc_ids are unique across the index lifetime — the
+    own-batch exclusion below cannot distinguish a partial-fold
+    replay from a re-submitted id, so a reused id's earlier copy
+    would be invisible here (the ingest loop enforces this with
+    assert_no_doc_id_reuse before classifying)."""
     # Own-batch EXCLUSION on every index read (round-8 review): a
     # replay after a PARTIAL fold (crash inside append_to_index,
     # between the table appends and the meta advance) sees the batch's
@@ -424,6 +479,9 @@ def streaming_dedup_ingest(
         n_b = b.count()
         if n_b == 0:
             return
+        # doc_id reuse across batches breaks the replay exclusion's
+        # invariant — fail the stream rather than mis-classify
+        assert_no_doc_id_reuse(spark, index_path, b, batch_id)
         n_docs = meta["n_docs"] + n_b
         res = incremental_dedup_with_index(spark, index_path, b, n_docs=n_docs)
         res.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(

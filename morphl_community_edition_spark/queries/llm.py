@@ -1240,8 +1240,10 @@ def q150_persisted_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10)
     tag = _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    from morphl_community_edition_spark.catalog import index_root
+
     path = _os.path.join(
-        "/tmp", "morphl_ann_index", spark.sparkContext.applicationId, tag
+        index_root(spark), "morphl_ann_index", spark.sparkContext.applicationId, tag
     )
     built = _ANN_INDEX_MEMO.setdefault(spark, {})
     if built.get(sf_dir) != path or not _os.path.isdir(_os.path.join(path, "meta")):
@@ -1291,8 +1293,10 @@ def q151_persisted_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     tag = _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    from morphl_community_edition_spark.catalog import index_root
+
     path = _os.path.join(
-        "/tmp", "morphl_text_index", spark.sparkContext.applicationId, tag
+        index_root(spark), "morphl_text_index", spark.sparkContext.applicationId, tag
     )
     built = _TEXT_INDEX_MEMO.setdefault(spark, {})
     if built.get(sf_dir) != path or not _os.path.isdir(_os.path.join(path, "meta")):

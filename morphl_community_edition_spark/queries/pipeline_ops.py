@@ -624,9 +624,11 @@ def q134_indexed_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFram
     # path is per-APPLICATION (applicationId), not shared across
     # processes: two concurrent runs on one host must never overwrite
     # each other's index mid-read (round-7 review)
+    from morphl_community_edition_spark.catalog import index_root
+
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     path = os.path.join(
-        "/tmp", "morphl_dedup_index", spark.sparkContext.applicationId, tag
+        index_root(spark), "morphl_dedup_index", spark.sparkContext.applicationId, tag
     )
     # the index build is the ingest-time cost a production pipeline
     # pays ONCE — memoized per (session, sf_dir) like the count memos

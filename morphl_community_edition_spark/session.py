@@ -70,6 +70,11 @@ def get_spark(app_name: str = APP_NAME, shuffle_partitions: int | None = None) -
         # static conf: managed-table location for the bucketing path
         # (bucketBy requires saveAsTable); keep it out of the repo tree
         .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/morphl_spark_warehouse"))
+        # static conf: reclaim superseded reliable loop checkpoints
+        # (loop_checkpoint(reliable=True) writes one durable dir per
+        # iteration; without this ContextCleaner never deletes them
+        # and long k-loops leak checkpoint storage — round-9 advice)
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     spark = builder.getOrCreate()
     apply_runtime_conf(spark)

@@ -1000,3 +1000,64 @@ def test_pagerank_empty_graph_degrades_to_empty_frame(spark):
     out = pagerank(symmetrize_edges(empty), iters=2)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["node", "r"]
+
+
+def test_index_rejects_doc_id_reuse(spark, tmp_path):
+    """Round-9 advice: the replay guard's own-batch exclusion assumes
+    doc_ids are unique across the stream lifetime — a legitimately
+    re-submitted id would make its earlier indexed copy invisible and
+    let a true duplicate escape. The guard must fail loudly on reuse
+    (foreign batch_id OR build-time NULL), and stay silent for fresh
+    ids and for a partial-fold replay of the SAME batch_id."""
+    import pytest as _pytest
+
+    from morphl_community_edition_spark.operators.incremental_index import (
+        append_to_index,
+        assert_no_doc_id_reuse,
+        build_dedup_index,
+    )
+
+    path = str(tmp_path / "idx")
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    build_dedup_index(base, path)
+    b0 = spark.createDataFrame([(3, "iota kappa lambda mu")], "doc_id long, text string")
+    append_to_index(b0, path, batch_id=0)
+
+    fresh = spark.createDataFrame([(4, "nu xi omicron pi")], "doc_id long, text string")
+    assert_no_doc_id_reuse(spark, path, fresh, batch_id=1)  # no raise
+
+    # replay of batch 0's own rows (partial-fold case): silent
+    assert_no_doc_id_reuse(spark, path, b0, batch_id=0)
+
+    # doc_id 3 re-submitted under a NEW batch id: loud
+    with _pytest.raises(ValueError, match="re-submits doc_id"):
+        assert_no_doc_id_reuse(spark, path, b0, batch_id=1)
+    # build-time (NULL batch_id) doc re-submitted: loud too
+    with _pytest.raises(ValueError, match="re-submits doc_id"):
+        assert_no_doc_id_reuse(
+            spark, path, base.limit(1), batch_id=1
+        )
+
+
+def test_heavy_hitters_preserves_item_type(spark):
+    """Round-9 advice: a hardcoded string summary schema stringified
+    numeric items, and the recount join then compared string vs
+    numeric — Spark casts both to DOUBLE, which collides adjacent
+    int64 values above 2^53 and can drop candidates. The summary and
+    the recount must carry the input column's own type."""
+    from morphl_community_edition_spark.operators.heavyhitters import (
+        heavy_hitters_exact,
+        misra_gries_summaries,
+    )
+
+    lo, hi = 2**60, 2**60 + 1  # identical once cast to double
+    rows = [(lo,)] * 6 + [(hi,)] * 5 + [(2**60 + 7,)] * 1
+    df = spark.createDataFrame(rows, "item bigint").repartition(3)
+    assert dict(misra_gries_summaries(df, "item", 4).dtypes)["item"] == "bigint"
+    got = {r["item"]: r["cnt"] for r in heavy_hitters_exact(df, "item", k=3).collect()}
+    # support N/k = 4: lo (6) and hi (5) qualify, and they must NOT
+    # have merged into one double bucket of 11
+    assert got == {lo: 6, hi: 5}, got
