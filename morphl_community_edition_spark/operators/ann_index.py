@@ -45,6 +45,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from morphl_community_edition_spark.operators import manifest
 from morphl_community_edition_spark.operators.similarity import (
     quantize_embeddings_int8,
     quantized_candidate_rerank,
@@ -96,6 +97,12 @@ def build_ann_index(
     spark.createDataFrame(
         [(int(n_cells), int(n_vecs))], "n_cells int, n_vecs long"
     ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+    # atomic commit marker, written LAST (round 9): a crash anywhere
+    # above leaves a torn directory that serve REJECTS loudly instead
+    # of answering from partial cell partitions
+    manifest.write_commit(
+        path, {"kind": "ann_index", "n_cells": int(n_cells), "n_vecs": int(n_vecs)}
+    )
 
 
 def ann_index_topk(
@@ -110,6 +117,7 @@ def ann_index_topk(
 ) -> DataFrame:
     """Serve a probe batch from the persisted index: same output
     contract as ivf_quantized_topk — (q_vec, n_vec, sim, rnk)."""
+    manifest.require_commit(path, "ANN index")
     vectors = spark.read.parquet(os.path.join(path, "vectors"))
     centroid_df = spark.read.parquet(os.path.join(path, "centroids"))
     probe_cells = route_probes_to_cells(

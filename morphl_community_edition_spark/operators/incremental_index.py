@@ -43,6 +43,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from morphl_community_edition_spark.operators import manifest
 from morphl_community_edition_spark.operators.dedup import (
     INCR_NEAR_THRESHOLD,
     INCR_VALVE_FRAC,
@@ -62,101 +63,116 @@ def _shingle_rows(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def build_dedup_index(docs: DataFrame, path: str, text_col: str = "text") -> None:
-    """One corpus pass -> postings / doc_stats / hashes / meta parquet
-    under ``path``. ``docs`` needs (doc_id, text). ``meta`` holds the
-    indexed DOCUMENT count (doc_stats only has rows for docs with ≥1
-    shingle, so it cannot stand in for corpus size — the valve is
+    """One corpus pass -> the committed ``base`` slice of postings /
+    doc_stats / hashes / doc_batches under ``path``. ``docs`` needs
+    (doc_id, text). The slice's commit record holds the indexed
+    DOCUMENT count (doc_stats only has rows for docs with ≥1 shingle,
+    so it cannot stand in for corpus size — the valve is
     corpus-relative)."""
-    _write_index_tables(docs, path, text_col, mode="overwrite")
-    # (doc_id, batch_id) provenance — build-time docs carry NULL.
-    # Exists so the ingest loop can fail loudly on doc_id REUSE
-    # (round-9 advice): the replay guard's own-batch exclusion assumes
-    # a doc_id appears in at most one batch over the stream lifetime;
-    # a legitimately re-submitted id would make its earlier indexed
-    # copy invisible to classification instead.
-    docs.select("doc_id").withColumn(
-        "batch_id", F.lit(None).cast("long")
-    ).write.mode("overwrite").parquet(os.path.join(path, "doc_batches"))
-    _write_meta(docs.sparkSession, path, docs.count())
+    n = docs.count()
+    _write_index_tables(docs, path, text_col, sid="base", batch_id=None)
+    manifest.commit_slice(
+        path, "base", {"n_docs": int(n), "batch_id": None, "ckpt_tag": None}
+    )
+
+
+def _slice_sid(batch_id: int | None) -> str:
+    """Slice id: deterministic per batch_id (so a partial-fold replay
+    OVERWRITES its own crashed slice instead of appending beside it);
+    protocol-free appends get a unique id (no replay concept)."""
+    if batch_id is not None:
+        return f"batch-{int(batch_id):012d}"
+    import uuid
+
+    return f"anon-{uuid.uuid4().hex[:16]}"
 
 
 def _write_index_tables(
-    docs: DataFrame, path: str, text_col: str, mode: str
+    docs: DataFrame, path: str, text_col: str, sid: str, batch_id: int | None
 ) -> None:
-    """Shared by build (overwrite) and append: doc_stats is derived by
-    READING BACK the just-written postings slice, so the corpus
-    shingle explode — the cost this module exists to amortize — runs
-    exactly once per build/append instead of twice (round-7 review:
-    the lazy `sh` frame was re-derived for each write)."""
+    """Write one SLICE of the four index tables under
+    ``<table>/<sid>/`` (mode=overwrite — a replay of the same sid
+    rewrites the slice wholesale). Nothing here is visible to readers
+    until the caller commits the slice manifest (round 9): the
+    round-8 design appended into shared table directories and relied
+    on read-side dedup to survive a crash between the appends and the
+    watermark advance; with slice-dirs + rename-as-commit that crash
+    window cannot produce a readable torn state at all.
+
+    doc_stats is derived by READING BACK the just-written postings
+    slice, so the corpus shingle explode — the cost this module
+    exists to amortize — runs exactly once per build/append instead
+    of twice (round-7 review)."""
     sh = _shingle_rows(docs.select("doc_id", text_col), text_col)
-    postings_dir = os.path.join(path, "postings")
-    if mode == "overwrite":
-        sh.write.mode("overwrite").parquet(postings_dir)
-        stats_src = docs.sparkSession.read.parquet(postings_dir)
-    else:
-        # append: we can't re-read ONLY this slice back from the
-        # postings dir (parquet append has no per-write subdir), so
-        # checkpoint the exploded frame once and reuse it for both the
-        # postings append and the doc_stats agg (doc_stats is
-        # doc-sized, not postings-sized — the double-explode was the
-        # real cost)
-        sh = sh.localCheckpoint(eager=True)
-        sh.write.mode("append").parquet(postings_dir)
-        stats_src = sh
+    postings_dir = os.path.join(path, "postings", sid)
+    sh.write.mode("overwrite").parquet(postings_dir)
+    stats_src = docs.sparkSession.read.parquet(postings_dir)
     stats_src.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sh_total")
-    ).write.mode("append" if mode == "append" else "overwrite").parquet(
-        os.path.join(path, "doc_stats")
-    )
-    # (doc_id, h), one row per doc — doc_id makes the exact-tier probe
-    # excludable per batch (round-8 review: a replay after a PARTIAL
-    # fold must not let a doc exact-match its own half-appended hash);
-    # the read side projects distinct h AFTER that exclusion
+    ).write.mode("overwrite").parquet(os.path.join(path, "doc_stats", sid))
+    # (doc_id, h), one row per doc — doc_id keyed so the exact-tier
+    # probe can exclude the batch's own rows; the read side projects
+    # distinct h AFTER that exclusion
     docs.select(
         "doc_id", F.md5(F.col(text_col).cast("binary")).alias("h")
-    ).write.mode(mode).parquet(os.path.join(path, "hashes"))
+    ).write.mode("overwrite").parquet(os.path.join(path, "hashes", sid))
+    # (doc_id, batch_id) provenance — build-time docs carry NULL.
+    # Exists so the ingest loop can fail loudly on doc_id REUSE
+    # (round-9 advice): the replay exclusion assumes a doc_id appears
+    # in at most one batch over the stream lifetime.
+    docs.select("doc_id").withColumn(
+        "batch_id",
+        F.lit(None if batch_id is None else int(batch_id)).cast("long"),
+    ).write.mode("overwrite").parquet(os.path.join(path, "doc_batches", sid))
 
 
-def _write_meta(
-    spark: SparkSession,
-    path: str,
-    n_docs: int,
-    last_batch_id: int | None = None,
-    ckpt_tag: str | None = None,
-) -> None:
-    spark.createDataFrame(
-        [(
-            int(n_docs),
-            None if last_batch_id is None else int(last_batch_id),
-            ckpt_tag,
-        )],
-        "n_docs long, last_batch_id long, ckpt_tag string",
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+def index_state(path: str) -> dict:
+    """Aggregate state of the committed slices: total doc count,
+    highest folded batch_id, checkpoint tag. Driver-side JSON reads —
+    no Spark job (the manifest is slice-count-sized)."""
+    n_docs, last, tag = 0, None, None
+    for rec in manifest.committed_slices(path):
+        n_docs += int(rec.get("n_docs", 0))
+        b = rec.get("batch_id")
+        if b is not None and (last is None or b > last):
+            last = int(b)
+        t = rec.get("ckpt_tag")
+        if t is not None:
+            if tag is not None and t != tag:
+                raise ValueError(
+                    f"index at {path} holds slices from two checkpoint tags "
+                    f"({tag} and {t}) — it was fed by two different streams"
+                )
+            tag = t
+    return {"n_docs": n_docs, "last_batch_id": last, "ckpt_tag": tag}
 
 
-def _meta_field(row, name: str):
-    """Tolerant meta access: indexes written before a column existed
-    read as None."""
-    try:
-        return row[name]
-    except (KeyError, ValueError):
-        return None
-
-
-def _read_meta(spark: SparkSession, path: str):
-    return spark.read.parquet(os.path.join(path, "meta")).collect()[0]
+def _read_table(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """Union of a table's COMMITTED slices. A crashed (uncommitted)
+    fold's directory is never in the list — the atomicity story."""
+    dirs = [
+        os.path.join(path, name, rec["sid"])
+        for rec in manifest.committed_slices(path)
+    ]
+    dirs = [d for d in dirs if os.path.isdir(d)]
+    if not dirs:
+        raise ValueError(
+            f"index at {path} has no committed {name!r} slices — never "
+            "built, or torn before the first commit"
+        )
+    return spark.read.parquet(*dirs)
 
 
 def read_index_doc_count(spark: SparkSession, path: str) -> int:
-    """Indexed-corpus document count, from the one-row meta table."""
-    return _read_meta(spark, path)["n_docs"]
+    """Indexed-corpus document count (manifest-summed; ``spark`` kept
+    for signature stability — the read is driver-side)."""
+    return index_state(path)["n_docs"]
 
 
 def read_index_last_batch_id(spark: SparkSession, path: str) -> int | None:
     """Highest streaming batch_id already folded into the index, or
-    None for a fresh/batch-built index (also for indexes written
-    before the column existed — missing column reads as None)."""
-    return _meta_field(_read_meta(spark, path), "last_batch_id")
+    None for a fresh/batch-built index."""
+    return index_state(path)["last_batch_id"]
 
 
 def append_to_index(
@@ -168,53 +184,44 @@ def append_to_index(
     ckpt_tag: str | None = None,
 ) -> None:
     """Incremental index maintenance (the A5 append shape): fold an
-    ACCEPTED batch into the index — postings/doc_stats rows append,
-    the content-hash table appends one (doc_id, h) row per doc (the
-    exact-tier probe projects distinct h at read time, so repeats
-    across batches are harmless), meta advances by the batch doc
-    count.
+    ACCEPTED batch into the index as one committed slice — the four
+    table slices land under ``<table>/<sid>/``, then ONE manifest
+    rename commits them together with the fold's meta (doc count
+    delta, batch watermark, checkpoint tag). The fold is atomic
+    (round 9): a crash anywhere before the rename leaves an invisible
+    slice directory that the deterministic sid lets the replay
+    overwrite; "tables appended but watermark not advanced" — the
+    round-8 window that forced duplicate-tolerant reads — cannot
+    exist.
 
     ``batch_id`` makes the fold IDEMPOTENT per batch (round-8 advice):
-    when given, meta records the highest folded batch_id and a replay
-    of an already-folded id is a no-op — foreachBatch is
+    when given, the manifest records the folded batch ids and a replay
+    of an already-committed id is a no-op — foreachBatch is
     at-least-once, so a crash between a downstream commit and the
-    checkpoint advance replays the batch, and without the guard the
-    replay would double-append postings/doc_stats/hashes and
-    double-advance the valve denominator. Spark's microbatch ids are
+    checkpoint advance replays the batch. Spark's microbatch ids are
     monotonically increasing per checkpoint, so `<= last` detects a
-    replay. Residual window (round-8 review): the parquet appends and
-    the meta write are not one atomic transaction — a crash BETWEEN
-    them leaves the watermark behind, so the replay re-appends the
-    slice. That duplication is made harmless at READ time instead
-    (incremental_dedup_with_index dedupes postings on (doc_id, s)
-    candidate-sized, doc_stats on doc_id, hashes were always
-    distinct; meta's count recomputes from the pre-crash value), so
-    the pipeline is exactly-once in effect without a transaction log.
-    Callers without a batch protocol (batch_id=None) keep the old
-    contract: append each doc once."""
-    spark = batch.sparkSession
+    replay. Callers without a batch protocol (batch_id=None) keep the
+    old contract: append each doc once, under a unique slice id.
+
+    ``meta`` accepts a pre-read ``index_state(path)`` dict so the
+    streaming handler's one-read-per-batch stays one read."""
     if meta is None:
-        meta = _read_meta(spark, path)
-    n_before = meta["n_docs"]
-    last = _meta_field(meta, "last_batch_id")
-    old_tag = _meta_field(meta, "ckpt_tag")
+        meta = index_state(path)
+    last = meta.get("last_batch_id")
     if batch_id is not None and last is not None and batch_id <= last:
         return
-    _write_index_tables(batch, path, text_col, mode="append")
-    # provenance rows for the doc_id-reuse guard (see build_dedup_index;
-    # replay copies are harmless — the check is equality-on-batch_id)
-    batch.select("doc_id").withColumn(
-        "batch_id",
-        F.lit(None if batch_id is None else int(batch_id)).cast("long"),
-    ).write.mode("append").parquet(os.path.join(path, "doc_batches"))
-    # a protocol-free append (batch_id=None) preserves the recorded
-    # watermark/tag instead of erasing them
-    _write_meta(
-        spark,
+    sid = _slice_sid(batch_id)
+    _write_index_tables(batch, path, text_col, sid=sid, batch_id=batch_id)
+    # the commit point — everything above is invisible until this
+    # rename lands, and the record carries the fold's meta with it
+    manifest.commit_slice(
         path,
-        n_before + batch.count(),
-        last_batch_id=batch_id if batch_id is not None else last,
-        ckpt_tag=ckpt_tag if ckpt_tag is not None else old_tag,
+        sid,
+        {
+            "n_docs": int(batch.count()),
+            "batch_id": None if batch_id is None else int(batch_id),
+            "ckpt_tag": ckpt_tag,
+        },
     )
 
 
@@ -228,15 +235,11 @@ def assert_no_doc_id_reuse(
     would accumulate conflicting rows per doc_id. Rows recorded with
     THIS batch_id are a partial-fold replay (the exact case the
     exclusion exists for) and do not trip the check; build-time rows
-    (NULL batch_id) are always foreign. Indexes written before the
-    doc_batches table existed skip the check (tolerant read)."""
-    from morphl_community_edition_spark.streaming.sinks import _sink_exists
-
-    db = os.path.join(path, "doc_batches")
-    if not _sink_exists(spark, db):
-        return
+    (NULL batch_id) are always foreign. Reads only COMMITTED slices —
+    a crashed fold's provenance rows are invisible like everything
+    else in its slice."""
     reused = (
-        spark.read.parquet(db)
+        _read_table(spark, path, "doc_batches")
         .join(F.broadcast(batch.select("doc_id")), "doc_id")
         .filter(F.coalesce(F.col("batch_id"), F.lit(-1)) != F.lit(int(batch_id)))
         .limit(1)
@@ -261,6 +264,7 @@ def incremental_dedup_with_index(
     min_df: int = INCR_VALVE_MIN_DF,
     threshold: float = INCR_NEAR_THRESHOLD,
     text_col: str = "text",
+    defensive_read_dedup: bool = True,
 ) -> DataFrame:
     """(doc_id, status) for each batch doc — exact_dup / near_dup /
     unique — against the persisted index; same result as
@@ -274,36 +278,32 @@ def incremental_dedup_with_index(
     replay from a re-submitted id, so a reused id's earlier copy
     would be invisible here (the ingest loop enforces this with
     assert_no_doc_id_reuse before classifying)."""
-    # Own-batch EXCLUSION on every index read (round-8 review): a
-    # replay after a PARTIAL fold (crash inside append_to_index,
-    # between the table appends and the meta advance) sees the batch's
-    # own half-appended rows in the index — without exclusion the
-    # re-classification would exact/near-match docs against THEMSELVES
-    # and write verdicts that conflict with the pre-crash ones. With
-    # it, classification is idempotent under any fold prefix: the
-    # batch's own rows are invisible by construction, so the replayed
-    # verdicts are exact copies and read_verdicts' dedupe loses
-    # nothing. In normal operation (batch not yet folded) the
+    # Own-batch EXCLUSION on every index read: with the round-9
+    # atomic slice commits a replayed batch can no longer SEE its own
+    # half-appended rows (uncommitted slices are invisible), so this
+    # is belt-and-braces for one remaining case — a caller that
+    # classifies a batch it already FOLDED (q114-style direct use
+    # decides fold-then-classify ordering itself). The probe side is
+    # batch-sized and broadcast; in normal ingest operation the
     # anti-joins match zero rows, so oracle-checked results are
-    # unchanged; the probe side is batch-sized and broadcast.
+    # unchanged.
     batch_ids = batch.select("doc_id")
-    postings = spark.read.parquet(os.path.join(path, "postings"))
-    # dropDuplicates at read time (round-8 review): append_to_index's
-    # parquet appends + meta advance are not one atomic transaction —
-    # a crash between them lets the replay double-append a batch's
-    # postings/doc_stats slice (the watermark never moved). Writes
-    # stay at-least-once; READS are duplicate-proof, which makes the
-    # pipeline exactly-once in effect: postings dedupe on (doc_id, s)
-    # AFTER the batch-shingle filter (candidate-sized, never a corpus
-    # shuffle), doc_stats on doc_id (doc-sized; replay copies are
-    # exact), hashes project distinct h after the exclusion.
-    doc_stats = (
-        spark.read.parquet(os.path.join(path, "doc_stats"))
-        .join(F.broadcast(batch_ids), "doc_id", "left_anti")
-        .dropDuplicates(["doc_id"])
+    postings = _read_table(spark, path, "postings")
+    # ``defensive_read_dedup`` (default on): duplicate-proof reads —
+    # postings dedupe on (doc_id, s) AFTER the batch-shingle filter
+    # (candidate-sized, never a corpus shuffle), doc_stats on doc_id.
+    # Since round 9 the commit protocol makes duplicates impossible
+    # for indexes this module wrote (S11c passes with this OFF), so
+    # it survives as a fallback for foreign/hand-assembled indexes;
+    # hashes' distinct-h projection is SEMANTIC (many docs may share
+    # a hash) and always on.
+    doc_stats = _read_table(spark, path, "doc_stats").join(
+        F.broadcast(batch_ids), "doc_id", "left_anti"
     )
+    if defensive_read_dedup:
+        doc_stats = doc_stats.dropDuplicates(["doc_id"])
     hashes = (
-        spark.read.parquet(os.path.join(path, "hashes"))
+        _read_table(spark, path, "hashes")
         .join(F.broadcast(batch_ids), "doc_id", "left_anti")
         .select("h")
         .distinct()
@@ -312,18 +312,18 @@ def incremental_dedup_with_index(
 
     bsh = _shingle_rows(batch.select("doc_id", text_col), text_col)
     batch_sh = bsh.select("s").distinct()
-    # batch-relevant postings slice, dedup-guarded + batch-excluded
-    # (see above), MATERIALIZED once: it feeds the df probe, the
-    # candidate join, and the stop correction — without the eager
-    # checkpoint each consumer re-scanned the corpus-sized postings
-    # table (round-8 review measured SIX postings FileScans per batch
-    # in the executed plan); the checkpointed frame is candidate-sized
-    pfilt = (
-        postings.join(F.broadcast(batch_sh), "s")
-        .join(F.broadcast(batch_ids), "doc_id", "left_anti")
-        .dropDuplicates(["doc_id", "s"])
-        .localCheckpoint(eager=True)
+    # batch-relevant postings slice, batch-excluded (see above),
+    # MATERIALIZED once: it feeds the df probe, the candidate join,
+    # and the stop correction — without the eager checkpoint each
+    # consumer re-scanned the corpus-sized postings table (round-8
+    # review measured SIX postings FileScans per batch in the executed
+    # plan); the checkpointed frame is candidate-sized
+    pfilt = postings.join(F.broadcast(batch_sh), "s").join(
+        F.broadcast(batch_ids), "doc_id", "left_anti"
     )
+    if defensive_read_dedup:
+        pfilt = pfilt.dropDuplicates(["doc_id", "s"])
+    pfilt = pfilt.localCheckpoint(eager=True)
     # corpus df of each batch shingle = existing postings + the
     # batch's own occurrences (q114 counts both sides)
     df_exist = pfilt.groupBy("s").agg(F.count(F.lit(1)).alias("__dfe"))
@@ -440,9 +440,9 @@ def streaming_dedup_ingest(
     # at 0, and the `<= last` guard would then SILENTLY drop every
     # replayed-or-new batch. Both cases fail loudly here instead.
     spark0 = stream_docs.sparkSession
-    meta0 = _read_meta(spark0, index_path)
-    last0 = _meta_field(meta0, "last_batch_id")
-    tag0 = _meta_field(meta0, "ckpt_tag")
+    state0 = index_state(index_path)
+    last0 = state0["last_batch_id"]
+    tag0 = state0["ckpt_tag"]
     if last0 is not None:
         if tag0 is not None and tag0 != tag:
             raise ValueError(
@@ -461,18 +461,18 @@ def streaming_dedup_ingest(
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        # ONE meta read per batch (round-8 review: three separate
-        # read+collect jobs against the one-row table added fixed
-        # latency to every micro-batch)
-        meta = _read_meta(spark, index_path)
+        # ONE manifest read per batch (driver-side JSON, no job)
+        state = index_state(index_path)
         # WHOLE-handler replay guard (round-8 review): if this batch_id
         # was already folded (crash landed between append_to_index and
         # the checkpoint advance), the verdicts were written too (the
         # verdict write precedes the fold) — a replayed batch is
-        # re-classified only when the fold did NOT complete, and the
-        # own-batch exclusion inside incremental_dedup_with_index makes
-        # that re-classification identical under any partial fold.
-        last = _meta_field(meta, "last_batch_id")
+        # re-classified only when the fold did NOT COMMIT, and since
+        # round 9 an uncommitted fold is INVISIBLE (slice dirs without
+        # a manifest record), so the replayed classification reads
+        # exactly the pre-crash index and reproduces the verdicts
+        # byte-for-byte.
+        last = state["last_batch_id"]
         if last is not None and batch_id <= last:
             return
         b = batch.select("doc_id", text_col).localCheckpoint(eager=True)
@@ -482,13 +482,13 @@ def streaming_dedup_ingest(
         # doc_id reuse across batches breaks the replay exclusion's
         # invariant — fail the stream rather than mis-classify
         assert_no_doc_id_reuse(spark, index_path, b, batch_id)
-        n_docs = meta["n_docs"] + n_b
+        n_docs = state["n_docs"] + n_b
         res = incremental_dedup_with_index(spark, index_path, b, n_docs=n_docs)
         res.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
             out_path
         )
         append_to_index(
-            b, index_path, text_col, batch_id=batch_id, meta=meta, ckpt_tag=tag
+            b, index_path, text_col, batch_id=batch_id, meta=state, ckpt_tag=tag
         )
 
     return (

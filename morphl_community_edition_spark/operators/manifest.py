@@ -1,0 +1,110 @@
+"""Rename-as-commit manifests for the persisted index family
+(round 9, verdict r8 #7).
+
+The three persisted indexes (dedup postings q134, ANN cells q150,
+BM25 buckets q151) previously hand-rolled exactly-once with meta
+watermarks plus duplicate-tolerant reads — correct, but a crash
+inside a multi-table write left a torn directory that only stayed
+harmless because every reader deduped defensively. This module gives
+them an atomic commit protocol instead, in the smallest shape that
+is actually atomic on a POSIX filesystem:
+
+- **Build-once indexes** (ANN, BM25): all tables are written, then a
+  single ``_COMMIT`` JSON marker is written via temp-file +
+  ``os.replace`` — rename is atomic, so the marker either exists
+  complete or not at all. Readers ``require_commit`` first: a torn
+  build (crash before the rename) is REJECTED loudly instead of
+  served partially.
+- **Append-maintained indexes** (the dedup index): each fold writes
+  its slice under ``<table>/<slice_id>/`` (mode=overwrite, so a
+  replay of the same slice id rewrites it wholesale), then commits
+  ONE ``manifest/<slice_id>.json`` via the same rename. Readers
+  assemble every table from the COMMITTED slices only — an
+  uncommitted (crashed) fold is invisible by construction, which is
+  what makes replay classification byte-identical without read-side
+  dedup. The fold's meta (doc count delta, batch watermark, checkpoint
+  tag) rides INSIDE the commit record, so "tables appended but
+  watermark not advanced" — the round-8 crash window — cannot exist:
+  the fold is one atomic event.
+
+Scope note: ``os.replace`` atomicity holds for local/POSIX and NFS
+filesystems (the sandbox and most HDFS-mounted edge cases). An object
+store without atomic rename (raw S3) needs a real table format
+(Delta/Iceberg-style log) — documented limitation, same line every
+manifest-file protocol draws.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+COMMIT_MARKER = "_COMMIT"
+MANIFEST_DIR = "manifest"
+
+
+def _atomic_write_json(final_path: str, payload: dict) -> None:
+    d = os.path.dirname(final_path)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, prefix="._commit-")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, final_path)  # the commit point
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def write_commit(path: str, payload: dict | None = None) -> None:
+    """Commit a build-once index at ``path`` (write this LAST)."""
+    _atomic_write_json(os.path.join(path, COMMIT_MARKER), payload or {})
+
+
+def read_commit(path: str) -> dict | None:
+    """The commit payload of a build-once index, or None if the index
+    was never committed (possibly torn)."""
+    p = os.path.join(path, COMMIT_MARKER)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def require_commit(path: str, what: str) -> dict:
+    c = read_commit(path)
+    if c is None:
+        raise RuntimeError(
+            f"{what} at {path} has no {COMMIT_MARKER} marker — the build "
+            "never completed (torn write) or the path is wrong; rebuild "
+            "the index"
+        )
+    return c
+
+
+def commit_slice(path: str, sid: str, payload: dict) -> None:
+    """Commit one slice of an append-maintained index (write LAST,
+    after every slice table landed). Idempotent per sid: a replay
+    re-writes the same manifest file atomically."""
+    _atomic_write_json(
+        os.path.join(path, MANIFEST_DIR, f"{sid}.json"), {"sid": sid, **payload}
+    )
+
+
+def committed_slices(path: str) -> list[dict]:
+    """All committed slice records, sid-sorted (build slice first by
+    naming convention). Uncommitted slice directories are invisible —
+    that is the point."""
+    d = os.path.join(path, MANIFEST_DIR)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in sorted(os.listdir(d)):
+        if not name.endswith(".json") or name.startswith("._"):
+            continue
+        with open(os.path.join(d, name)) as f:
+            out.append(json.load(f))
+    return out

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from morphl_community_edition_spark.functions.hashing import md5_long60
 from morphl_community_edition_spark.functions.rounding import crnd
+from morphl_community_edition_spark.operators import manifest
 
 N_BUCKETS = 64
 
@@ -89,6 +90,17 @@ def build_text_index(
         [(int(st["n_docs"]), int(st["sumdl"]), int(n_buckets))],
         "n_docs long, sumdl long, n_buckets int",
     ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+    # atomic commit marker, written LAST (round 9): a torn build —
+    # e.g. postings written, meta missing or stale — must be rejected
+    # at serve time, not scored from partial buckets
+    manifest.write_commit(
+        path,
+        {
+            "kind": "text_index",
+            "n_docs": int(st["n_docs"]),
+            "n_buckets": int(n_buckets),
+        },
+    )
 
 
 def bm25_topk(
@@ -101,6 +113,7 @@ def bm25_topk(
 ) -> DataFrame:
     """Serve a BM25 top-k query from the persisted index. Same output
     contract as q141: (doc_id, n_terms, score_scaled, score)."""
+    manifest.require_commit(path, "BM25 text index")
     meta = spark.read.parquet(os.path.join(path, "meta")).collect()[0]
     n_docs, sumdl, n_buckets = meta["n_docs"], meta["sumdl"], meta["n_buckets"]
     buckets = sorted({_bucket_py(t, n_buckets) for t in terms})

@@ -32,6 +32,7 @@ from morphl_community_edition_spark.operators.textstats import (
 )
 from morphl_community_edition_spark.functions.rounding import crnd, sql_crnd, sql_dsum, dsum
 from morphl_community_edition_spark.plans.hints import fan_out_narrow_scan
+from morphl_community_edition_spark.operators import manifest as _manifest
 from morphl_community_edition_spark.queries import query
 from morphl_community_edition_spark.queries.windows import EVENTS_US
 
@@ -1246,7 +1247,7 @@ def q150_persisted_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         index_root(spark), "morphl_ann_index", spark.sparkContext.applicationId, tag
     )
     built = _ANN_INDEX_MEMO.setdefault(spark, {})
-    if built.get(sf_dir) != path or not _os.path.isdir(_os.path.join(path, "meta")):
+    if built.get(sf_dir) != path or _manifest.read_commit(path) is None:
         build_ann_index(emb, path, n_cells=16)
         built[sf_dir] = path
     return ann_index_topk(
@@ -1299,7 +1300,7 @@ def q151_persisted_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         index_root(spark), "morphl_text_index", spark.sparkContext.applicationId, tag
     )
     built = _TEXT_INDEX_MEMO.setdefault(spark, {})
-    if built.get(sf_dir) != path or not _os.path.isdir(_os.path.join(path, "meta")):
+    if built.get(sf_dir) != path or _manifest.read_commit(path) is None:
         build_text_index(docs.select("doc_id", "text"), path)
         built[sf_dir] = path
     return bm25_topk(spark, path, BM25_TERMS, k=20, k1=BM25_K1, b=BM25_B)

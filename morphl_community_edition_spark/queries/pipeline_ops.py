@@ -24,6 +24,7 @@ from morphl_community_edition_spark.operators.components import (
     dedup_clusters,
     keeper_election,
 )
+from morphl_community_edition_spark.operators import manifest as _ix_manifest
 from morphl_community_edition_spark.operators.dedup import exact_jaccard_pairs
 from morphl_community_edition_spark.operators.textstats import (
     lexical_diversity_score,
@@ -639,7 +640,7 @@ def q134_indexed_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFram
     # remove it in a long-lived session, and the right response is a
     # rebuild, not an AnalysisException.
     built = _INDEX_MEMO.setdefault(spark, {})
-    if built.get(sf_dir) != path or not os.path.isdir(os.path.join(path, "meta")):
+    if built.get(sf_dir) != path or not _ix_manifest.committed_slices(path):
         build_dedup_index(existing, path)
         built[sf_dir] = path
     return incremental_dedup_with_index(spark, path, batch, n_docs=n_docs)

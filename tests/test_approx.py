@@ -290,6 +290,21 @@ def test_semdedup_clustered_refines_exact(spark):
             f"clustered group {sorted(members)[:6]} spans exact groups"
         )
 
+    # duplicate-recall floor (round 9, verdict r8 #6): the clustered
+    # config's recall vs exact is a measured artifact number
+    # (SCALE_r{N}.json carries the sf0.1 row: 0.309); here at sf0.01
+    # the deterministic value is 0.5 (seeded KMeans, immutable
+    # fixture). The floor is NOT a quality promise — uniform-random
+    # embeddings give KMeans cells no geometry to exploit, so most
+    # dup pairs are cross-cell by fixture construction — it exists so
+    # a cell-pipeline regression (dropping within-cell pairs) trips
+    # loudly instead of reading as "recall is low anyway".
+    ex_dups = {v for v, c in exact.items() if c != v}
+    cl_dups = {v for v, c in clus.items() if c != v}
+    assert ex_dups, "fixture produced no exact duplicates — vacuous"
+    recall = len(cl_dups & ex_dups) / len(ex_dups)
+    assert recall >= 0.3, f"q129 duplicate-recall {recall:.3f} cratered"
+
 
 def test_quantized_retrieval_recall_vs_exact(spark):
     """q130 (int8 candidates + float re-rank) vs q39 (unquantized

@@ -896,15 +896,17 @@ def test_persisted_bm25_serve_equals_inline_arbitrary_terms(spark, tmp_path):
 
 
 def test_incremental_index_replay_after_partial_fold_is_idempotent(spark, tmp_path):
-    """Round-8 review: a crash INSIDE append_to_index (tables appended,
-    meta watermark not advanced) replays the batch against a
-    partially-folded index. The own-batch exclusion must make the
-    re-classification byte-identical to the original — not
-    self-exact-dup — and the classify plan must read the corpus-sized
+    """A crash INSIDE append_to_index (slice tables written, manifest
+    commit never renamed) replays the batch against an index holding
+    an UNCOMMITTED slice. Since round 9 the slice is invisible by
+    construction (committed-slices reads), so the re-classification —
+    even with the defensive read dedup OFF — must be byte-identical
+    to the original; and the classify plan must read the corpus-sized
     postings parquet only through the one checkpointed probe slice
     (zero postings scans in the result plan)."""
     from morphl_community_edition_spark.catalog import load_table
     from morphl_community_edition_spark.operators.incremental_index import (
+        _slice_sid,
         _write_index_tables,
         build_dedup_index,
         incremental_dedup_with_index,
@@ -926,12 +928,12 @@ def test_incremental_index_replay_after_partial_fold_is_idempotent(spark, tmp_pa
     )
     v1 = {(r["doc_id"], r["status"]) for r in res.collect()}
 
-    # simulate the partial fold: every table appended, meta untouched
-    _write_index_tables(batch, path, "text", mode="append")
+    # simulate the crashed fold: slice tables written, commit absent
+    _write_index_tables(batch, path, "text", sid=_slice_sid(0), batch_id=0)
     v2 = {
         (r["doc_id"], r["status"])
         for r in incremental_dedup_with_index(
-            spark, path, batch, n_docs=n_docs
+            spark, path, batch, n_docs=n_docs, defensive_read_dedup=False
         ).collect()
     }
     assert v1 == v2, sorted(v2 - v1)[:5]
@@ -1061,3 +1063,43 @@ def test_heavy_hitters_preserves_item_type(spark):
     # support N/k = 4: lo (6) and hi (5) qualify, and they must NOT
     # have merged into one double bucket of 11
     assert got == {lo: 6, hi: 5}, got
+
+
+def test_build_once_indexes_reject_torn_builds(spark, tmp_path):
+    """Round 9 (rename-as-commit): the ANN and BM25 indexes write a
+    _COMMIT marker LAST; serving an index whose build crashed before
+    the rename must fail loudly, not answer from partial tables. A
+    committed index serves; the same index with its marker removed
+    (simulating the torn state) is rejected."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from morphl_community_edition_spark.catalog import load_table
+    from morphl_community_edition_spark.operators.ann_index import (
+        ann_index_topk,
+        build_ann_index,
+    )
+    from morphl_community_edition_spark.operators.manifest import COMMIT_MARKER
+    from morphl_community_edition_spark.operators.text_index import (
+        bm25_topk,
+        build_text_index,
+    )
+    from tests.conftest import SF_DIR_SMOKE
+
+    emb = load_table(spark, SF_DIR_SMOKE, "embeddings")
+    ann_path = str(tmp_path / "ann")
+    build_ann_index(emb, ann_path, n_cells=4)
+    probes = emb.filter(F.col("vec_id") < 3)
+    assert ann_index_topk(spark, ann_path, probes, k=3, n_probe=4).count() > 0
+    _os.remove(_os.path.join(ann_path, COMMIT_MARKER))
+    with _pytest.raises(RuntimeError, match="no _COMMIT marker"):
+        ann_index_topk(spark, ann_path, probes, k=3, n_probe=4)
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents").select("doc_id", "text")
+    txt_path = str(tmp_path / "txt")
+    build_text_index(docs, txt_path)
+    assert bm25_topk(spark, txt_path, ("merge", "window"), k=5).count() >= 0
+    _os.remove(_os.path.join(txt_path, COMMIT_MARKER))
+    with _pytest.raises(RuntimeError, match="no _COMMIT marker"):
+        bm25_topk(spark, txt_path, ("merge", "window"), k=5)

@@ -690,8 +690,12 @@ def test_s11b_index_append_replay_idempotent(spark, tmp_path):
     b1 = docs.filter(F.col("doc_id") % 2 == 1)
 
     append_to_index(b0, index_path, batch_id=0)
+    from morphl_community_edition_spark.operators.incremental_index import (
+        _read_table,
+    )
+
     state = {
-        t: spark.read.parquet(os.path.join(index_path, t)).count()
+        t: _read_table(spark, index_path, t).count()
         for t in ("postings", "doc_stats", "hashes")
     }
     n0 = read_index_doc_count(spark, index_path)
@@ -701,7 +705,7 @@ def test_s11b_index_append_replay_idempotent(spark, tmp_path):
     append_to_index(b0, index_path, batch_id=0)
     for t, n in state.items():
         assert (
-            spark.read.parquet(os.path.join(index_path, t)).count() == n
+            _read_table(spark, index_path, t).count() == n
         ), f"replayed fold double-appended {t}"
     assert read_index_doc_count(spark, index_path) == n0
     assert read_index_last_batch_id(spark, index_path) == 0
@@ -710,10 +714,7 @@ def test_s11b_index_append_replay_idempotent(spark, tmp_path):
     append_to_index(b1, index_path, batch_id=1)
     assert read_index_doc_count(spark, index_path) == n0 + b1.count()
     assert read_index_last_batch_id(spark, index_path) == 1
-    assert (
-        spark.read.parquet(os.path.join(index_path, "postings")).count()
-        > state["postings"]
-    )
+    assert _read_table(spark, index_path, "postings").count() > state["postings"]
 
     # verdict-sink replay: duplicate rows collapse at read time
     out_path = str(tmp_path / "verdicts")
@@ -727,13 +728,17 @@ def test_s11b_index_append_replay_idempotent(spark, tmp_path):
 
 
 def test_s11c_midfold_crash_replay_probe_unchanged(spark, tmp_path):
-    """Round-8 review: append_to_index's parquet appends and meta
-    write are not atomic — a crash BETWEEN them un-advances the
-    watermark, so the replay double-appends the slice. The read-side
-    dedupe (postings on (doc_id, s), doc_stats on doc_id, hashes
-    distinct) must make the doubled index probe-equivalent to a
-    clean single-append index: identical verdicts, batch for batch."""
+    """Mid-fold crash atomicity (round 9, rename-as-commit): a crash
+    inside append_to_index leaves slice tables WITHOUT a manifest
+    record — invisible to every reader — and the replay overwrites
+    the same deterministic slice id, then commits once. The crashed
+    index must end probe-EQUIVALENT to a clean single-append index
+    with the defensive read dedup OFF (the commit protocol, not the
+    dedup, is now the exactly-once mechanism): identical verdicts,
+    identical committed postings row count, identical doc count."""
     from morphl_community_edition_spark.operators.incremental_index import (
+        _read_table,
+        _slice_sid,
         _write_index_tables,
         append_to_index,
         build_dedup_index,
@@ -752,7 +757,8 @@ def test_s11c_midfold_crash_replay_probe_unchanged(spark, tmp_path):
     bx = docs.filter(F.col("doc_id") % 3 == 1)
     b2 = docs.filter(F.col("doc_id") % 3 == 2)
 
-    # clean reference: build + one clean append + probe
+    # clean reference: build + one clean append + probe (dedup OFF —
+    # the commit protocol alone must carry exactly-once)
     ref_path = str(tmp_path / "ref")
     build_dedup_index(b0, ref_path)
     append_to_index(bx, ref_path, batch_id=0)
@@ -760,27 +766,34 @@ def test_s11c_midfold_crash_replay_probe_unchanged(spark, tmp_path):
     want = {
         tuple(r)
         for r in incremental_dedup_with_index(
-            spark, ref_path, b2, n_docs=n_ref
+            spark, ref_path, b2, n_docs=n_ref, defensive_read_dedup=False
         ).collect()
     }
 
-    # crashed fold: tables written, meta NOT advanced; then the replay
+    # crashed fold: slice tables written, manifest commit missing;
+    # then the replay overwrites the slice and commits once
     crash_path = str(tmp_path / "crash")
     build_dedup_index(b0, crash_path)
-    _write_index_tables(bx, crash_path, "text", mode="append")  # the crash
-    append_to_index(bx, crash_path, batch_id=0)  # the replay double-appends
+    _write_index_tables(bx, crash_path, "text", sid=_slice_sid(0), batch_id=0)
     import os as _os
 
+    assert _os.path.isdir(
+        _os.path.join(crash_path, "postings", _slice_sid(0))
+    ), "fixture failed to write the crashed slice — test went vacuous"
+    assert read_index_doc_count(spark, crash_path) == b0.count(), (
+        "uncommitted slice leaked into the doc count"
+    )
+    append_to_index(bx, crash_path, batch_id=0)  # the replay
     assert (
-        spark.read.parquet(_os.path.join(crash_path, "postings")).count()
-        > spark.read.parquet(_os.path.join(ref_path, "postings")).count()
-    ), "fixture failed to double-append — test went vacuous"
+        _read_table(spark, crash_path, "postings").count()
+        == _read_table(spark, ref_path, "postings").count()
+    ), "replay did not converge to the clean index's committed postings"
     n_crash = read_index_doc_count(spark, crash_path) + b2.count()
-    assert n_crash == n_ref, "meta count diverged across the crash replay"
+    assert n_crash == n_ref, "doc count diverged across the crash replay"
     got = {
         tuple(r)
         for r in incremental_dedup_with_index(
-            spark, crash_path, b2, n_docs=n_crash
+            spark, crash_path, b2, n_docs=n_crash, defensive_read_dedup=False
         ).collect()
     }
     assert got == want

@@ -1,0 +1,209 @@
+"""Data-bound headline comparison at ~sf1 (verdict r8 #3 path b).
+
+The recorded BASELINE.md 2× targets are per-query at sf0.1, where
+Spark's constant control-plane floor (~0.15-0.2 s of Py4J + Catalyst
+analysis + codegen dispatch) is the same order as DuckDB's entire
+warm runtime for the scan-light queries (q1 0.087 s, q3 0.071 s).
+SCALE.md's 10× sweeps show those queries are data-bound at one decade
+up (agg cost ×1.1 for rows ×10), i.e. the >2× ratios are a
+measurement-scale artifact, not a plan defect. This tool makes that
+claim a committed, reproducible MEASUREMENT instead of an argument:
+
+1. **Build** a ~sf1 fixture from the driver's sf0.1 parquet: 10
+   key-shifted copies of customer/orders/lineitem/supplier/part
+   (every foreign key shifted by the same copy offset, so join
+   selectivity and group structure are preserved exactly — copy i
+   only ever joins copy i), events grown the scale_events.py "grown"
+   way, embeddings 10× by vec_id shift; nation/region/documents
+   copied as-is. Multi-row-group parquet (~32 groups/table) so BOTH
+   engines get scan parallelism (the round-6 layout experiment:
+   single-row-group files deny it to both).
+2. **Verify**: every headline query hash-compared Spark-vs-DuckDB at
+   the grown scale with the localcheck canonicalization — the
+   numbers below are only comparable because the answers are equal.
+3. **Measure** both engines under ONE protocol: PASSES full-suite
+   passes × best-of-RUNS per query, per-query minimum across passes,
+   warm process, full re-plan each run. Spark runs the ENGINE
+   DEFAULT config (AQE on, 2 m splits) — the configuration a cluster
+   actually ships, not the sf0.1-tuned bench profile.
+
+Output: one JSON line {"spark": {...}, "duckdb": {...},
+"ratio": {...}, "verified": [...]} — the committed artifact is
+BASELINE.md's addendum table sourced from this.
+
+Usage: python tools/headline_sf1.py [outdir=/tmp/sf1-headline] [--reuse]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+COPIES = 10
+RUNS = 3
+PASSES = 2
+
+# table -> (key columns to shift, or None for verbatim copy)
+GROWN = {
+    "customer": {"c_custkey": "NC"},
+    "orders": {"o_orderkey": "NO", "o_custkey": "NC"},
+    "lineitem": {"l_orderkey": "NO", "l_partkey": "NP", "l_suppkey": "NS"},
+    "supplier": {"s_suppkey": "NS"},
+    "part": {"p_partkey": "NP"},
+    "events": {"event_id": "NE", "user_id": "NU"},
+    "embeddings": {"vec_id": "NV"},
+}
+VERBATIM = ("nation", "region", "documents")
+# offset symbol -> (table, key col) whose max+1 defines it
+OFFSETS = {
+    "NC": ("customer", "c_custkey"),
+    "NO": ("orders", "o_orderkey"),
+    "NP": ("part", "p_partkey"),
+    "NS": ("supplier", "s_suppkey"),
+    "NE": ("events", "event_id"),
+    "NU": ("events", "user_id"),
+    "NV": ("embeddings", "vec_id"),
+}
+
+
+def build(outdir: str) -> None:
+    con = duckdb.connect()
+    os.makedirs(outdir, exist_ok=True)
+    off = {
+        sym: con.execute(
+            f"SELECT max({col}) + 1 FROM read_parquet('{SRC}/{t}.parquet')"
+        ).fetchone()[0]
+        for sym, (t, col) in OFFSETS.items()
+    }
+    for t, shifts in GROWN.items():
+        src = f"{SRC}/{t}.parquet"
+        cols = [
+            r[0]
+            for r in con.execute(f"DESCRIBE SELECT * FROM read_parquet('{src}')").fetchall()
+        ]
+        proj = ", ".join(
+            f"{c} + c.i * {off[shifts[c]]} AS {c}" if c in shifts else c for c in cols
+        )
+        n = con.execute(f"SELECT count(*) FROM read_parquet('{src}')").fetchone()[0]
+        rg = max(1024, (n * COPIES) // 32)
+        out = os.path.join(outdir, f"{t}.parquet")
+        con.execute(
+            f"""
+            COPY (
+              SELECT {proj}
+              FROM read_parquet('{src}'), (SELECT unnest(range({COPIES})) AS i) c
+            ) TO '{out}' (FORMAT PARQUET, ROW_GROUP_SIZE {rg})
+            """
+        )
+        print(f"built {out}: {os.path.getsize(out) >> 20} MiB", file=sys.stderr)
+    for t in VERBATIM:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet')) "
+            f"TO '{os.path.join(outdir, t + '.parquet')}' (FORMAT PARQUET)"
+        )
+
+
+def verify(spark, sf_dir: str) -> list[str]:
+    """Hash-compare every headline query Spark-vs-DuckDB at sf1."""
+    from bench import HEADLINE
+    from tools.localcheck import TABLES, canon_hash
+
+    from morphl_community_edition_spark.queries import ORACLE_SQL, QUERIES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    ok = []
+    for name, key in HEADLINE.items():
+        got = canon_hash(QUERIES[key](spark, sf_dir).toPandas())
+        want = canon_hash(con.execute(ORACLE_SQL[key]).df())
+        assert got == want, f"{name} ({key}) hash mismatch at {sf_dir}"
+        ok.append(name)
+        print(f"verified {name}", file=sys.stderr)
+    return ok
+
+
+def measure_spark(spark, sf_dir: str) -> dict[str, float]:
+    from bench import HEADLINE
+
+    from morphl_community_edition_spark.queries import QUERIES
+
+    # untimed full warm pass (JIT/codegen/page cache), then the
+    # bench.py pass protocol at engine-default conf
+    for key in HEADLINE.values():
+        QUERIES[key](spark, sf_dir).collect()
+    best: dict[str, float] = {}
+    for _ in range(PASSES):
+        for name, key in HEADLINE.items():
+            b = 1e9
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                QUERIES[key](spark, sf_dir).collect()
+                b = min(b, time.perf_counter() - t0)
+            best[name] = round(min(best.get(name, 1e9), b), 4)
+    return best
+
+
+def measure_duckdb(sf_dir: str) -> dict[str, float]:
+    from bench import HEADLINE
+    from tools.localcheck import TABLES
+
+    from morphl_community_edition_spark.queries import ORACLE_SQL
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    for key in HEADLINE.values():  # untimed warm pass
+        con.execute(ORACLE_SQL[key]).fetchall()
+    best: dict[str, float] = {}
+    for _ in range(PASSES):
+        for name, key in HEADLINE.items():
+            b = 1e9
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                con.execute(ORACLE_SQL[key]).fetchall()
+                b = min(b, time.perf_counter() - t0)
+            best[name] = round(min(best.get(name, 1e9), b), 4)
+    return best
+
+
+def main() -> None:
+    outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1-headline"
+    if "--reuse" not in sys.argv or not os.path.isdir(outdir):
+        build(outdir)
+
+    from morphl_community_edition_spark.session import get_spark
+
+    spark = get_spark(app_name="headline-sf1")
+    verified = verify(spark, outdir)
+    duck = measure_duckdb(outdir)
+    sp = measure_spark(spark, outdir)
+    ratio = {k: round(sp[k] / duck[k], 2) for k in sp}
+    out = {
+        "sf": "~1 (10x key-shifted sf0.1)",
+        "protocol": f"both engines: per-query min over {PASSES} passes x best-of-{RUNS}, warm process, full re-plan; spark at engine defaults (AQE on)",
+        "verified": verified,
+        "spark": sp,
+        "spark_total": round(sum(sp.values()), 4),
+        "duckdb": duck,
+        "duckdb_total": round(sum(duck.values()), 4),
+        "ratio": ratio,
+        "suite_ratio": round(sum(sp.values()) / sum(duck.values()), 2),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -218,6 +218,38 @@ def main() -> None:
     ] = round(best, 3)
     print(f"grown semantic_dedup(mega-cell, valved): {best:.2f}s", file=sys.stderr)
 
+    # round 9 (verdict r8 #6): the clustered q129 config is the one
+    # registry entry whose output the driver cannot hash — its
+    # refinement property (edges ⊆ exact) is suite-asserted, but the
+    # artifact should carry a NUMBER: duplicate-recall of the
+    # clustered config vs the q128 exact config at the driver sf0.1
+    # fixture. Expect it LOW here by fixture construction (SURVEY §8:
+    # the synthetic embeddings are uniform-random, so KMeans cells
+    # carry no geometric structure and near-dup pairs are mostly
+    # cross-cell); on a real corpus SemDeDup's premise is that dups
+    # co-locate in cells. The row exists to pin the measured value —
+    # a regression in the cell pipeline (e.g. dropping within-cell
+    # pairs) would crater it to ~0 and the suite floor would trip.
+    emb_sf01 = load_table(spark, SF01, "embeddings")
+    ex_dups = {
+        r["vec_id"]
+        for r in semantic_dedup(emb_sf01, threshold=0.4, n_cells=1).collect()
+        if not r["keep"]
+    }
+    cl_dups = {
+        r["vec_id"]
+        for r in semantic_dedup(emb_sf01, threshold=0.4, n_cells=16).collect()
+        if not r["keep"]
+    }
+    dup_recall = round(len(cl_dups & ex_dups) / max(1, len(ex_dups)), 4)
+    report["families"]["embeddings"]["q129_dup_recall_vs_exact_sf0.1"] = {
+        "exact_dups": len(ex_dups),
+        "clustered_dups": len(cl_dups),
+        "recall": dup_recall,
+        "note": "uniform-random fixture -> cells carry no geometry; suite floor asserts > 0.15 and refinement (no invented dups)",
+    }
+    print(f"sf0.1 q129 dup recall vs exact: {dup_recall}", file=sys.stderr)
+
     # round 8: PageRank decade trend — the iteration loop is the
     # operator's scale claim (edge side shuffles once at build, each
     # iteration moves node-sized frames only), so measure the operator
