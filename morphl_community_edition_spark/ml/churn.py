@@ -76,14 +76,23 @@ def cross_validated_lr(
     label_col: str = "churned",
     n_folds: int = 3,
 ):
-    """M2's CrossValidator path: small seeded grid over LR
-    regularization. Training data is one row per user (tiny next to
-    the raw events), so k-fold CV is cheap even at 100 TB of events."""
+    """M2's CrossValidator path: seeded 2-D grid over LR
+    regularization strength × elastic-net mixing (3×2 = 6 candidate
+    pipelines, k-fold each). Training data is one row per user (tiny
+    next to the raw events), so k-fold CV is cheap even at 100 TB of
+    events — the fold splits, fits, and metric evaluation are all
+    seeded, so the selected model and avgMetrics are run-to-run
+    deterministic (M-suite asserts this)."""
     from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
 
     pipeline = build_pipeline(feature_cols, label_col, "lr")
     lr = pipeline.getStages()[-1]
-    grid = ParamGridBuilder().addGrid(lr.regParam, [0.001, 0.01, 0.1]).build()
+    grid = (
+        ParamGridBuilder()
+        .addGrid(lr.regParam, [0.001, 0.01, 0.1])
+        .addGrid(lr.elasticNetParam, [0.0, 0.5])
+        .build()
+    )
     cv = CrossValidator(
         estimator=pipeline,
         estimatorParamMaps=grid,

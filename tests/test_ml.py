@@ -67,6 +67,16 @@ def test_m2_gbt_and_crossvalidator(spark, features):
     cv_model = cross_validated_lr(labeled, feature_cols=BEHAVIOR_COLS, label_col="label")
     assert max(cv_model.avgMetrics) >= 0.55
     assert cv_model.bestModel is not None
+    # the grid is 2-D (regParam × elasticNetParam): 6 candidates
+    assert len(cv_model.avgMetrics) == 6
+    # seeded determinism (round 9): same data + same seed → identical
+    # per-candidate CV metrics AND the same selected hyper-parameters
+    cv2 = cross_validated_lr(labeled, feature_cols=BEHAVIOR_COLS, label_col="label")
+    assert cv2.avgMetrics == cv_model.avgMetrics
+    best1 = cv_model.bestModel.stages[-1]
+    best2 = cv2.bestModel.stages[-1]
+    assert best1.getRegParam() == best2.getRegParam()
+    assert best1.getElasticNetParam() == best2.getElasticNetParam()
 
 
 def test_m5_kmeans_deterministic_and_balanced(spark):
