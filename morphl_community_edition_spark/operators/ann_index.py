@@ -60,10 +60,14 @@ def build_ann_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
-    """Ingest-time build → self-contained serving index at ``path``."""
+    """Ingest-time build → self-contained serving index at ``path``.
+    A REBUILD clears the prior commit marker first (round-9 review):
+    a crash mid-rebuild must leave a rejected torn directory, not an
+    old marker blessing a new/old table mix."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    manifest.clear_commit(path)
     spark = emb.sparkSession
     # codes + floats ride THROUGH KMeans.transform (it passes input
     # columns along), so the build is one projection pipeline — no

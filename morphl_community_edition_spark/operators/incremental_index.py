@@ -68,7 +68,16 @@ def build_dedup_index(docs: DataFrame, path: str, text_col: str = "text") -> Non
     (doc_id, text). The slice's commit record holds the indexed
     DOCUMENT count (doc_stats only has rows for docs with ≥1 shingle,
     so it cannot stand in for corpus size — the valve is
-    corpus-relative)."""
+    corpus-relative).
+
+    Rebuild semantics: a build WIPES any previously committed slices
+    first (round-9 review: the slice layout would otherwise MERGE a
+    prior index's batches into the new one — stale postings, a wrong
+    valve denominator, and a retained watermark that silently drops
+    the new stream's batches). Manifests are removed before table
+    dirs, so a crash mid-wipe fails loudly at read time instead of
+    serving a mix."""
+    manifest.clear_slices(path)
     n = docs.count()
     _write_index_tables(docs, path, text_col, sid="base", batch_id=None)
     manifest.commit_slice(
@@ -154,11 +163,21 @@ def _read_table(spark: SparkSession, path: str, name: str) -> DataFrame:
         os.path.join(path, name, rec["sid"])
         for rec in manifest.committed_slices(path)
     ]
-    dirs = [d for d in dirs if os.path.isdir(d)]
     if not dirs:
         raise ValueError(
             f"index at {path} has no committed {name!r} slices — never "
             "built, or torn before the first commit"
+        )
+    # a COMMITTED slice whose table dir is gone is corruption, not a
+    # skippable gap (round-9 review: silently dropping it would
+    # misclassify that slice's docs while index_state still counts
+    # them in the valve denominator) — fail loudly
+    missing = [d for d in dirs if not os.path.isdir(d)]
+    if missing:
+        raise ValueError(
+            f"index at {path} is corrupt: committed slice dir(s) missing "
+            f"{missing[:3]} — the manifest promises data that is gone; "
+            "rebuild the index"
         )
     return spark.read.parquet(*dirs)
 

@@ -64,6 +64,35 @@ def write_commit(path: str, payload: dict | None = None) -> None:
     _atomic_write_json(os.path.join(path, COMMIT_MARKER), payload or {})
 
 
+def clear_commit(path: str) -> None:
+    """Remove a stale commit marker BEFORE a rebuild overwrites the
+    tables (round-9 review): without this, a crash mid-rebuild leaves
+    the OLD marker beside a new/old table mix and require_commit
+    would serve the torn state."""
+    p = os.path.join(path, COMMIT_MARKER)
+    if os.path.exists(p):
+        os.unlink(p)
+
+
+def clear_slices(path: str) -> None:
+    """Remove every committed-slice manifest AND slice table dir —
+    the rebuild analogue of mode=overwrite for append-maintained
+    indexes (round-9 review: a rebuild at a previously-fed path
+    otherwise MERGES stale slices into the new index). Manifests go
+    first, so a crash mid-wipe leaves an index with no committed
+    slices — readers fail loudly instead of reading a mix."""
+    import shutil
+
+    d = os.path.join(path, MANIFEST_DIR)
+    if os.path.isdir(d):
+        shutil.rmtree(d)
+    if os.path.isdir(path):
+        for sub in os.listdir(path):
+            full = os.path.join(path, sub)
+            if os.path.isdir(full):
+                shutil.rmtree(full)
+
+
 def read_commit(path: str) -> dict | None:
     """The commit payload of a build-once index, or None if the index
     was never committed (possibly torn)."""

@@ -173,7 +173,9 @@ def _gemm_cell_edges(
     # plus a broadcast-join + explode even when every cell fit)
     stats = assigned.groupBy("cell").agg(
         F.count(F.lit(1)).alias("__cn"), F.max(F.size("code")).alias("__d")
-    )
+    ).localCheckpoint(eager=True)  # ≤ n_cells rows; the valve-active
+    # path's broadcast join reuses this materialization instead of
+    # re-aggregating the corpus-sized frame (round-9 review)
     top = stats.agg(
         F.max("__cn").alias("mx"), F.max("__d").alias("d")
     ).first()

@@ -59,7 +59,11 @@ def build_text_index(
 ) -> None:
     """Two corpus scans (doc lengths; postings) → persisted search
     index at ``path``; corpus stats re-aggregate off the tiny written
-    doc_stats table, not the raw corpus."""
+    doc_stats table, not the raw corpus. A REBUILD clears the prior
+    commit marker first (round-9 review): a crash mid-rebuild must
+    leave a rejected torn directory, not an old marker blessing a
+    new/old table mix."""
+    manifest.clear_commit(path)
     spark = docs.sparkSession
     ws = F.split(F.col(text_col), " ")
     dl = docs.select("doc_id", F.size(ws).cast("bigint").alias("dl"))

@@ -1103,3 +1103,51 @@ def test_build_once_indexes_reject_torn_builds(spark, tmp_path):
     _os.remove(_os.path.join(txt_path, COMMIT_MARKER))
     with _pytest.raises(RuntimeError, match="no _COMMIT marker"):
         bm25_topk(spark, txt_path, ("merge", "window"), k=5)
+
+
+def test_index_rebuild_wipes_stale_slices_and_detects_corruption(spark, tmp_path):
+    """Round-9 review: (1) rebuilding a dedup index at a previously-fed
+    path must NOT merge the old slices in — doc count, watermark, and
+    table reads must reflect only the new build; (2) a committed slice
+    whose table directory was deleted out-of-band is corruption and
+    must raise, not silently drop that slice's docs."""
+    import shutil as _shutil
+
+    import pytest as _pytest
+
+    from morphl_community_edition_spark.operators.incremental_index import (
+        _read_table,
+        append_to_index,
+        build_dedup_index,
+        index_state,
+    )
+
+    path = str(tmp_path / "idx")
+    d0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    build_dedup_index(d0, path)
+    append_to_index(
+        spark.createDataFrame([(3, "iota kappa lambda mu")], "doc_id long, text string"),
+        path,
+        batch_id=0,
+    )
+    assert index_state(path) == {"n_docs": 3, "last_batch_id": 0, "ckpt_tag": None}
+
+    # rebuild with a DIFFERENT corpus: nothing of the old index survives
+    d1 = spark.createDataFrame([(10, "nu xi omicron pi")], "doc_id long, text string")
+    build_dedup_index(d1, path)
+    assert index_state(path) == {"n_docs": 1, "last_batch_id": None, "ckpt_tag": None}
+    got_ids = {r["doc_id"] for r in _read_table(spark, path, "doc_stats").collect()}
+    assert got_ids == {10}, got_ids
+
+    # out-of-band deletion of a committed slice dir: loud corruption
+    append_to_index(
+        spark.createDataFrame([(11, "rho sigma tau upsilon")], "doc_id long, text string"),
+        path,
+        batch_id=0,
+    )
+    _shutil.rmtree(os.path.join(path, "postings", "batch-000000000000"))
+    with _pytest.raises(ValueError, match="corrupt"):
+        _read_table(spark, path, "postings")

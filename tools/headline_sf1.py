@@ -201,7 +201,8 @@ def measure_duckdb(sf_dir: str, threads: int = 0) -> dict[str, float]:
 
 
 def main() -> None:
-    outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1-headline"
+    args = [a for a in sys.argv[1:] if a != "--reuse"]
+    outdir = args[0] if args else "/tmp/sf1-headline"
     if "--reuse" not in sys.argv or not os.path.isdir(outdir):
         build(outdir)
 
