@@ -16,6 +16,9 @@ class ShingleUDTF:
     """lateral shingle expansion: (text, n) → (pos, n-word shingle)."""
 
     def eval(self, text: str, n: int):  # noqa: D102
+        if text is None:
+            return  # NULL text expands to zero shingles, like the
+            # explode twin — not a worker AttributeError (r9 review)
         words = text.split(" ")
         for i in range(max(len(words) - n + 1, 0)):
             yield i, " ".join(words[i : i + n])

@@ -144,9 +144,18 @@ def connected_components(
     the fetch are ONE evaluation: collect limit(gate+1) rows — if the
     limit was not hit, that IS the complete edge set (a separate
     count-then-collect would evaluate the expensive candidate pipeline
-    twice); if it was hit, the bounded probe is discarded and the
-    distributed iteration below runs unchanged — a 100 TB corpus can
-    emit billions of candidates. Pass ``driver_max_edges=None`` (or 0)
+    twice); if it was hit, the bounded probe is discarded and a
+    ``precontract`` pass (round 9, default on) collapses each
+    partition's edges to a spanning forest BEFORE anything else runs —
+    dense near-dup blobs shrink to ~node count, so graphs that
+    overflowed the probe raw usually fit the driver tier contracted
+    (the 250k-edge clique fixture contracts to ≤ nodes−1 per
+    partition), and when even the contracted set is too big, the
+    distributed loop runs over the contracted frame. Contract-AFTER-
+    probe ordering matters: small graphs — the overwhelmingly common
+    candidate shape — pay zero extra passes (the round-9 first cut
+    contracted unconditionally and added a Python pass to every small
+    closure for nothing). Pass ``driver_max_edges=None`` (or 0)
     to force the distributed path."""
     edges = edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
     # Materialize the candidate pipeline exactly ONCE (round-8 sweep
@@ -155,24 +164,33 @@ def connected_components(
     # candidate join — 2× the jaccard machinery at exactly the edge
     # counts that need the distributed loop (measured 2×~25 s of the
     # grown variant's 60 s closure). The checkpointed pair frame
-    # serves the tier probe AND the loop; its blocks are released by
-    # ContextCleaner once `pairs` drops out of scope below.
-    # ``precontract`` (round 9, default on) first collapses each
-    # partition's edges to a spanning forest — dense near-dup blobs
-    # shrink to ~node count, which both shrinks the closure's input
-    # and lets far larger graphs take the driver union-find tier.
-    sel = edges.select(src, dst)
+    # serves the tier probe AND the contraction AND the loop; its
+    # blocks are released by ContextCleaner once `pairs` drops out of
+    # scope below.
+    pairs = edges.select(src, dst).localCheckpoint(eager=True)
+
+    def _driver_tier(frame) -> DataFrame | None:
+        if not driver_max_edges:
+            return None
+        probe = frame.limit(driver_max_edges + 1).collect()
+        if len(probe) > driver_max_edges:
+            return None
+        ntype = dict(edges.dtypes)[src]
+        labels = _union_find_labels((r[0], r[1]) for r in probe)
+        return edges.sparkSession.createDataFrame(
+            sorted(labels.items()), schema=f"n {ntype}, comp {ntype}"
+        )
+
+    out = _driver_tier(pairs)
+    if out is not None:
+        return out
     if precontract:
-        sel = _forest_contract(sel, src, dst)
-    pairs = sel.localCheckpoint(eager=True)
-    if driver_max_edges:
-        probe = pairs.limit(driver_max_edges + 1).collect()
-        if len(probe) <= driver_max_edges:
-            ntype = dict(edges.dtypes)[src]
-            labels = _union_find_labels((r[0], r[1]) for r in probe)
-            return edges.sparkSession.createDataFrame(
-                sorted(labels.items()), schema=f"n {ntype}, comp {ntype}"
-            )
+        contracted = _forest_contract(pairs, src, dst).localCheckpoint(eager=True)
+        del pairs
+        pairs = contracted
+        out = _driver_tier(pairs)
+        if out is not None:
+            return out
     bi = (
         pairs.select(F.col(src).alias("n"), F.col(dst).alias("m"))
         .union(pairs.select(F.col(dst).alias("n"), F.col(src).alias("m")))

@@ -9,14 +9,18 @@ no matter how small the batch is. A continuously-fed pipeline does
 not re-shingle 100 TB per batch; it maintains an inverted index.
 This module is that index:
 
-- ``build_dedup_index(docs, path)`` — one corpus pass writes three
-  parquet tables under ``path``: ``postings`` (doc_id, s — the
-  distinct 3-gram inverted file, the expensive explode paid ONCE),
-  ``doc_stats`` (doc_id, n_sh_total), ``hashes`` (content md5 set
-  for the exact tier). At cluster scale the postings table would be
-  bucketed by shingle; incremental maintenance is an append of the
-  accepted batch's rows to all three (the A5 partitioned-sink
-  shape).
+- ``build_dedup_index(docs, path)`` — one corpus pass writes the
+  committed ``base`` slice of four parquet tables under ``path``:
+  ``postings`` (doc_id, s — the distinct 3-gram inverted file, the
+  expensive explode paid ONCE), ``doc_stats`` (doc_id, n_sh_total),
+  ``hashes`` (doc_id + content md5 for the exact tier),
+  ``doc_batches`` (doc_id provenance for the reuse guard). At
+  cluster scale the postings table would be bucketed by shingle;
+  incremental maintenance folds each accepted batch as one committed
+  SLICE — table dirs first, one atomic manifest rename last
+  (operators/manifest.py, round 9), which carries the fold's meta
+  (doc-count delta, batch watermark, checkpoint tag) so a crashed
+  fold is invisible rather than duplicate-tolerated.
 - ``incremental_dedup_with_index(spark, path, batch, n_docs)`` —
   classify a new batch exactly like q114, but every corpus-side
   input comes from the index: per-batch work is batch-shingling (the

@@ -28,6 +28,23 @@ Salting: the salt is part of the sampling identity — two pipelines
 using different salts draw independent samples; re-running with the
 same salt reproduces the sample exactly (the property a training-data
 audit needs).
+
+NULL keys (round-9 review): a NULL identity has no sampling
+coordinate — md5(NULL) is NULL, which the rate filter silently
+dropped while the window/top-k forms sorted it FIRST (ASC NULLS
+FIRST), letting NULL-keyed rows deterministically steal quota slots
+and diverge from the DuckDB twins (NULLS LAST default). One rule for
+all three samplers now: NULL-keyed rows are excluded up front —
+identity-hashed sampling requires an identity. Callers with nullable
+keys coalesce to a sentinel first, explicitly.
+
+Duplicate key values: the tie-break order is (hash, key), so two
+ROWS sharing the same key value are interchangeable at a quota/k
+boundary — which one survives is partition-order-dependent. The
+reproducibility contract therefore assumes key_col is unique per row
+(a document id); with duplicate keys the SET of selected keys is
+still deterministic, the surviving payload row for a duplicated key
+is not.
 """
 
 from __future__ import annotations
@@ -74,7 +91,10 @@ def hash_rate_sample(
         thr = F.when(
             F.col(strata_col) == stratum, F.lit(int(round(rate * MOD)))
         ).otherwise(thr)
-    return df.filter(sample_hash(F.col(key_col), salt) % MOD < thr)
+    return df.filter(
+        F.col(key_col).isNotNull()
+        & (sample_hash(F.col(key_col), salt) % MOD < thr)
+    )
 
 
 def stratified_exact_sample(
@@ -93,7 +113,8 @@ def stratified_exact_sample(
         sample_hash(F.col(key_col), salt).asc(), F.col(key_col).asc()
     )
     return (
-        df.withColumn("__srk", F.row_number().over(w))
+        df.filter(F.col(key_col).isNotNull())
+        .withColumn("__srk", F.row_number().over(w))
         .filter(F.col("__srk") <= n_per_stratum)
         .drop("__srk")
     )
@@ -150,7 +171,8 @@ def weighted_sample_topk(
         )
     )
     return (
-        df.select("*", w.alias("w_eff"), pr.alias("priority"))
+        df.filter(F.col(key_col).isNotNull())
+        .select("*", w.alias("w_eff"), pr.alias("priority"))
         .orderBy(F.col("priority").asc(), F.col(key_col).asc())
         .limit(k)
     )

@@ -32,11 +32,21 @@ def salted_join(
     Only left-preserving modes are valid: a right/full outer join
     would emit each unmatched right row once PER SALT REPLICA.
     """
-    if how not in ("inner", "left", "left_semi", "left_anti", "leftsemi", "leftanti", "left_outer"):
+    # normalize Spark's own alias spellings before the allowlist
+    # (round-9 review: 'semi'/'anti'/'leftouter' are valid
+    # left-preserving spellings Spark accepts)
+    norm = how.lower().replace("_", "")
+    if norm not in ("inner", "left", "leftsemi", "leftanti", "leftouter", "semi", "anti"):
         raise ValueError(
             f"salted_join does not support how={how!r}: unmatched right rows "
             "are replicated n_salts times under right/full outer modes"
         )
+    for side, frame in (("left", left), ("right", right)):
+        if "__salt" in frame.columns:
+            raise ValueError(
+                f"salted_join: {side} side already has a '__salt' column — "
+                "the helper name is reserved (drop or rename it first)"
+            )
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
     right_rep = right.select("*", salts)
     left_salted = left.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
@@ -58,6 +68,11 @@ def salted_agg(
     key alone (n_salts rows per key, trivially cheap). Algebraic
     aggregates only; avg = sum/count composed by the caller.
     """
+    if "__salt" in df.columns:
+        raise ValueError(
+            "salted_agg: input already has a '__salt' column — the helper "
+            "name is reserved (drop or rename it first)"
+        )
     partial_exprs, merge_exprs = [], []
     for col, fn, out in aggs:
         if fn == "count":

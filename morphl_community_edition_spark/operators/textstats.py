@@ -99,17 +99,36 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fp") -> DataFrame:
     """Positional polynomial fingerprint (rolling-hash style):
 
-        fp = Σ_i (md5_long60(word_i) mod 2^40) · (i+1)
+        fp = Σ_i ((md5_long60(word_i) mod 2^40) · (i+1)) mod 2^40
 
-    Order-sensitive (reordered words → different fp), exact 64-bit
-    integer math with headroom (2^40 · 300 words · pos ≪ 2^63), and
-    reproducible in any engine with md5 — the cross-engine contract.
+    Order-sensitive (reordered words → different fp) and reproducible
+    in any engine with md5 — the cross-engine contract. Round-9
+    review rewrite, three fixes in one shape:
+
+    - **per-row array fold, no explode/groupBy**: the old form
+      grouped by every input column, which shuffled the full text
+      body as a grouping key, MERGED fully-duplicate input rows into
+      one doubled-fp row, and silently DROPPED NULL-text rows. Now a
+      pure projection: one output row per input row, NULL text →
+      NULL fp, zero exchanges at any corpus size.
+    - **overflow-safe under ANSI**: the old per-term value
+      (h mod 2^40)·(i+1) summed past int64 at ~4100 words worst-case
+      (ARITHMETIC_OVERFLOW kills the query with ANSI on, which the
+      session pins). The per-term mod 2^40 bounds the sum by
+      n_words·2^40 — safe to ~8M words per document, and the
+      intermediate product (h mod 2^40)·(i+1) stays under 2^63 for
+      the same bound.
+    - the q36 oracle replays the identical modular formula, so the
+      hash contract is unchanged in kind (values differ from the
+      pre-round-9 formula by design; both sides moved together).
     """
-    words = F.posexplode(F.split(F.col(text_col), " "))
-    exploded = df.select("*", words.alias("pos", "word"))
-    term = (md5_long60(F.col("word")) % F.lit(1099511627776)) * (F.col("pos") + 1)
-    group_cols = [c for c in df.columns]
-    return exploded.groupBy(*group_cols).agg(F.sum(term).alias(out))
+    t_mod = F.lit(1099511627776)
+    words = F.split(F.col(text_col), " ")
+    terms = F.transform(
+        words, lambda w, i: (md5_long60(w) % t_mod) * (i + F.lit(1)) % t_mod
+    )
+    fp = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return df.withColumn(out, fp)
 
 
 # the integer lexical-diversity quality score shared by q139 (adaptive

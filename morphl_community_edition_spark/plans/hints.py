@@ -32,9 +32,19 @@ DEFAULT_BROADCAST_FILE_LIMIT = 64 << 20  # 64 MiB on disk
 
 
 def dataset_file_bytes(path: str) -> int:
-    """On-disk bytes of a parquet file or directory of part files."""
+    """On-disk bytes of a parquet file or directory of part files.
+
+    A missing path raises (round-9 review): returning 0 would make
+    the broadcast gate fail OPEN — a typo'd table path would hint an
+    arbitrarily large side, reproducing the exact >8GB-broadcast
+    hazard this module exists to prevent."""
     if os.path.isfile(path):
         return os.path.getsize(path)
+    if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"dataset_file_bytes: {path!r} does not exist — refusing to "
+            "report 0 bytes (the broadcast gate would fail open)"
+        )
     total = 0
     for root, _dirs, files in os.walk(path):
         for f in files:
@@ -79,8 +89,15 @@ def fan_out_narrow_scan(df: DataFrame) -> DataFrame:
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     memo = _FANOUT_MEMO.setdefault(spark, {})
+    # columns ride in the key alongside the 32-bit semanticHash so a
+    # hash collision between structurally different plans (possible
+    # in a very long session — round-9 review) almost surely misses
+    # the memo instead of serving the other plan's verdict; a residual
+    # same-columns collision costs only a wrong repartition decision
+    # (perf, never correctness)
     key = (
         df.semanticHash(),
+        tuple(df.columns),
         target,
         _conf(spark, "spark.sql.files.maxPartitionBytes"),
         _conf(spark, "spark.sql.files.openCostInBytes"),

@@ -115,7 +115,15 @@ def _lang_id_oracle() -> str:
             f"score_{lang} >= score_{other}" for other in LANG_PRIORITY if other != lang
         )
         cases.append(f"WHEN {conds} THEN '{lang}'")
-    case_expr = "CASE " + " ".join(cases) + f" ELSE '{LANG_PRIORITY[-1]}' END"
+    # NULL-text parity (round-9 review): the Spark when-chain yields
+    # NULL for NULL text (all scores NULL), so the CASE must not let a
+    # NULL row fall through to the last-language ELSE shortcut — the
+    # shortcut is only valid where some score comparison is non-NULL
+    case_expr = (
+        f"CASE WHEN score_{LANG_PRIORITY[0]} IS NULL THEN NULL "
+        + " ".join(cases)
+        + f" ELSE '{LANG_PRIORITY[-1]}' END"
+    )
     return f"""
     WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
     s AS (SELECT doc_id, lang,
@@ -177,7 +185,7 @@ def q35_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH w AS (SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS pos
                FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t)
     SELECT doc_id,
-           CAST(sum((CAST('0x' || substring(md5(word), 1, 15) AS BIGINT) % 1099511627776) * pos) AS BIGINT) AS fp
+           CAST(sum((CAST('0x' || substring(md5(word), 1, 15) AS BIGINT) % 1099511627776) * pos % 1099511627776) AS BIGINT) AS fp
     FROM w GROUP BY doc_id ORDER BY doc_id
     """,
 )

@@ -211,3 +211,63 @@ def test_resize_media_tolerates_null_meta(spark):
     media = row.withColumn("meta", F.lit(None).cast(MEDIA_SCHEMA["meta"].dataType))
     out = resize_media(media).collect()
     assert len(out) == 1 and out[0]["meta"]["n_bytes"] is not None
+
+
+def test_samplers_exclude_null_keys(spark):
+    """Round-9 review: a NULL identity has no sampling coordinate.
+    The rate form silently dropped NULL keys while the window/top-k
+    forms sorted the NULL hash FIRST (stealing quota slots and
+    diverging from DuckDB's NULLS LAST) — now one rule for all three
+    samplers: NULL-keyed rows are excluded up front."""
+    from morphl_community_edition_spark.operators.sampling import (
+        hash_rate_sample,
+        stratified_exact_sample,
+        weighted_sample_topk,
+    )
+
+    rows = [(None, "a", 3), (1, "a", 1), (2, "a", 1), (3, "a", 1), (4, "b", 1)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, w long")
+    got = stratified_exact_sample(df, "doc_id", 2, "src")
+    ids = {r["doc_id"] for r in got.collect()}
+    assert None not in ids and len(ids) == 3  # 2 from 'a', 1 from 'b'
+    got_w = weighted_sample_topk(df, "doc_id", "w", k=4)
+    assert {r["doc_id"] for r in got_w.collect()} == {1, 2, 3, 4}
+    got_r = hash_rate_sample(df, "doc_id", {"a": 1.0, "b": 1.0}, "src")
+    assert {r["doc_id"] for r in got_r.collect()} == {1, 2, 3, 4}
+
+
+def test_lang_pred_and_fingerprint_null_text(spark):
+    """Round-9 review: NULL text → NULL lang_pred on BOTH engines (the
+    oracle's last-language ELSE shortcut no longer captures NULL
+    rows), and the fingerprint is now a per-row projection — a
+    NULL-text row yields a NULL fp ROW, it does not vanish, and
+    duplicate rows do not merge."""
+    from morphl_community_edition_spark.operators.textstats import (
+        fingerprint,
+        lang_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "the of and the"), (3, "the of and the")],
+        "doc_id long, text string",
+    )
+    preds = {r["doc_id"]: r["lang_pred"] for r in lang_scores(docs).collect()}
+    assert preds[1] is None and preds[2] == "en"
+    fps = [(r["doc_id"], r["fp"]) for r in fingerprint(docs).collect()]
+    assert len(fps) == 3  # no row vanished, no duplicate merge
+    by_id = dict(fps)
+    assert by_id[1] is None and by_id[2] == by_id[3] and by_id[2] is not None
+
+
+def test_shingle_udtf_null_text(spark):
+    """Round-9 review: NULL text through the UDTF yields zero rows,
+    not a Python-worker AttributeError."""
+    from morphl_community_edition_spark.functions.udtfs import ShingleUDTF
+
+    spark.udtf.register("shingles_nulltest", ShingleUDTF)
+    docs = spark.createDataFrame([(1, None), (2, "a b c d")], "doc_id long, text string")
+    docs.createOrReplaceTempView("nulltest_docs")
+    out = spark.sql(
+        "SELECT doc_id, s.shingle FROM nulltest_docs, LATERAL shingles_nulltest(text, 3) s"
+    ).collect()
+    assert {r["doc_id"] for r in out} == {2} and len(out) == 2
