@@ -158,16 +158,7 @@ def connected_components(
     closure for nothing). Pass ``driver_max_edges=None`` (or 0)
     to force the distributed path."""
     edges = edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
-    # Materialize the candidate pipeline exactly ONCE (round-8 sweep
-    # finding): when the probe hit the limit, the discarded probe and
-    # the loop's bi checkpoint each re-evaluated the upstream
-    # candidate join — 2× the jaccard machinery at exactly the edge
-    # counts that need the distributed loop (measured 2×~25 s of the
-    # grown variant's 60 s closure). The checkpointed pair frame
-    # serves the tier probe AND the contraction AND the loop; its
-    # blocks are released by ContextCleaner once `pairs` drops out of
-    # scope below.
-    pairs = edges.select(src, dst).localCheckpoint(eager=True)
+    pairs = edges.select(src, dst)
 
     def _driver_tier(frame) -> DataFrame | None:
         if not driver_max_edges:
@@ -181,16 +172,29 @@ def connected_components(
             sorted(labels.items()), schema=f"n {ntype}, comp {ntype}"
         )
 
+    # Materialization policy (round 9, settled after two measured
+    # failures): the CONTRACTION pass is the one full evaluation of
+    # the candidate pipeline AND the only materialization — it
+    # streams the pairs once and checkpoints only the per-partition
+    # spanning forests (≤ nodes−1 rows each). The round-8 design
+    # checkpointed the FULL pair frame first, which at the 90%-dup
+    # fixture's near-clique candidate volume exhausted the heap
+    # building blocks for rows the closure was about to collapse
+    # anyway (sweep OOM). The tempting "probe the lazy frame first so
+    # small graphs skip the Python pass" variant re-creates the
+    # round-8 DOUBLE-evaluation instead: limit() above the candidate
+    # join's shuffles still runs the whole map side, so overflow
+    # graphs paid the pipeline twice (measured: q147 grown 26.5 →
+    # 53 s). Contract-always costs small graphs one Python worker
+    # roundtrip over their already-small edge set — fixed ~0.1 s —
+    # and buys bounded memory at every scale.
+    if precontract:
+        pairs = _forest_contract(pairs, src, dst).localCheckpoint(eager=True)
+    else:
+        pairs = pairs.localCheckpoint(eager=True)
     out = _driver_tier(pairs)
     if out is not None:
         return out
-    if precontract:
-        contracted = _forest_contract(pairs, src, dst).localCheckpoint(eager=True)
-        del pairs
-        pairs = contracted
-        out = _driver_tier(pairs)
-        if out is not None:
-            return out
     bi = (
         pairs.select(F.col(src).alias("n"), F.col(dst).alias("m"))
         .union(pairs.select(F.col(dst).alias("n"), F.col(src).alias("m")))
