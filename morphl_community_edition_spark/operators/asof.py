@@ -119,7 +119,17 @@ def asof_join(
         ).alias("__r"),
     )
     unioned = l_tag.unionByName(r_tag)
-    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    # NULL-ts LEFT rows must see an EMPTY frame in both directions
+    # (no defined order -> no match). Ascending order gives that for
+    # free (NULLS FIRST); descending defaults to NULLS LAST, where a
+    # NULL-ts left row would sort after every right row and last(__r)
+    # would hand it the minimum-ts right row (round-9 review) —
+    # desc_nulls_first restores the empty-frame invariant.
+    ts_order = (
+        F.col("__ts").asc()
+        if direction == "backward"
+        else F.col("__ts").desc_nulls_first()
+    )
     # A deterministic tie-break over right-rows tied on (ts, side)
     # (repo rule: no last() without a total order); left rows all carry
     # null __r, so their relative order is inert. When every payload

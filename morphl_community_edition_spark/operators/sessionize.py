@@ -33,7 +33,17 @@ def sessionize(
     [first_ts, last_ts + gap), so an event arriving at EXACTLY
     prev + gap starts a NEW session (>= break, not >).
     """
-    order_cols = [F.col(ts_col)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    # NULLS LAST to mirror DuckDB's default ORDER BY (round-9 review:
+    # Spark's ascending NULLS FIRST made every NULL-ts row a leading
+    # session break while the oracle folded the first one into the
+    # final session). With the identical lag/brk expression on both
+    # engines the NULL-ts tail then behaves the same everywhere: the
+    # first NULL-ts row joins the previous session (gap is unknowable,
+    # no break), each later one starts a new session (its lag ts is
+    # NULL). Deterministic, mirrored, documented.
+    order_cols = [F.col(ts_col).asc_nulls_last()] + (
+        [F.col(order_tiebreak)] if order_tiebreak else []
+    )
     w = Window.partitionBy(user_col).orderBy(*order_cols)
     gap_us = gap_minutes * 60 * 1_000_000
     ts_us = F.unix_micros(F.col(ts_col))

@@ -51,16 +51,9 @@ def merge_upsert(
     NULL-keyed row would miscount and raise a false error. Struct
     comparison treats NULL fields as equal-to-NULL (group-by
     semantics), matching how the merge join itself groups keys."""
-    if assert_unique_delta:
-        row = delta.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count_distinct(F.struct(*[F.col(k) for k in keys])).alias("nk"),
-        ).first()
-        if row["n"] != row["nk"]:
-            raise ValueError(
-                f"merge_upsert delta is not key-unique on {keys}: "
-                f"{row['n']} rows over {row['nk']} distinct keys"
-            )
+    # cheap driver-side validations FIRST (round-9 review: the
+    # uniqueness agg is a cluster job — invalid inputs used to pay it
+    # and then die with an opaque UNRESOLVED_COLUMN instead of these)
     if [(f.name, f.dataType) for f in base.schema.fields] != [
         (f.name, f.dataType) for f in delta.schema.fields
     ]:
@@ -71,6 +64,16 @@ def merge_upsert(
     missing = [k for k in keys if k not in base.columns]
     if missing:
         raise ValueError(f"merge keys {missing} not in schema {base.columns}")
+    if assert_unique_delta:
+        row = delta.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.struct(*[F.col(k) for k in keys])).alias("nk"),
+        ).first()
+        if row["n"] != row["nk"]:
+            raise ValueError(
+                f"merge_upsert delta is not key-unique on {keys}: "
+                f"{row['n']} rows over {row['nk']} distinct keys"
+            )
     payload = [c for c in base.columns if c not in keys]
     b = base.select(
         *[F.col(k).alias(f"__bk_{k}") for k in keys],
@@ -96,13 +99,15 @@ def merge_upsert(
         cond = c if cond is None else (cond & c)
     merged = b.join(d, cond, "full_outer")
     take_delta = F.col("__d_present").isNotNull()
-    return merged.select(
-        *[
-            F.when(take_delta, F.col(f"__dk_{k}")).otherwise(F.col(f"__bk_{k}")).alias(k)
-            for k in keys
-        ],
-        *[
-            F.when(take_delta, F.col(f"__d_{c}")).otherwise(F.col(f"__b_{c}")).alias(c)
-            for c in payload
-        ],
-    )
+
+    def resolved(c: str):
+        if c in keys:
+            return F.when(take_delta, F.col(f"__dk_{c}")).otherwise(
+                F.col(f"__bk_{c}")
+            )
+        return F.when(take_delta, F.col(f"__d_{c}")).otherwise(F.col(f"__b_{c}"))
+
+    # output columns in the INPUT's order (round-9 review: the old
+    # keys-first projection broke the documented "output keeps the
+    # schema" contract whenever keys were not the leading columns)
+    return merged.select(*[resolved(c).alias(c) for c in base.columns])

@@ -150,21 +150,30 @@ def q51_conditional_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q52_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: two-nation shipping volume by year — the same
-    nation dim joined twice under different roles, both broadcast."""
+    nation dim joined twice under different roles. Only the TWO-ROW
+    nation sides carry broadcast hints; the round-9 review removed the
+    ungated fact-side broadcasts (orders x customer and supplier all
+    grow with SF — the exact round-1-q03 hazard hints.py documents)
+    and pushed the pair predicate down as nation pre-filters (Catalyst
+    cannot infer them through the OR-of-ANDs, so without this every
+    nation's lineitem rows flow through four joins before ~all are
+    discarded — TPC-H Q7's standard plan)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    nation = load_table(spark, sf_dir, "nation")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
     ns = nation.select(F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("sn"))
     nc = nation.select(F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cn"))
     pair = ((F.col("sn") == "NATION_1") & (F.col("cn") == "NATION_2")) | (
         (F.col("sn") == "NATION_2") & (F.col("cn") == "NATION_1")
     )
     return (
-        li.join(F.broadcast(orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))),
+        li.join(orders.join(cust, F.col("c_custkey") == F.col("o_custkey")),
                 F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
         .filter(pair)

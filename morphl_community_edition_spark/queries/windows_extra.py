@@ -74,7 +74,11 @@ def q44_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(
             "event_id",
             F.array_join(F.map_keys(m), ",").alias("prop_keys"),
-            F.element_at(m, "k").alias("k_val"),
+            # try_element_at: under the session's pinned ANSI mode a plain
+            # element_at THROWS on a props object missing 'k', where the
+            # oracle's json_extract yields NULL (round-9 review; the
+            # round-7 memory rule)
+            F.try_element_at(m, F.lit("k")).alias("k_val"),
             F.size(F.map_keys(m)).alias("n_keys"),
         )
         .orderBy("event_id")

@@ -271,3 +271,47 @@ def test_shingle_udtf_null_text(spark):
         "SELECT doc_id, s.shingle FROM nulltest_docs, LATERAL shingles_nulltest(text, 3) s"
     ).collect()
     assert {r["doc_id"] for r in out} == {2} and len(out) == 2
+
+
+def test_asof_forward_null_ts_left_gets_null_match(spark):
+    """Round-9 review: in direction='forward' the descending window
+    order defaults to NULLS LAST, which handed a NULL-ts left row the
+    minimum-ts right row as a spurious match — SQL comparison
+    semantics (ts > NULL is never true) require a NULL match, as the
+    backward path already guaranteed."""
+    from morphl_community_edition_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, None, 10), (1, "2024-01-01 09:30:00", 11)],
+        "k int, ts string, lid int",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts", "lid")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", "a"), (1, "2024-01-01 10:00:00", "b")],
+        "k int, ts string, val string",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts", "val")
+    out = {
+        r["lid"]: r["asof_val"]
+        for r in asof_join(
+            left, right, key="k", ts="ts", right_payload=["val"], direction="forward"
+        ).collect()
+    }
+    assert out == {10: None, 11: "b"}, out
+
+
+def test_merge_upsert_preserves_column_order_and_validates_cheaply(spark):
+    """Round-9 review: output columns must keep the INPUT schema's
+    order (keys were hoisted first), and a missing merge key must
+    raise the crafted ValueError, not an UNRESOLVED_COLUMN from
+    inside the uniqueness aggregate."""
+    import pytest as _pytest
+
+    from morphl_community_edition_spark.operators.upsert import merge_upsert
+
+    base = spark.createDataFrame([(5, 1, "x")], "n_events int, user_id int, tag string")
+    delta = spark.createDataFrame([(9, 1, "y")], "n_events int, user_id int, tag string")
+    out = merge_upsert(base, delta, keys=["user_id"])
+    assert out.columns == ["n_events", "user_id", "tag"]
+    assert [tuple(r) for r in out.collect()] == [(9, 1, "y")]
+    bad = spark.createDataFrame([(1, "y")], "uid int, tag string")
+    with _pytest.raises(ValueError, match="identical schemas"):
+        merge_upsert(base, bad, keys=["user_id"], assert_unique_delta=True)
