@@ -68,6 +68,7 @@ from morphl_community_edition_spark.operators.textstats import (
 )
 from morphl_community_edition_spark.plans.hints import fan_out_narrow_scan
 from morphl_community_edition_spark.queries import query
+from morphl_community_edition_spark.queries.windows import EVENTS_US
 
 PACK_BUDGET = 512  # tokens per packed sequence bin
 MIX_QUOTA = 15  # docs kept per source by the rebalancer
@@ -344,8 +345,6 @@ def q108_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln() could differ in the last ulp). Token->frequency is a join
     against the (vocabulary-sized, broadcast) frequency table; the
     corpus total rides along as a broadcast scalar row."""
-    from morphl_community_edition_spark.functions.rounding import crnd
-
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
     freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
@@ -376,7 +375,10 @@ def _shingle_fp(col: str = "s"):
     superset guarantee), so a drift in modulus/hash in either screen
     surfaces as q117 violations instead of two self-consistent private
     copies staying vacuously green (round-6 review finding)."""
-    return (F.xxhash64(col) % (1 << 26)).alias("fp")
+    # pmod, not % (round-9 review): Spark's sign-preserving % spans
+    # (-2^26, 2^26) — 27 bits — silently doubling the documented
+    # ~n_bench/2^26 collision bound; pmod is the stated 26-bit bucket
+    return F.pmod(F.xxhash64(col), F.lit(1 << 26)).alias("fp")
 
 
 @query("q109_contamination_fingerprint")
@@ -517,9 +519,8 @@ def q110_crossmodal_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q111_session_funnel",
-    oracle="""
-    WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
-               FROM events),
+    oracle=f"""
+    WITH e AS (SELECT event_id, ts, user_id, event_type FROM {EVENTS_US}),
     g AS (SELECT user_id, ts, event_id, event_type,
             CASE WHEN lag(ts) OVER w IS NULL
                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk

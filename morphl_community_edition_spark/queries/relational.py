@@ -457,7 +457,6 @@ def q23_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS dups
     FROM documents
     GROUP BY md5(text)
-    HAVING count(*) >= 1
     ORDER BY keeper
     LIMIT 500
     """,
@@ -472,7 +471,6 @@ def q24_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
         .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("dups"))
-        .filter(F.col("dups") >= 1)
         .orderBy("keeper")
         .limit(500)
     )

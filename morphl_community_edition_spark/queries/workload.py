@@ -10,7 +10,7 @@ counts, days-since-last-activity, and a threshold churn label.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from morphl_community_edition_spark.catalog import load_table
@@ -285,8 +285,6 @@ def q102_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum/n is a display-side divide). One shuffle on user_id for the
     window; the agg reuses the same partitioning."""
     ev = load_table(spark, sf_dir, "events")
-    from pyspark.sql import Window
-
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -349,8 +347,6 @@ def q137_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     a tiny fraction of events, and everything after the first window
     is change-row-sized. Deterministic: (ts, event_id) total order,
     integer bands."""
-    from pyspark.sql import Window
-
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     p = (
@@ -432,8 +428,6 @@ def q142_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering). Per-user window serialization is the documented
     events-family boundary (SCALE.md)."""
     ev = load_table(spark, sf_dir, "events")
-    from pyspark.sql import Window
-
     w = Window.partitionBy("user_id").orderBy("s", "event_id")
     e = ev.select(
         "user_id",
