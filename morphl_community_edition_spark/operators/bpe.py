@@ -200,6 +200,7 @@ def bpe_token_accounting(
     k: int,
     text_col: str = "text",
     group_col: str = "source",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Per-group corpus token accounting under the learned k-merge
     tokenizer (the budget step q103's sequence packing consumes):
@@ -216,14 +217,17 @@ def bpe_token_accounting(
     word_cost = vocab.select(
         "word", F.size("syms").cast("bigint").alias("n_tok")
     )
+    # id_col parameterized like every sibling operator (round-9
+    # review: a hardcoded doc_id failed frames that satisfied every
+    # other advertised knob)
     words = docs.select(
-        F.col("doc_id"),
+        F.col(id_col).alias("__doc"),
         F.col(group_col).alias("grp"),
         F.explode(F.split(F.col(text_col), " ")).alias("word"),
     ).filter(F.col("word") != "")
     per_doc = (
         words.join(F.broadcast(word_cost), "word")
-        .groupBy("grp", "doc_id")
+        .groupBy("grp", "__doc")
         .agg(F.sum("n_tok").alias("doc_tok"))
     )
     return (

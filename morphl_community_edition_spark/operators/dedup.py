@@ -46,7 +46,10 @@ def _memo_count(df: DataFrame) -> int:
     plans/hints' fan-out memo: inputs are assumed immutable within a
     process)."""
     memo = _FRAC_COUNT_MEMO.setdefault(df.sparkSession, {})
-    key = df.semanticHash()
+    # columns ride in the key beside the 32-bit semanticHash (the
+    # round-9 hints.py collision guard): a cross-plan collision would
+    # resolve the df valve against the WRONG corpus size silently
+    key = (df.semanticHash(), tuple(df.columns))
     n = memo.get(key)
     if n is None:
         n = df.count()
@@ -170,7 +173,14 @@ def prefix_jaccard_candidates(
         F.col("shingles").alias("sh"),
         F.size("shingles").alias("n_sh"),
     ).filter(F.col("n_sh") > 0)
-    post = base.select("doc", "n_sh", F.explode("sh").alias("s"))
+    # checkpoint the exploded postings ONCE (round-9 review — the same
+    # multiple-evaluation defect round 8 fixed in minhash_lsh_pairs_
+    # exact): without it the CPU-bound shingle explode re-ran ~6×
+    # across the df count, the rank join, both sides of the prefix
+    # self-join, and both verify joins
+    post = base.select("doc", "n_sh", F.explode("sh").alias("s")).localCheckpoint(
+        eager=True
+    )
     dfc = post.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
     ranked = post.join(dfc, "s")
     w = Window.partitionBy("doc").orderBy("__df", "s")
@@ -465,14 +475,6 @@ def simhash_signatures(
     )
 
 
-def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact; LSH path in
-    operators/similarity.lsh_cosine_topk for scale)."""
-    from morphl_community_edition_spark.operators.similarity import cosine_pairs
-
-    return cosine_pairs(emb).filter(F.col("sim") >= threshold)
-
-
 def simhash_hamming_pairs(
     sig: DataFrame,
     id_col: str = "doc_id",
@@ -564,6 +566,13 @@ def minhash_lsh_pairs_exact(
     r = num_hashes/n_bands rows per band (r=4, b=4: J=0.9 → 0.986,
     J=0.5 → 0.23 — tune num_hashes/n_bands per target threshold,
     exactly the Spark ML tradeoff but reproducible)."""
+    if num_hashes % n_bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by n_bands "
+            f"({n_bands}): trailing signature slots would be computed but "
+            "never enter any band key, silently lowering the tuned "
+            "1-(1-J^r)^b recall"
+        )
     rows = num_hashes // n_bands
     # fan out before the CPU-bound shingle explode (the same gate
     # exact_jaccard_pairs applies — without it a single-row-group

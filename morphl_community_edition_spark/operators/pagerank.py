@@ -96,9 +96,9 @@ def pagerank_step(ed: DataFrame, ranks: DataFrame, nn: DataFrame) -> DataFrame:
 
 def pagerank_prepare(
     edges: DataFrame, reliable: bool = False
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """The loop's one-time corpus-scale setup: returns (ed, ranks0,
-    nn) — the degree-carrying edge frame hash-partitioned by src ONCE
+    nn, deg) — the degree-carrying edge frame hash-partitioned by src ONCE
     and ``persist()``-ed (an InMemoryRelation preserves that
     partitioning, so no iteration re-shuffles the edge side —
     plan-gated; and persist, unlike localCheckpoint, keeps lineage
@@ -109,8 +109,15 @@ def pagerank_prepare(
     the constant n (plan-gated: zero FileScans in an iteration over
     checkpointed inputs). Caller owns ``ed.unpersist()``."""
     spark = edges.sparkSession
-    # one corpus-scale pass: degree per node; node set == deg keys
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("outdeg"))
+    # one corpus-scale pass: degree per node; node set == deg keys.
+    # deg is persist()-ed (node-sized) BEFORE its two consumers
+    # (round-9 review): nodes0's eager checkpoint materializes it
+    # here, and ed's first materialization then joins the CACHED
+    # frame — previously the degree scan+agg ran a second time inside
+    # ed's lineage, one redundant corpus pass per invocation
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("outdeg")
+    ).persist()
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     ed = edges.join(deg, "src").repartition(n_part, "src").persist()
     # node frame first, THEN count it off the truncated lineage: nn as
@@ -129,7 +136,10 @@ def pagerank_prepare(
     ranks0 = nodes0.select(
         "node", F.lit(init_r).cast("bigint").alias("r")
     )
-    return ed, ranks0, nn
+    # deg's cache has served both consumers by the time the caller
+    # acts on ed; node-sized, returned so the loop can release it
+    # alongside the edge frame
+    return ed, ranks0, nn, deg
 
 
 def pagerank(
@@ -152,11 +162,12 @@ def pagerank(
     the fast local path.
     """
     ensure_checkpoint_dir(edges.sparkSession, checkpoint_dir)
-    ed, ranks, nn = pagerank_prepare(edges, reliable)
+    ed, ranks, nn, deg = pagerank_prepare(edges, reliable)
     for _ in range(iters):
         # plan depth stays O(1) per iteration (loop_checkpoint)
         ranks = loop_checkpoint(pagerank_step(ed, ranks, nn), reliable)
     # final ranks are materialized independent of the cache by the
     # eager checkpoint above, so the edge cache can be dropped now
     ed.unpersist(blocking=False)
+    deg.unpersist(blocking=False)
     return ranks

@@ -212,14 +212,18 @@ def test_bytes_gate_matches_row_gate(spark):
 
 def test_mem_string_parser_accepts_spark_forms():
     """Spark's JavaUtils accepts 8g/8gb/512m/512mb/123/123b — the gate
-    must not crash on any legal spark.driver.memory value."""
+    must not crash on any legal spark.driver.memory value. Suffix-less
+    digits are MiB (Spark resolves driver/executor memory through
+    byteStringAsMb — round-9 review: reading them as bytes understated
+    the valve budget 2^20-fold); bare 'b' is the explicit byte unit."""
     import pytest as _pytest
 
     from morphl_community_edition_spark.operators.similarity import _parse_mem_bytes
 
     assert _parse_mem_bytes("8g") == _parse_mem_bytes("8gb") == 8 << 30
     assert _parse_mem_bytes("512m") == _parse_mem_bytes("512mb") == 512 << 20
-    assert _parse_mem_bytes("123") == _parse_mem_bytes("123b") == 123
+    assert _parse_mem_bytes("123") == 123 << 20  # MiB, the Spark default unit
+    assert _parse_mem_bytes("123b") == 123
     assert _parse_mem_bytes(" 2 GB ") == 2 << 30
     with _pytest.raises(ValueError):
         _parse_mem_bytes("abc")

@@ -851,7 +851,7 @@ def test_q143_pagerank_iteration_copartitioned_no_corpus_reread(spark):
     )
     from morphl_community_edition_spark.queries.workload import trade_graph_edges
 
-    ed, ranks0, nn = pagerank_prepare(trade_graph_edges(spark, SF_DIR))
+    ed, ranks0, nn, _deg = pagerank_prepare(trade_graph_edges(spark, SF_DIR))
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
