@@ -60,30 +60,46 @@ def _union_find_labels(pairs) -> dict:
 
 
 def _forest_contract(pairs: DataFrame, src: str, dst: str) -> DataFrame:
-    """Per-partition spanning-forest pre-contraction (round 9): one
-    linear mapInPandas pass over the candidate edges keeps an edge iff
-    it merges two previously-disjoint union-find sets WITHIN its
-    partition (plus first-sight self-loops, which register otherwise-
-    invisible singleton nodes). The kept edges form a spanning forest
-    of each partition's subgraph, so global connectivity — and
-    therefore every component label downstream — is EXACTLY preserved,
-    while a dense blob (the celebrity-cluster shape 100 TB web dedup
-    hits) collapses from O(edges) to ≤ nodes−1 rows per partition
-    before the closure loop or the driver probe ever sees it.
+    """Per-partition spanning-structure pre-contraction (round 9,
+    vectorized round 10): one mapInPandas pass over the candidate
+    edges replaces each Arrow batch's edge set with star edges
+    (node → batch-local component root), so a dense blob (the
+    celebrity-cluster shape 100 TB web dedup hits) collapses from
+    O(edges) to ~O(nodes) rows per partition before the closure loop
+    or the driver probe ever sees it, with global connectivity — and
+    therefore every component label downstream — EXACTLY preserved.
 
-    Node preservation: a dropped non-loop edge requires both endpoints
-    already connected through kept edges, and a dropped self-loop
-    requires its node already registered — so every node appearing in
-    the input appears in the output, keeping the "label every node in
-    `edges`" contract intact.
+    Two tiers per batch (round-10 rework of the round-9 sequential
+    union-find, which burned one Python-level loop iteration per
+    EDGE):
+    1. Within a batch: factorize node ids to 0..k−1 and run
+       hook-and-compress min-label propagation in numpy (the
+       Shiloach–Vishkin shape: `minimum.at` hooks each edge to the
+       smaller label, `lbl[lbl]` pointer-doubles to the root;
+       labels decrease monotonically so the pointer chains are
+       acyclic and the loop converges in O(log k) C-speed sweeps).
+       scipy.sparse.csgraph would do the same job but is absent in
+       this container; the numpy form needs nothing beyond Arrow's
+       own dependency set.
+    2. Across batches of the same partition: a Python union-find
+       over the per-batch STAR edges only — O(unique nodes) dict
+       operations per batch instead of O(edges) — keeps only stars
+       that merge previously-disjoint sets, so multi-batch
+       partitions still contract toward ≤ nodes−1 output rows.
 
-    Cost: one partition-parallel linear pass; the union-find dict is
-    O(nodes-in-partition) and the inner loop is sequential Python
-    (union-find does not vectorize) — acceptable because it replaces
-    shuffle rounds whose input would otherwise be the full edge
-    volume. Output edge count depends on the physical partitioning,
-    but the closure's labels are partition-invariant by construction
+    Node preservation: batch roots are emitted as self-loops on
+    first sight, and every non-root node's star edge is emitted
+    unless both endpoints were already connected through kept edges
+    — so every node appearing in the input appears in the output,
+    keeping the "label every node in `edges`" contract intact.
+    Output edges are SYNTHESIZED (node, root) pairs, not a subset of
+    input rows — legal because the sole caller projects to bare
+    (src, dst) first and downstream consumes only connectivity.
+    Output edge count depends on the physical partitioning, but the
+    closure's labels are partition-invariant by construction
     (fuzz-tested against the union-find oracle either way)."""
+    import numpy as np
+    import pandas as pd
 
     def contract(batches):
         parent: dict = {}
@@ -98,22 +114,52 @@ def _forest_contract(pairs: DataFrame, src: str, dst: str) -> DataFrame:
             return root
 
         for pdf in batches:
-            keep = []
-            av = pdf[src].to_numpy()
-            bv = pdf[dst].to_numpy()
-            for i in range(len(pdf)):
-                a, b = av[i], bv[i]
-                if a == b:
-                    if a not in parent:
-                        parent[a] = a
-                        keep.append(i)
+            if not len(pdf):
+                continue
+            codes, uniques = pd.factorize(
+                pd.concat([pdf[src], pdf[dst]], ignore_index=True)
+            )
+            n = len(pdf)
+            ca, cb = codes[:n], codes[n:]
+            lbl = np.arange(len(uniques), dtype=np.int64)
+            while True:
+                prev = lbl
+                hooked = lbl.copy()
+                np.minimum.at(hooked, ca, lbl[cb])
+                np.minimum.at(hooked, cb, lbl[ca])
+                lbl = hooked
+                while True:  # pointer doubling to full compression
+                    nxt = lbl[lbl]
+                    if np.array_equal(nxt, lbl):
+                        break
+                    lbl = nxt
+                if np.array_equal(lbl, prev):
+                    break
+            # cross-batch merge over the k star edges (root index is
+            # always ≤ node index, so roots register before children)
+            keep_nodes, keep_roots = [], []
+            for i in range(len(uniques)):
+                node = uniques[i]
+                ri = lbl[i]
+                if ri == i:
+                    if node not in parent:
+                        parent[node] = node
+                        keep_nodes.append(node)
+                        keep_roots.append(node)
                     continue
-                ra, rb = find(a), find(b)
+                root = uniques[ri]
+                ra, rb = find(node), find(root)
                 if ra != rb:
                     parent[max(ra, rb)] = min(ra, rb)
-                    keep.append(i)
-            if keep:
-                yield pdf.iloc[keep]
+                    keep_nodes.append(node)
+                    keep_roots.append(root)
+            if keep_nodes:
+                yield pd.DataFrame(
+                    {
+                        src: pd.Series(keep_nodes, dtype=pdf[src].dtype),
+                        dst: pd.Series(keep_roots, dtype=pdf[dst].dtype),
+                    }
+                )
 
     return pairs.mapInPandas(contract, schema=pairs.schema)
 
@@ -151,12 +197,14 @@ def connected_components(
     overflowed the probe raw usually fit the driver tier contracted
     (the 250k-edge clique fixture contracts to ≤ nodes−1 per
     partition), and when even the contracted set is too big, the
-    distributed loop runs over the contracted frame. Contract-AFTER-
-    probe ordering matters: small graphs — the overwhelmingly common
-    candidate shape — pay zero extra passes (the round-9 first cut
-    contracted unconditionally and added a Python pass to every small
-    closure for nothing). Pass ``driver_max_edges=None`` (or 0)
-    to force the distributed path."""
+    distributed loop runs over the contracted frame. Ordering is
+    contract-THEN-probe, unconditionally: the contraction pass IS the
+    single evaluation of the candidate pipeline (see the
+    materialization-policy comment below — probing the lazy frame
+    first re-creates the measured round-8 double evaluation), and it
+    costs small graphs only one fixed ~0.1 s Python worker roundtrip
+    over their already-small edge set. Pass ``driver_max_edges=None``
+    (or 0) to force the distributed path."""
     edges = edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
     pairs = edges.select(src, dst)
 

@@ -42,6 +42,7 @@ of the decomposition, which is the point.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -57,6 +58,156 @@ from morphl_community_edition_spark.operators.dedup import (
 )
 
 SHINGLE_N = 3
+
+# Per-slice doc_id Bloom sidecars (round-10 advice): the reuse guard
+# previously scanned the UNION of every committed doc_batches slice on
+# every micro-batch — an O(total-indexed-docs) join plus one parquet
+# dir listing per slice per batch, growing without bound over a
+# long-lived stream. Each fold now also records a Bloom filter of its
+# slice's doc_ids (built by a Spark bit_or aggregation — no driver
+# pass over the docs), and the guard probes batch ids against the
+# sidecars first: only slices with at least one POSSIBLE member get
+# the exact parquet probe. In normal operation (no reuse) that set is
+# empty, so the steady-state cost is one batch-sized hash pass plus
+# slice-count-sized driver JSON reads — independent of corpus size.
+BLOOM_K = 4
+BLOOM_MIN_BITS = 1 << 14  # 2 KiB floor — tiny slices stay tiny
+BLOOM_MAX_BITS = 1 << 23  # 1 MiB cap ≈ 500k docs at ~1% fp; beyond
+#                           that the filter saturates GRACEFULLY (more
+#                           exact probes, never a missed reuse)
+
+
+def _bloom_m_bits(n: int) -> int:
+    m = BLOOM_MIN_BITS
+    while m < 16 * max(n, 1) and m < BLOOM_MAX_BITS:
+        m <<= 1
+    return m
+
+
+def _bloom_path(path: str, sid: str) -> str:
+    # own dir, NOT manifest/ — committed_slices() globs manifest/*.json
+    return os.path.join(path, "blooms", f"{sid}.json")
+
+
+def _hash_cols():
+    """(h1, h2) Kirsch–Mitzenmacher double-hash bases from ONE
+    xxhash64 of doc_id — position i is (h1 + i·h2) mod m for ANY m, so
+    the numpy probe side can replay the arithmetic exactly (both
+    operands < 2^32, so no overflow and pmod == %). shiftRIGHTunsigned
+    keeps the Spark side sign-free like the numpy uint64 view."""
+    h = F.xxhash64("doc_id")
+    h1 = h.bitwiseAND(F.lit(4294967295))
+    h2 = F.shiftrightunsigned(h, 32).bitwiseAND(F.lit(4294967295)).bitwiseOR(F.lit(1))
+    return h1, h2
+
+
+def _write_slice_bloom(docs: DataFrame, path: str, sid: str, n: int) -> None:
+    """Bloom of the slice's doc_ids -> blooms/<sid>.json (atomic
+    write, BEFORE the manifest commit — an uncommitted slice's bloom
+    is never consulted, a committed slice always has one). The bitset
+    is aggregated in Spark (explode k positions -> word/bit -> bit_or
+    per word) and only the ≤ m/64 ≤ 128k set words reach the driver."""
+    import base64
+
+    import numpy as np
+
+    m = _bloom_m_bits(n)
+    h1, h2 = _hash_cols()
+    poss = F.array(
+        *[F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(BLOOM_K)]
+    )
+    words = (
+        docs.select(F.explode(poss).alias("p"))
+        .select(
+            F.expr("p DIV 64").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+        .collect()
+    )
+    arr = np.zeros(m // 64, dtype=np.int64)
+    for r in words:
+        arr[r["w"]] = r["bits"]
+    manifest._atomic_write_json(
+        _bloom_path(path, sid),
+        {
+            "m": m,
+            "k": BLOOM_K,
+            "n": int(n),
+            "words": base64.b64encode(arr.tobytes()).decode(),
+        },
+    )
+
+
+def _bloom_hit_sids(batch: DataFrame, blooms: list[tuple[str, dict]]) -> list[str]:
+    """Slice sids whose Bloom POSSIBLY contains any batch doc_id — one
+    mapInPandas pass over the batch (the sidecars ride into the task
+    closure; at the 1 MiB cap that is ≤ slice-count MiB, bounded by
+    the same compaction story as the manifest dir itself). A sid NOT
+    returned definitely shares no doc_id with the batch — per shared
+    element all k positions are set in the slice bloom, so the numpy
+    all-k test cannot miss it (false positives only)."""
+    import base64
+
+    import numpy as np
+    import pandas as pd
+
+    metas = [
+        (
+            np.uint64(int(b["m"])),
+            int(b["k"]),
+            np.frombuffer(base64.b64decode(b["words"]), dtype=np.int64).view(np.uint64),
+        )
+        for _, b in blooms
+    ]
+
+    def probe(batches):
+        hit: set[int] = set()
+        u32 = np.uint64(0xFFFFFFFF)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            hv = pdf["h"].to_numpy().astype(np.int64).view(np.uint64)
+            h1 = hv & u32
+            h2 = ((hv >> np.uint64(32)) & u32) | np.uint64(1)
+            for idx, (m, k, words) in enumerate(metas):
+                if idx in hit:
+                    continue
+                member = np.ones(len(hv), dtype=bool)
+                for i in range(k):
+                    pos = (h1 + np.uint64(i) * h2) % m
+                    w = pos >> np.uint64(6)
+                    bit = pos & np.uint64(63)
+                    member &= ((words[w] >> bit) & np.uint64(1)).astype(bool)
+                    if not member.any():
+                        break
+                if member.any():
+                    hit.add(idx)
+        if hit:
+            yield pd.DataFrame({"i": sorted(hit)})
+
+    hits = (
+        batch.select(F.xxhash64("doc_id").alias("h"))
+        .mapInPandas(probe, "i int")
+        .distinct()
+        .collect()
+    )
+    return [blooms[r["i"]][0] for r in hits]
+
+
+def _read_table_slices(
+    spark: SparkSession, path: str, name: str, sids: list[str]
+) -> DataFrame:
+    dirs = [os.path.join(path, name, sid) for sid in sids]
+    missing = [d for d in dirs if not os.path.isdir(d)]
+    if missing:
+        raise ValueError(
+            f"index at {path} is corrupt: committed slice dir(s) missing "
+            f"{missing[:3]} — the manifest promises data that is gone; "
+            "rebuild the index"
+        )
+    return spark.read.parquet(*dirs)
 
 
 def _shingle_rows(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -84,6 +235,7 @@ def build_dedup_index(docs: DataFrame, path: str, text_col: str = "text") -> Non
     manifest.clear_slices(path)
     n = docs.count()
     _write_index_tables(docs, path, text_col, sid="base", batch_id=None)
+    _write_slice_bloom(docs.select("doc_id"), path, "base", int(n))
     manifest.commit_slice(
         path, "base", {"n_docs": int(n), "batch_id": None, "ckpt_tag": None}
     )
@@ -234,14 +386,16 @@ def append_to_index(
     if batch_id is not None and last is not None and batch_id <= last:
         return
     sid = _slice_sid(batch_id)
+    n = int(batch.count())
     _write_index_tables(batch, path, text_col, sid=sid, batch_id=batch_id)
+    _write_slice_bloom(batch.select("doc_id"), path, sid, n)
     # the commit point — everything above is invisible until this
     # rename lands, and the record carries the fold's meta with it
     manifest.commit_slice(
         path,
         sid,
         {
-            "n_docs": int(batch.count()),
+            "n_docs": n,
             "batch_id": None if batch_id is None else int(batch_id),
             "ckpt_tag": ckpt_tag,
         },
@@ -260,11 +414,35 @@ def assert_no_doc_id_reuse(
     exclusion exists for) and do not trip the check; build-time rows
     (NULL batch_id) are always foreign. Reads only COMMITTED slices —
     a crashed fold's provenance rows are invisible like everything
-    else in its slice."""
+    else in its slice.
+
+    Cost shape (round-10 advice): the probe is BATCH-sized, not
+    corpus-sized. Foreign slices are first screened through their
+    doc_id Bloom sidecars (one mapInPandas pass over the batch's
+    xxhash64s — a sid the screen rejects provably shares no doc_id);
+    only screen survivors (plus bloom-less slices from pre-round-10
+    indexes) pay the exact parquet join, and in a healthy stream that
+    survivor set is empty — no doc_batches file is even listed."""
+    bid = int(batch_id)
+    exact_sids: list[str] = []
+    blooms: list[tuple[str, dict]] = []
+    for rec in manifest.committed_slices(path):
+        if rec.get("batch_id") == bid:
+            continue  # own-slice rows are a partial-fold replay
+        bp = _bloom_path(path, rec["sid"])
+        if os.path.exists(bp):
+            with open(bp) as f:
+                blooms.append((rec["sid"], json.load(f)))
+        else:
+            exact_sids.append(rec["sid"])
+    if blooms:
+        exact_sids += _bloom_hit_sids(batch, blooms)
+    if not exact_sids:
+        return
     reused = (
-        _read_table(spark, path, "doc_batches")
+        _read_table_slices(spark, path, "doc_batches", exact_sids)
         .join(F.broadcast(batch.select("doc_id")), "doc_id")
-        .filter(F.coalesce(F.col("batch_id"), F.lit(-1)) != F.lit(int(batch_id)))
+        .filter(F.coalesce(F.col("batch_id"), F.lit(-1)) != F.lit(bid))
         .limit(1)
         .collect()
     )

@@ -54,6 +54,19 @@ def _atomic_write_json(final_path: str, payload: dict) -> None:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, final_path)  # the commit point
+        # fsync the DIRECTORY too (round-10 advice): without it, a
+        # power loss after the rename can roll the dirent back even
+        # though the caller — e.g. streaming_dedup_ingest, whose
+        # checkpoint advances right after this returns — believes the
+        # commit is durable; the batch would then be permanently
+        # skipped (watermark lives in the lost record, the replay
+        # guard never re-folds it). POSIX-scoped like the rename
+        # itself (module scope note).
+        dfd = os.open(d, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)

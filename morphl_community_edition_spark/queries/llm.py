@@ -182,11 +182,11 @@ def q35_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q36_fingerprint",
     oracle="""
-    WITH w AS (SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS pos
-               FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t)
     SELECT doc_id,
-           CAST(sum((CAST('0x' || substring(md5(word), 1, 15) AS BIGINT) % 1099511627776) * pos % 1099511627776) AS BIGINT) AS fp
-    FROM w GROUP BY doc_id ORDER BY doc_id
+           CAST(list_aggregate(list_transform(string_split(text, ' '),
+                (word, pos) -> (CAST('0x' || substring(md5(word), 1, 15) AS BIGINT) % 1099511627776) * pos % 1099511627776),
+                'sum') AS BIGINT) AS fp
+    FROM documents ORDER BY doc_id
     """,
 )
 def q36_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

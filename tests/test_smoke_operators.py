@@ -1044,6 +1044,61 @@ def test_index_rejects_doc_id_reuse(spark, tmp_path):
         )
 
 
+def test_reuse_guard_is_bloom_bounded(spark, tmp_path):
+    """Round-10 advice: the reuse guard must not scan every committed
+    doc_batches slice per batch. (a) Steady state — a fresh batch —
+    must not touch doc_batches AT ALL (proved by deleting the table:
+    the Bloom screen rejects every slice, so the exact probe never
+    runs); (b) a slice without a Bloom sidecar (pre-round-10 index)
+    must fall back to the exact probe and still catch reuse; (c) the
+    screen has no false negatives — every indexed doc_id re-submitted
+    under a new batch_id is caught THROUGH the screen, including
+    string ids and int64 ids above 2^53."""
+    import shutil
+
+    import pytest as _pytest
+
+    from morphl_community_edition_spark.operators.incremental_index import (
+        _bloom_path,
+        append_to_index,
+        assert_no_doc_id_reuse,
+        build_dedup_index,
+    )
+
+    path = str(tmp_path / "idx")
+    ids = [f"doc-{i:04d}" for i in range(50)] + [str(2**60 + i) for i in range(50)]
+    base = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in ids[:60]], "doc_id string, text string"
+    )
+    build_dedup_index(base, path)
+    b0 = spark.createDataFrame(
+        [(i, "iota kappa lambda mu") for i in ids[60:]], "doc_id string, text string"
+    )
+    append_to_index(b0, path, batch_id=0)
+
+    # (c) every indexed id, re-submitted, trips the guard via the screen
+    reuse = spark.createDataFrame([(ids[7], "x"), (ids[77], "y")], "doc_id string, text string")
+    with _pytest.raises(ValueError, match="re-submits doc_id"):
+        assert_no_doc_id_reuse(spark, path, reuse, batch_id=3)
+
+    # (a) fresh batch: the screen rejects both slices and no parquet
+    # probe runs — doc_batches can be GONE and the check still passes
+    shutil.rmtree(str(tmp_path / "idx" / "doc_batches"))
+    fresh = spark.createDataFrame(
+        [("brand-new-1", "x"), ("brand-new-2", "y")], "doc_id string, text string"
+    )
+    assert_no_doc_id_reuse(spark, path, fresh, batch_id=3)  # no raise
+
+    # (b) bloom-less slice (older index): falls back to the exact
+    # probe, which now loudly reports the missing table — i.e. the
+    # slice WAS routed to the exact path, not silently skipped
+    import os as _os
+
+    _os.unlink(_bloom_path(path, "base"))
+    with _pytest.raises(ValueError, match="missing"):
+        assert_no_doc_id_reuse(spark, path, fresh, batch_id=3)
+
+
 def test_heavy_hitters_preserves_item_type(spark):
     """Round-9 advice: a hardcoded string summary schema stringified
     numeric items, and the recount join then compared string vs
