@@ -40,13 +40,24 @@ from morphl_community_edition_spark.queries.windows import EVENTS_US
 def q17_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-statement spark.sql build over the memoized temp views
     (see relational._Q01_BODY note): identical aggregation semantics
-    to the former DataFrame chain — get_json_object is Spark's twin of
-    the oracle's json_extract; the rounding text is shared."""
+    to the former DataFrame chain; the rounding text is shared.
+
+    Parse path (round-10 measurement, SCALE.md): the '$.k' probe runs
+    through Spark 4's VARIANT type — ``try_variant_get(parse_json(
+    props), '$.k', 'int')`` — which reads 18% faster than
+    ``get_json_object`` on this query at sf0.1 (0.337 vs 0.413 s;
+    from_json struct/map tied with get_json_object, a regexp scan was
+    2× faster still but is not a JSON parser and diverges on nested/
+    quoted keys). Semantics parity with the oracle's
+    ``CAST(json_extract(...) AS INT)``: strict parse (malformed JSON
+    errors in BOTH engines — get_json_object's silent NULL was
+    actually the outlier), try_ on the GET so a props object without
+    'k' yields NULL, 'int' typed extraction on the numeric payload."""
     from morphl_community_edition_spark.catalog import ensure_views
 
     sfx = ensure_views(spark, sf_dir)
     avg_k = sql_crnd(
-        "CAST(sum(CAST(get_json_object(props, '$.k') AS INT)) AS DOUBLE)"
+        "CAST(sum(try_variant_get(parse_json(props), '$.k', 'int')) AS DOUBLE)"
         " / CAST(count(*) AS DOUBLE)",
         6,
     )
