@@ -203,6 +203,22 @@ def connected_components(
     (or 0) to force the distributed path."""
     edges = edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
     pairs = edges.select(src, dst)
+    # One node-id DOMAIN before anything else (round-10 review): with
+    # src/dst of different types, the contraction synthesizes (node,
+    # root) rows where a dst-origin value lands in the src column —
+    # an overflow/cast hazard the round-9 subset-emission never had —
+    # and the distributed tier's union/labels would coerce anyway.
+    # F.array resolves Spark's least common type (loudly un-resolvable
+    # types fail analysis here, not mid-job).
+    dts = dict(pairs.dtypes)
+    if dts[src] != dts[dst]:
+        common = (
+            pairs.select(F.array(src, dst).alias("__a"))
+            .schema["__a"].dataType.elementType.simpleString()
+        )
+        pairs = pairs.select(
+            F.col(src).cast(common).alias(src), F.col(dst).cast(common).alias(dst)
+        )
 
     def _driver_tier(frame) -> DataFrame | None:
         if not driver_max_edges:
@@ -210,7 +226,7 @@ def connected_components(
         probe = frame.limit(driver_max_edges + 1).collect()
         if len(probe) > driver_max_edges:
             return None
-        ntype = dict(edges.dtypes)[src]
+        ntype = dict(frame.dtypes)[src]
         labels = _union_find_labels((r[0], r[1]) for r in probe)
         return edges.sparkSession.createDataFrame(
             sorted(labels.items()), schema=f"n {ntype}, comp {ntype}"

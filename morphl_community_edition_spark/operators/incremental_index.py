@@ -135,9 +135,39 @@ def _write_slice_bloom(docs: DataFrame, path: str, sid: str, n: int) -> None:
             "m": m,
             "k": BLOOM_K,
             "n": int(n),
+            # xxhash64 is TYPE-sensitive (xxhash64('42') != xxhash64(42L))
+            # while the exact join applies implicit casts — record the
+            # indexed doc_id type so a type-drifted batch falls back to
+            # the exact probe instead of silently screening everything
+            # out (round-10 review)
+            "dtype": docs.schema["doc_id"].dataType.simpleString(),
             "words": base64.b64encode(arr.tobytes()).decode(),
         },
     )
+
+
+# (path mtime+size)-keyed parse cache: sidecars are immutable once
+# committed, but a REBUILD at the same path reuses sids ("base",
+# batch ids restart) — the stat key invalidates those, while a
+# long-lived stream stops re-reading + re-decoding every historical
+# bloom on every micro-batch (round-10 review)
+_BLOOM_CACHE: dict = {}
+
+
+def _load_bloom(bp: str) -> dict | None:
+    try:
+        st = os.stat(bp)
+    except FileNotFoundError:
+        return None
+    key = (bp, st.st_mtime_ns, st.st_size)
+    hit = _BLOOM_CACHE.get(key)
+    if hit is None:
+        with open(bp) as f:
+            hit = _BLOOM_CACHE[key] = json.load(f)
+        # drop superseded entries for this path (rebuild invalidation)
+        for k in [k for k in _BLOOM_CACHE if k[0] == bp and k != key]:
+            del _BLOOM_CACHE[k]
+    return hit
 
 
 def _bloom_hit_sids(batch: DataFrame, blooms: list[tuple[str, dict]]) -> list[str]:
@@ -210,6 +240,24 @@ def _read_table_slices(
     return spark.read.parquet(*dirs)
 
 
+INDEX_TABLES = ("postings", "doc_stats", "hashes", "doc_batches")
+
+
+def _fsync_slice(path: str, sid: str) -> None:
+    """Make one slice's parquet data durable BEFORE its manifest
+    commits (round-10 review): Spark's local parquet writes are not
+    fsynced, so committing first could persist the commit record
+    across a power loss while the data dirents roll back — a
+    permanently "corrupt" index whose batch the watermark forbids
+    re-folding. With data-then-manifest fsync ordering, a power loss
+    leaves either an uncommitted (invisible, replayable) slice or a
+    fully durable one."""
+    for t in INDEX_TABLES:
+        d = os.path.join(path, t, sid)
+        if os.path.isdir(d):
+            manifest.fsync_tree(d)
+
+
 def _shingle_rows(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, s): the distinct n-gram posting rows of each doc."""
     return word_shingles(docs, text_col, SHINGLE_N).select(
@@ -236,6 +284,7 @@ def build_dedup_index(docs: DataFrame, path: str, text_col: str = "text") -> Non
     n = docs.count()
     _write_index_tables(docs, path, text_col, sid="base", batch_id=None)
     _write_slice_bloom(docs.select("doc_id"), path, "base", int(n))
+    _fsync_slice(path, "base")
     manifest.commit_slice(
         path, "base", {"n_docs": int(n), "batch_id": None, "ckpt_tag": None}
     )
@@ -314,28 +363,18 @@ def index_state(path: str) -> dict:
 
 def _read_table(spark: SparkSession, path: str, name: str) -> DataFrame:
     """Union of a table's COMMITTED slices. A crashed (uncommitted)
-    fold's directory is never in the list — the atomicity story."""
-    dirs = [
-        os.path.join(path, name, rec["sid"])
-        for rec in manifest.committed_slices(path)
-    ]
-    if not dirs:
+    fold's directory is never in the list — the atomicity story.
+    A COMMITTED slice whose table dir is gone is corruption, not a
+    skippable gap (round-9 review: silently dropping it would
+    misclassify that slice's docs while index_state still counts
+    them in the valve denominator) — _read_table_slices fails loudly."""
+    sids = [rec["sid"] for rec in manifest.committed_slices(path)]
+    if not sids:
         raise ValueError(
             f"index at {path} has no committed {name!r} slices — never "
             "built, or torn before the first commit"
         )
-    # a COMMITTED slice whose table dir is gone is corruption, not a
-    # skippable gap (round-9 review: silently dropping it would
-    # misclassify that slice's docs while index_state still counts
-    # them in the valve denominator) — fail loudly
-    missing = [d for d in dirs if not os.path.isdir(d)]
-    if missing:
-        raise ValueError(
-            f"index at {path} is corrupt: committed slice dir(s) missing "
-            f"{missing[:3]} — the manifest promises data that is gone; "
-            "rebuild the index"
-        )
-    return spark.read.parquet(*dirs)
+    return _read_table_slices(spark, path, name, sids)
 
 
 def read_index_doc_count(spark: SparkSession, path: str) -> int:
@@ -389,6 +428,7 @@ def append_to_index(
     n = int(batch.count())
     _write_index_tables(batch, path, text_col, sid=sid, batch_id=batch_id)
     _write_slice_bloom(batch.select("doc_id"), path, sid, n)
+    _fsync_slice(path, sid)
     # the commit point — everything above is invisible until this
     # rename lands, and the record carries the fold's meta with it
     manifest.commit_slice(
@@ -424,15 +464,18 @@ def assert_no_doc_id_reuse(
     indexes) pay the exact parquet join, and in a healthy stream that
     survivor set is empty — no doc_batches file is even listed."""
     bid = int(batch_id)
+    batch_dtype = batch.schema["doc_id"].dataType.simpleString()
     exact_sids: list[str] = []
     blooms: list[tuple[str, dict]] = []
     for rec in manifest.committed_slices(path):
         if rec.get("batch_id") == bid:
             continue  # own-slice rows are a partial-fold replay
-        bp = _bloom_path(path, rec["sid"])
-        if os.path.exists(bp):
-            with open(bp) as f:
-                blooms.append((rec["sid"], json.load(f)))
+        b = _load_bloom(_bloom_path(path, rec["sid"]))
+        # no sidecar (pre-round-10 index) OR a doc_id type drift
+        # between index and batch (xxhash64 is type-sensitive where
+        # the exact join casts) -> exact probe, never a silent skip
+        if b is not None and b.get("dtype") == batch_dtype:
+            blooms.append((rec["sid"], b))
         else:
             exact_sids.append(rec["sid"])
     if blooms:

@@ -72,8 +72,40 @@ def _atomic_write_json(final_path: str, payload: dict) -> None:
             os.unlink(tmp)
 
 
+def fsync_tree(root: str) -> None:
+    """fsync every file and directory under ``root`` (bottom-up).
+
+    The commit rename only proves the MANIFEST durable; the slice
+    data Spark just wrote has no durability of its own (parquet
+    writers don't fsync local files), so without this a power loss
+    after commit could persist the commit record while the data
+    dirents roll back — the reader would then raise "committed slice
+    dir missing" forever and the batch could never be re-folded
+    (round-10 review: the durable-manifest/volatile-data inversion is
+    strictly worse than the skip it was meant to fix). Callers fsync
+    each slice tree BEFORE committing it. Cost: one open+fsync per
+    file, a handful per fold. POSIX-scoped like the rename."""
+    for dirpath, _dirnames, filenames in os.walk(root, topdown=False):
+        for name in filenames:
+            try:
+                fd = os.open(os.path.join(dirpath, name), os.O_RDONLY)
+            except FileNotFoundError:
+                continue
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        fd = os.open(dirpath, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+
+
 def write_commit(path: str, payload: dict | None = None) -> None:
-    """Commit a build-once index at ``path`` (write this LAST)."""
+    """Commit a build-once index at ``path`` (write this LAST —
+    callers fsync_tree the data first if they need power-loss
+    atomicity, not just crash atomicity)."""
     _atomic_write_json(os.path.join(path, COMMIT_MARKER), payload or {})
 
 

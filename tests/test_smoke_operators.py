@@ -212,6 +212,30 @@ def test_components_chain_and_isolated_clusters(spark):
     assert sizes == {1: 7, 10: 3, 20: 2}
 
 
+def test_components_mixed_endpoint_types(spark):
+    """Round-10 review: the vectorized contraction synthesizes (node,
+    root) rows, so a dst-origin value can land in the src column —
+    with src int and dst bigint holding ids above 2^31, a naive cast
+    to src's dtype would overflow. connected_components must coerce
+    both endpoints to the least common type up front and label
+    correctly on BOTH tiers."""
+    from morphl_community_edition_spark.operators.components import (
+        connected_components,
+    )
+
+    big = 2**40 + 5
+    edges = spark.createDataFrame(
+        [(1, big), (2, big + 1), (1, 2)],
+        "src int, dst long",
+    )
+    for tier in (
+        connected_components(edges),
+        connected_components(edges, driver_max_edges=None),
+    ):
+        comp = {r["n"]: r["comp"] for r in tier.collect()}
+        assert comp == {1: 1, 2: 1, big: 1, big + 1: 1}
+
+
 def test_k5_binary_file_source_and_arrow_decode(spark, tmp_path):
     """binaryFile ingestion → mapInArrow decode: the media landing
     path. Checks (a) the source schema contract, (b) length-filter
@@ -1052,8 +1076,10 @@ def test_reuse_guard_is_bloom_bounded(spark, tmp_path):
     runs); (b) a slice without a Bloom sidecar (pre-round-10 index)
     must fall back to the exact probe and still catch reuse; (c) the
     screen has no false negatives — every indexed doc_id re-submitted
-    under a new batch_id is caught THROUGH the screen, including
-    string ids and int64 ids above 2^53."""
+    under a new batch_id is caught THROUGH the screen (string ids
+    here; true BIGINT ids above 2^53 in the companion test below);
+    (d) a doc_id TYPE drift between index and batch must route to the
+    exact probe (xxhash64 is type-sensitive where the join casts)."""
     import shutil
 
     import pytest as _pytest
@@ -1097,6 +1123,44 @@ def test_reuse_guard_is_bloom_bounded(spark, tmp_path):
     _os.unlink(_bloom_path(path, "base"))
     with _pytest.raises(ValueError, match="missing"):
         assert_no_doc_id_reuse(spark, path, fresh, batch_id=3)
+
+
+def test_reuse_guard_bigint_ids_and_type_drift(spark, tmp_path):
+    """Companion to the bloom-bounded test: (a) the screen catches
+    reuse of true BIGINT doc_ids above 2^53 (the float64-coercion
+    hazard class — these must survive the Spark bit_or build AND the
+    numpy uint64 probe bit-exactly); (b) a batch whose doc_id TYPE
+    drifted from the index (string '…' vs bigint) must fall back to
+    the exact cast-coercing probe and still raise — xxhash64('42') !=
+    xxhash64(42L), so trusting the bloom would silently clear it."""
+    import pytest as _pytest
+
+    from morphl_community_edition_spark.operators.incremental_index import (
+        assert_no_doc_id_reuse,
+        build_dedup_index,
+    )
+
+    path = str(tmp_path / "idx")
+    big = 2**60 + 7
+    base = spark.createDataFrame(
+        [(big + i, "alpha beta gamma delta") for i in range(40)],
+        "doc_id long, text string",
+    )
+    build_dedup_index(base, path)
+
+    fresh = spark.createDataFrame([(123, "x")], "doc_id long, text string")
+    assert_no_doc_id_reuse(spark, path, fresh, batch_id=1)  # no raise
+
+    reuse = spark.createDataFrame([(big + 3, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="re-submits doc_id"):
+        assert_no_doc_id_reuse(spark, path, reuse, batch_id=1)
+
+    # type drift: same identity as a STRING — bloom screen would clear
+    # it (different xxhash64), the dtype check must force the exact
+    # probe, whose implicit cast catches the reuse
+    drift = spark.createDataFrame([(str(big + 3), "x")], "doc_id string, text string")
+    with _pytest.raises(ValueError, match="re-submits doc_id"):
+        assert_no_doc_id_reuse(spark, path, drift, batch_id=1)
 
 
 def test_heavy_hitters_preserves_item_type(spark):
