@@ -417,3 +417,18 @@ def test_semdedup_cell_valve_edge_set_identical(spark):
     }
     assert unsplit, "fixture produced no dup edges — test went vacuous"
     assert split == unsplit
+
+
+def test_gemm_task_granularity_contract(spark):
+    """Round-10: GEMM mapInPandas parallelism must be conf- and
+    file-layout-independent — min(defaultParallelism, ceil(n/256))
+    tasks, floored so tiny corpora don't pay worker spin-up (the sf1
+    headline fixture landed in 11 scan partitions on 32 cores and
+    left 2/3 of them idle under O(n^2/p) math)."""
+    from morphl_community_edition_spark.operators.similarity import _gemm_id_frame
+
+    emb = spark.range(2000).select(F.col("id").alias("vec_id"))
+    dp = spark.sparkContext.defaultParallelism
+    assert _gemm_id_frame(emb, "vec_id", 2000).rdd.getNumPartitions() == min(dp, 8)
+    assert _gemm_id_frame(emb, "vec_id", 100).rdd.getNumPartitions() == 1
+    assert _gemm_id_frame(emb, "vec_id", 10**6).rdd.getNumPartitions() == dp
