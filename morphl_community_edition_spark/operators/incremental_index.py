@@ -343,13 +343,16 @@ def _write_index_tables(
 def index_state(path: str) -> dict:
     """Aggregate state of the committed slices: total doc count,
     highest folded batch_id, checkpoint tag. Driver-side JSON reads —
-    no Spark job (the manifest is slice-count-sized)."""
+    no Spark job (the manifest is slice-count-sized). A compacted
+    slice carries the merged history's high-water batch_id in
+    ``watermark`` (its own ``batch_id`` is None — it is not a fold,
+    and the reuse guard's own-slice skip must never match it)."""
     n_docs, last, tag = 0, None, None
     for rec in manifest.committed_slices(path):
         n_docs += int(rec.get("n_docs", 0))
-        b = rec.get("batch_id")
-        if b is not None and (last is None or b > last):
-            last = int(b)
+        for b in (rec.get("batch_id"), rec.get("watermark")):
+            if b is not None and (last is None or b > last):
+                last = int(b)
         t = rec.get("ckpt_tag")
         if t is not None:
             if tag is not None and t != tag:
@@ -440,6 +443,87 @@ def append_to_index(
             "ckpt_tag": ckpt_tag,
         },
     )
+
+
+def compact_index(spark: SparkSession, path: str) -> int:
+    """Merge every committed slice into ONE (A5 maintenance, round 10)
+    — the production answer to slice-count growth on a long-lived
+    stream: per-batch manifest reads, bloom-closure size, and parquet
+    file counts are all O(slices), and blooms only bounded the reuse
+    probe's SCAN, not the slice census. Returns the number of slices
+    merged away (0 = nothing to do).
+
+    Semantics preserved exactly: the compacted slice is the row-union
+    of the old slices for all four tables (doc-level ``batch_id``
+    provenance included, so the reuse guard's row-level own-batch
+    filter still works), its commit record carries the summed
+    ``n_docs``, the checkpoint tag, and the history's high-water
+    batch_id as ``watermark`` — index_state is identical before and
+    after, so the replay guard and the valve denominator cannot drift.
+
+    Crash safety rides the manifest protocol: the compacted record
+    lists the sids it ``replaces``, and committed_slices ignores
+    replaced sids the moment the compacted manifest's rename lands —
+    ONE atomic cut-over, never a both-visible double-count window.
+    Everything after the rename (deleting old manifests, blooms, and
+    slice dirs) is garbage collection; a crash mid-GC leaves invisible
+    leftovers that the next compaction's GC sweeps again. A crash
+    BEFORE the rename leaves an invisible compacted slice that the
+    next run overwrites (deterministic sid per watermark).
+
+    Single-writer contract (same as folds): run between batches —
+    e.g. from the foreachBatch handler every N batches, or offline;
+    never concurrently with an in-flight fold."""
+    recs = manifest.committed_slices(path)
+    if len(recs) <= 1:
+        return 0
+    state = index_state(path)
+    old_sids = [r["sid"] for r in recs]
+    # deterministic per watermark so a crash-before-commit orphan is
+    # overwritten by the retry — but NEVER equal to a live sid: anon
+    # appends don't advance the watermark, so a second compaction
+    # could otherwise reuse the first one's sid and list ITSELF in
+    # `replaces`, filtering the whole index invisible
+    sid = base_sid = f"compacted-{(state['last_batch_id'] or 0):012d}"
+    bump = 2
+    while sid in old_sids:
+        sid = f"{base_sid}-{bump}"
+        bump += 1
+    for t in INDEX_TABLES:
+        _read_table(spark, path, t).write.mode("overwrite").parquet(
+            os.path.join(path, t, sid)
+        )
+    doc_ids = spark.read.parquet(os.path.join(path, "doc_batches", sid)).select(
+        "doc_id"
+    )
+    _write_slice_bloom(doc_ids, path, sid, state["n_docs"])
+    _fsync_slice(path, sid)
+    manifest.commit_slice(
+        path,
+        sid,
+        {
+            "n_docs": int(state["n_docs"]),
+            "batch_id": None,
+            "watermark": state["last_batch_id"],
+            "ckpt_tag": state["ckpt_tag"],
+            "replaces": old_sids,
+        },
+    )
+    # --- GC (invisible already; crash-safe to stop anywhere below) ---
+    import shutil
+
+    for s in old_sids:
+        bp = _bloom_path(path, s)
+        if os.path.exists(bp):
+            os.unlink(bp)
+        for t in INDEX_TABLES:
+            d = os.path.join(path, t, s)
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        mp = os.path.join(path, manifest.MANIFEST_DIR, f"{s}.json")
+        if os.path.exists(mp):
+            os.unlink(mp)
+    return len(old_sids)
 
 
 def assert_no_doc_id_reuse(
@@ -638,6 +722,7 @@ def streaming_dedup_ingest(
     out_path: str,
     checkpoint_path: str,
     text_col: str = "text",
+    compact_every: int | None = None,
 ):
     """The full production ingest loop (A5 × K1 × I8, round 7): each
     micro-batch of documents is (1) classified against the persisted
@@ -734,6 +819,14 @@ def streaming_dedup_ingest(
         append_to_index(
             b, index_path, text_col, batch_id=batch_id, meta=state, ckpt_tag=tag
         )
+        # Periodic slice compaction (round 10): runs INSIDE the
+        # handler — the single-writer window compact_index requires.
+        # After the fold commits, so a crash during compaction leaves
+        # the batch durable (replay skips it) and the compacted slice
+        # either invisible (pre-commit) or fully cut over; no schedule
+        # state to persist — the cadence re-derives from batch_id.
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_index(spark, index_path)
 
     return (
         stream_docs.writeStream.foreachBatch(handle)

@@ -169,16 +169,21 @@ def commit_slice(path: str, sid: str, payload: dict) -> None:
 
 
 def committed_slices(path: str) -> list[dict]:
-    """All committed slice records, sid-sorted (build slice first by
-    naming convention). Uncommitted slice directories are invisible —
-    that is the point."""
+    """All committed LIVE slice records, sid-sorted (build slice first
+    by naming convention). Uncommitted slice directories are invisible
+    — that is the point. A record may carry ``replaces: [sids...]``
+    (written by compaction, round 10): every sid so listed is ignored
+    even if its manifest still exists, which makes the compacted
+    record's single rename the atomic cut-over — the old manifests'
+    deletion afterwards is garbage collection, not correctness."""
     d = os.path.join(path, MANIFEST_DIR)
     if not os.path.isdir(d):
         return []
-    out = []
+    recs = []
     for name in sorted(os.listdir(d)):
         if not name.endswith(".json") or name.startswith("._"):
             continue
         with open(os.path.join(d, name)) as f:
-            out.append(json.load(f))
-    return out
+            recs.append(json.load(f))
+    replaced = {s for r in recs for s in r.get("replaces", [])}
+    return [r for r in recs if r["sid"] not in replaced]

@@ -1125,6 +1125,98 @@ def test_reuse_guard_is_bloom_bounded(spark, tmp_path):
         assert_no_doc_id_reuse(spark, path, fresh, batch_id=3)
 
 
+def test_compact_index_preserves_semantics(spark, tmp_path):
+    """Round 10: compact_index merges all committed slices into one
+    with (a) identical classification results for the next batch, (b)
+    identical index_state (n_docs, watermark, tag), (c) the reuse
+    guard still catching pre-compaction doc_ids, (d) the `replaces`
+    cut-over making a crash-before-GC old manifest invisible (no
+    double count), and (e) no self-replaces collision when an
+    anon append lands between two compactions at one watermark."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from morphl_community_edition_spark.operators import manifest as _mf
+    from morphl_community_edition_spark.operators.incremental_index import (
+        append_to_index,
+        assert_no_doc_id_reuse,
+        build_dedup_index,
+        compact_index,
+        incremental_dedup_with_index,
+        index_state,
+    )
+
+    path = str(tmp_path / "idx")
+    base = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta w{i} x{i} y{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    build_dedup_index(base, path)
+    append_to_index(
+        spark.createDataFrame(
+            [(10, "alpha beta gamma delta w0 x0 y0"), (11, "iota kappa mu nu pq rs tu")],
+            "doc_id long, text string",
+        ),
+        path, batch_id=0, ckpt_tag="t1",
+    )
+    append_to_index(
+        spark.createDataFrame(
+            [(12, "iota kappa mu nu pq rs tu")], "doc_id long, text string"
+        ),
+        path, batch_id=1, ckpt_tag="t1",
+    )
+    state_before = index_state(path)
+    probe = spark.createDataFrame(
+        [(90, "alpha beta gamma delta w0 x0 y0"),   # near/exact of doc 10
+         (91, "zz qq completely fresh words here")],
+        "doc_id long, text string",
+    )
+    verdicts_before = incremental_dedup_with_index(
+        spark, path, probe, n_docs=state_before["n_docs"] + 2
+    ).collect()
+
+    merged = compact_index(spark, path)
+    assert merged == 3
+    assert index_state(path) == state_before  # (b)
+    assert len(_mf.committed_slices(path)) == 1
+    verdicts_after = incremental_dedup_with_index(
+        spark, path, probe, n_docs=state_before["n_docs"] + 2
+    ).collect()
+    assert verdicts_after == verdicts_before  # (a)
+
+    # (c) reuse of a build-time id and a batch-0 id still trips
+    for reused_id in (3, 10):
+        bad = spark.createDataFrame([(reused_id, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="re-submits doc_id"):
+            assert_no_doc_id_reuse(spark, path, bad, batch_id=5)
+    # watermark survived: a replayed batch id is still detected as old
+    assert index_state(path)["last_batch_id"] == 1
+
+    # (d) crash-before-GC: resurrect an old manifest — `replaces`
+    # must keep it invisible, so nothing double-counts
+    ghost = _os.path.join(path, _mf.MANIFEST_DIR, "batch-000000000000.json")
+    with open(ghost, "w") as f:
+        _json.dump({"sid": "batch-000000000000", "n_docs": 999, "batch_id": 0}, f)
+    assert index_state(path) == state_before
+    _os.unlink(ghost)
+
+    # (e) anon append (watermark unchanged) then a second compaction:
+    # must pick a fresh sid, never list itself in replaces
+    append_to_index(
+        spark.createDataFrame([(13, "more fresh words ab cd ef gh")],
+                              "doc_id long, text string"),
+        path,
+    )
+    assert compact_index(spark, path) == 2
+    st = index_state(path)
+    assert st["n_docs"] == state_before["n_docs"] + 1
+    assert st["last_batch_id"] == 1
+    assert len(_mf.committed_slices(path)) == 1
+    assert compact_index(spark, path) == 0  # single slice -> no-op
+
+
 def test_reuse_guard_bigint_ids_and_type_drift(spark, tmp_path):
     """Companion to the bloom-bounded test: (a) the screen catches
     reuse of true BIGINT doc_ids above 2^53 (the float64-coercion

@@ -658,6 +658,71 @@ def test_s11_streaming_indexed_dedup_ingest_loop(spark, tmp_path):
     )
 
 
+def test_s11d_ingest_with_periodic_compaction(spark, tmp_path):
+    """Round 10: the ingest loop with compact_every must emit
+    byte-identical verdicts to the uncompacted run over the same
+    staged chunks, keep index_state identical, and actually shrink
+    the slice census; a restart over the compacted index still skips
+    committed batches (watermark rides the compacted record)."""
+    from morphl_community_edition_spark.operators import manifest as _mf
+    from morphl_community_edition_spark.operators.incremental_index import (
+        build_dedup_index,
+        index_state,
+        streaming_dedup_ingest,
+    )
+    from morphl_community_edition_spark.sources.stream import (
+        read_stream_dir,
+        stage_stream_input,
+    )
+
+    staged = stage_stream_input(
+        spark, SF_DIR_SMOKE, "documents", n_chunks=3, order_col="doc_id"
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+
+    results = {}
+    for tag, every in (("plain", None), ("compacted", 2)):
+        index_path = str(tmp_path / f"index-{tag}")
+        out_path = str(tmp_path / f"verdicts-{tag}")
+        build_dedup_index(empty, index_path)
+        q = streaming_dedup_ingest(
+            read_stream_dir(spark, staged, "documents"),
+            index_path, out_path, str(tmp_path / f"ckpt-{tag}"),
+            compact_every=every,
+        )
+        q.awaitTermination(600)
+        assert q.exception() is None
+        results[tag] = {
+            "verdicts": {
+                (r["doc_id"], r["status"], r["batch_id"])
+                for r in spark.read.parquet(out_path).collect()
+            },
+            "state": index_state(index_path),
+            "slices": len(_mf.committed_slices(index_path)),
+        }
+    assert results["compacted"]["verdicts"] == results["plain"]["verdicts"]
+    # ckpt_tag is md5(checkpoint path) — necessarily differs per run
+    for k in ("n_docs", "last_batch_id"):
+        assert results["compacted"]["state"][k] == results["plain"]["state"][k]
+    assert results["compacted"]["state"]["ckpt_tag"] is not None
+    # 3 batches + empty base: plain holds 4 slices; compact_every=2
+    # fired after batch 1 (base+b0+b1 -> 1) leaving 1+b2 = 2
+    assert results["plain"]["slices"] == 4
+    assert results["compacted"]["slices"] == 2
+
+    # restart on the compacted index: committed batches still skipped
+    out_path = str(tmp_path / "verdicts-compacted")
+    n_before = spark.read.parquet(out_path).count()
+    q2 = streaming_dedup_ingest(
+        read_stream_dir(spark, staged, "documents"),
+        str(tmp_path / "index-compacted"), out_path,
+        str(tmp_path / "ckpt-compacted"), compact_every=2,
+    )
+    q2.awaitTermination(600)
+    assert q2.exception() is None
+    assert spark.read.parquet(out_path).count() == n_before
+
+
 def test_s11b_index_append_replay_idempotent(spark, tmp_path):
     """Round-8 advice: foreachBatch is at-least-once, so the index
     fold must be a no-op when a batch_id replays (crash between the
