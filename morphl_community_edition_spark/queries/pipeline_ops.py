@@ -654,6 +654,56 @@ _INDEX_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[str, str]]" = (
 )
 
 
+@query("q153_compacted_index_dedup")
+def q153_compacted_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q134 after a COMPACTION cycle (round 10): the existing corpus
+    reaches the index as a build slice plus an appended batch-0 slice,
+    `compact_index` merges them into one, and the src1 batch is
+    classified against the compacted index. Equal to q114/q134 by
+    construction — compaction is a pure physical re-layout (row-union
+    of the slices, state carried on the compacted record) — so q114's
+    oracle below certifies that the merge changed NOTHING: one hash
+    covers build -> append -> compact -> classify. The q124/q134
+    "pruning made vacuous" oracle-reuse device, applied to storage
+    maintenance instead of probe pruning."""
+    import hashlib
+    import os
+
+    from morphl_community_edition_spark.catalog import index_root
+    from morphl_community_edition_spark.operators.incremental_index import (
+        append_to_index,
+        build_dedup_index,
+        compact_index,
+        incremental_dedup_with_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("source") != "src1").select("doc_id", "text")
+    batch = docs.filter(F.col("source") == "src1").select("doc_id", "text")
+    n_docs = _DOC_COUNT_MEMO.setdefault(spark, {}).get(sf_dir)
+    if n_docs is None:
+        n_docs = docs.count()
+        _DOC_COUNT_MEMO[spark][sf_dir] = n_docs
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(
+        index_root(spark), "morphl_dedup_index_compacted",
+        spark.sparkContext.applicationId, tag,
+    )
+    memo_key = f"{sf_dir}#compacted"
+    built = _INDEX_MEMO.setdefault(spark, {})
+    if built.get(memo_key) != path or not _ix_manifest.committed_slices(path):
+        # deterministic halves so the slice layout (hence the merge)
+        # is reproducible across runs and engines
+        build_dedup_index(existing.filter(F.col("doc_id") % 2 == 0), path)
+        append_to_index(
+            existing.filter(F.col("doc_id") % 2 != 0), path, batch_id=0
+        )
+        merged = compact_index(spark, path)
+        assert merged == 2, f"expected to merge base+batch, merged {merged}"
+        built[memo_key] = path
+    return incremental_dedup_with_index(spark, path, batch, n_docs=n_docs)
+
+
 @query(
     "q147_quality_keeper_dedup",
     oracle=f"""
@@ -736,3 +786,4 @@ def q147_quality_keeper_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 from morphl_community_edition_spark.queries import ORACLE_SQL as _ORACLE_SQL  # noqa: E402
 
 _ORACLE_SQL["q134_indexed_incremental_dedup"] = _ORACLE_SQL["q114_incremental_dedup"]
+_ORACLE_SQL["q153_compacted_index_dedup"] = _ORACLE_SQL["q114_incremental_dedup"]
