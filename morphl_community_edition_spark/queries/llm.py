@@ -215,7 +215,7 @@ def q36_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q37_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs — the verification oracle
     for the MinHash path, and itself oracle-checked vs DuckDB."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_narrow_scan(load_table(spark, sf_dir, "documents"))
     return exact_jaccard_pairs(docs, threshold=0.02).orderBy("a_doc", "b_doc")
 
 
@@ -601,7 +601,7 @@ def q121_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the signatures arithmetically and brute-forces the pair
     join, so the hash match certifies the banded path loses no pair —
     the pigeonhole guarantee, verified rather than asserted."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_narrow_scan(load_table(spark, sf_dir, "documents"))
     return simhash_hamming_pairs(simhash_signatures(docs)).orderBy("a_doc", "b_doc")
 
 
@@ -659,7 +659,7 @@ def q123_minhash_lsh_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     alone."""
     from morphl_community_edition_spark.operators.dedup import minhash_lsh_pairs_exact
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_narrow_scan(load_table(spark, sf_dir, "documents"))
     return minhash_lsh_pairs_exact(docs).orderBy("a_doc", "b_doc")
 
 
@@ -866,7 +866,7 @@ def q127_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     input stay O(1) in k. See operators/bpe.py."""
     from morphl_community_edition_spark.operators.bpe import bpe_train
 
-    return bpe_train(load_table(spark, sf_dir, "documents"), k=BPE_K)
+    return bpe_train(fan_out_narrow_scan(load_table(spark, sf_dir, "documents")), k=BPE_K)
 
 
 _SEMDEDUP_EXACT_ORACLE = """
@@ -1189,7 +1189,7 @@ def q144_prefix_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction. Measured trade-off + when-to-use table in
     exact_jaccard_pairs' docstring; boilerplate pruning plan-gated in
     tests/test_plans.py; prefix==postings equality hypothesis-fuzzed."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_narrow_scan(load_table(spark, sf_dir, "documents"))
     return exact_jaccard_pairs(docs, threshold=0.5, method="prefix").orderBy(
         "a_doc", "b_doc"
     )
@@ -1219,7 +1219,10 @@ def q148_heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     recount is exact arithmetic — so the plain GROUP BY/HAVING oracle
     certifies the whole composition: the sketch must be invisible in
     the answer (the q124/q144 posture)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan-out BEFORE the explode (round 10): a small file's single
+    # row group otherwise pins the MG pass AND the recount's map side
+    # to one task; no-op at real scan widths
+    docs = fan_out_narrow_scan(load_table(spark, sf_dir, "documents"))
     words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
     return heavy_hitters_exact(words, "word", k=200).orderBy(
         F.col("cnt").desc(), "word"
@@ -1347,7 +1350,8 @@ def q152_heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass beats the naive GROUP BY, whose map-side combine still
     ships per-partition-DISTINCT bigrams). Exact output, plain
     GROUP BY/HAVING oracle: the sketch must stay invisible."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan-out BEFORE the explode (round 10, same note as q148)
+    docs = fan_out_narrow_scan(load_table(spark, sf_dir, "documents"))
     ws = F.split(F.col("text"), " ")
     bigrams = docs.select(
         F.explode(

@@ -584,7 +584,11 @@ def q114_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n_docs is None:
         n_docs = docs.count()
         _DOC_COUNT_MEMO[spark][sf_dir] = n_docs
-    return incremental_dedup_frame(docs, F.col("source") == "src1", n_docs=n_docs)
+    from morphl_community_edition_spark.plans.hints import fan_out_narrow_scan
+
+    return incremental_dedup_frame(
+        fan_out_narrow_scan(docs), F.col("source") == "src1", n_docs=n_docs
+    )
 
 
 # session -> {sf_dir -> documents row count} for the valve limit: the
