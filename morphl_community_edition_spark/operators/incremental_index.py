@@ -466,27 +466,59 @@ def compact_index(spark: SparkSession, path: str) -> int:
     replaced sids the moment the compacted manifest's rename lands —
     ONE atomic cut-over, never a both-visible double-count window.
     Everything after the rename (deleting old manifests, blooms, and
-    slice dirs) is garbage collection; a crash mid-GC leaves invisible
-    leftovers that the next compaction's GC sweeps again. A crash
-    BEFORE the rename leaves an invisible compacted slice that the
-    next run overwrites (deterministic sid per watermark).
+    slice dirs) is garbage collection. Two tombstone invariants keep
+    the mid-GC crash windows closed (round-10 review):
+
+    - **Tombstones are carried forward**: the new record's
+      ``replaces`` also absorbs every sid the old records tombstoned
+      whose manifest file still exists (a crash mid-GC can leave such
+      ghosts) — otherwise deleting the old compacted record during
+      the NEXT compaction's GC would resurrect them as live slices
+      (double-counted n_docs, or "committed slice dir missing" if
+      their dirs were already swept).
+    - **Sid uniqueness is checked against tombstones and leftover
+      manifests too**, not just live sids: a sid reused while any
+      surviving record still tombstones it would filter ITSELF (and
+      with it the whole index) invisible.
+
+    A crash BEFORE the rename leaves an invisible compacted slice
+    that the next run overwrites (deterministic sid per watermark).
 
     Single-writer contract (same as folds): run between batches —
     e.g. from the foreachBatch handler every N batches, or offline;
-    never concurrently with an in-flight fold."""
+    never concurrently with an in-flight fold. The cut-over also
+    invalidates any OUTSTANDING LAZY reader plan built before it
+    (those plans name the old slice dirs, which GC removes) — callers
+    that hold un-collected DataFrames over the index must materialize
+    them before compacting; the streaming handler does (the verdict
+    parquet write precedes the fold and the compaction)."""
     recs = manifest.committed_slices(path)
     if len(recs) <= 1:
         return 0
     state = index_state(path)
     old_sids = [r["sid"] for r in recs]
-    # deterministic per watermark so a crash-before-commit orphan is
-    # overwritten by the retry — but NEVER equal to a live sid: anon
-    # appends don't advance the watermark, so a second compaction
-    # could otherwise reuse the first one's sid and list ITSELF in
-    # `replaces`, filtering the whole index invisible
+    mdir = os.path.join(path, manifest.MANIFEST_DIR)
+    # ghost tombstones to carry forward: sids already replaced by the
+    # records we are about to replace, whose manifest files a crashed
+    # GC left behind — they must stay tombstoned after those records
+    # are themselves GC'd
+    all_tombstoned = {s for r in recs for s in r.get("replaces", [])}
+    inherited = {
+        s
+        for s in all_tombstoned
+        if os.path.exists(os.path.join(mdir, f"{s}.json"))
+    }
+    # reuse-blocked: live sids, EVERY sid a live record tombstones
+    # (even if its manifest is long gone — the tombstoning record
+    # survives until this GC completes, and a crash before that makes
+    # a reused sid self-tombstone the whole index), and any leftover
+    # manifest file
+    taken = set(old_sids) | all_tombstoned
+    if os.path.isdir(mdir):
+        taken |= {n[:-5] for n in os.listdir(mdir) if n.endswith(".json")}
     sid = base_sid = f"compacted-{(state['last_batch_id'] or 0):012d}"
     bump = 2
-    while sid in old_sids:
+    while sid in taken:
         sid = f"{base_sid}-{bump}"
         bump += 1
     for t in INDEX_TABLES:
@@ -506,21 +538,26 @@ def compact_index(spark: SparkSession, path: str) -> int:
             "batch_id": None,
             "watermark": state["last_batch_id"],
             "ckpt_tag": state["ckpt_tag"],
-            "replaces": old_sids,
+            "replaces": sorted(set(old_sids) | inherited),
         },
     )
-    # --- GC (invisible already; crash-safe to stop anywhere below) ---
+    # --- GC (invisible already; crash-safe to stop anywhere below;
+    # inherited ghosts are swept too, so leftovers don't accumulate) ---
     import shutil
 
-    for s in old_sids:
+    for s in sorted(set(old_sids) | inherited):
         bp = _bloom_path(path, s)
         if os.path.exists(bp):
             os.unlink(bp)
+        # the parsed-bloom cache would otherwise pin one dict per
+        # compacted-away slice forever (round-10 review)
+        for k in [k for k in _BLOOM_CACHE if k[0] == bp]:
+            del _BLOOM_CACHE[k]
         for t in INDEX_TABLES:
             d = os.path.join(path, t, s)
             if os.path.isdir(d):
                 shutil.rmtree(d)
-        mp = os.path.join(path, manifest.MANIFEST_DIR, f"{s}.json")
+        mp = os.path.join(mdir, f"{s}.json")
         if os.path.exists(mp):
             os.unlink(mp)
     return len(old_sids)

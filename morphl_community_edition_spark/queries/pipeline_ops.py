@@ -681,7 +681,9 @@ def q153_compacted_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         incremental_dedup_with_index,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    from morphl_community_edition_spark.plans.hints import fan_out_narrow_scan
+
+    docs = fan_out_narrow_scan(load_table(spark, sf_dir, "documents"))
     existing = docs.filter(F.col("source") != "src1").select("doc_id", "text")
     batch = docs.filter(F.col("source") == "src1").select("doc_id", "text")
     n_docs = _DOC_COUNT_MEMO.setdefault(spark, {}).get(sf_dir)

@@ -1217,6 +1217,76 @@ def test_compact_index_preserves_semantics(spark, tmp_path):
     assert compact_index(spark, path) == 0  # single slice -> no-op
 
 
+def test_compact_index_tombstone_crash_sequences(spark, tmp_path):
+    """Round-10 review: the two mid-GC crash sequences the first cut
+    mishandled. (a) Ghost carry-forward — a crash after the cut-over
+    but before an old manifest is unlinked leaves a ghost that the
+    NEXT compaction's record must keep tombstoned (and its GC must
+    sweep), or deleting the old compacted record resurrects it as a
+    live slice with missing dirs. (b) Sid reuse — repeated
+    compactions at an unchanged watermark must never re-issue a sid
+    that any surviving record still tombstones, or the new record
+    self-tombstones and the whole index filters invisible."""
+    import json as _json
+    import os as _os
+
+    from morphl_community_edition_spark.operators import manifest as _mf
+    from morphl_community_edition_spark.operators.incremental_index import (
+        append_to_index,
+        build_dedup_index,
+        compact_index,
+        index_state,
+    )
+
+    path = str(tmp_path / "idx")
+    build_dedup_index(
+        spark.createDataFrame(
+            [(i, f"alpha beta gamma w{i} x{i}") for i in range(6)],
+            "doc_id long, text string",
+        ),
+        path,
+    )
+    append_to_index(
+        spark.createDataFrame([(10, "iota kappa mu nu pq")], "doc_id long, text string"),
+        path, batch_id=0,
+    )
+    assert compact_index(spark, path) == 2
+    state = index_state(path)
+
+    # (a) crashed GC: resurrect the ghost of the batch-0 manifest
+    # (its dirs are gone — exactly the dangerous shape)
+    ghost = _os.path.join(path, _mf.MANIFEST_DIR, "batch-000000000000.json")
+    with open(ghost, "w") as f:
+        _json.dump({"sid": "batch-000000000000", "n_docs": 99, "batch_id": 0}, f)
+    # still invisible (live record tombstones it), state unchanged
+    assert index_state(path) == state
+    # next compaction must absorb the ghost's tombstone AND sweep it
+    append_to_index(
+        spark.createDataFrame([(11, "fresh words ab cd ef")], "doc_id long, text string"),
+        path,
+    )
+    assert compact_index(spark, path) == 2
+    assert not _os.path.exists(ghost), "ghost manifest must be GC-swept"
+    assert index_state(path)["n_docs"] == state["n_docs"] + 1
+    assert len(_mf.committed_slices(path)) == 1
+
+    # (b) repeated compactions at one watermark: every cycle must keep
+    # the index visible and correct (sid reuse would blank it)
+    for i in range(3):
+        append_to_index(
+            spark.createDataFrame(
+                [(20 + i, f"cycle words {i} qq rr ss")], "doc_id long, text string"
+            ),
+            path,
+        )
+        assert compact_index(spark, path) == 2
+        recs = _mf.committed_slices(path)
+        assert len(recs) == 1, f"cycle {i}: index filtered invisible"
+        assert recs[0]["sid"] not in recs[0].get("replaces", [])
+    assert index_state(path)["n_docs"] == state["n_docs"] + 4
+    assert index_state(path)["last_batch_id"] == 0
+
+
 def test_reuse_guard_bigint_ids_and_type_drift(spark, tmp_path):
     """Companion to the bloom-bounded test: (a) the screen catches
     reuse of true BIGINT doc_ids above 2^53 (the float64-coercion
