@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import os
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -129,7 +130,7 @@ def _write_slice_bloom(docs: DataFrame, path: str, sid: str, n: int) -> None:
     arr = np.zeros(m // 64, dtype=np.int64)
     for r in words:
         arr[r["w"]] = r["bits"]
-    manifest._atomic_write_json(
+    manifest.write_json_record(
         _bloom_path(path, sid),
         {
             "m": m,
@@ -143,30 +144,70 @@ def _write_slice_bloom(docs: DataFrame, path: str, sid: str, n: int) -> None:
             "dtype": docs.schema["doc_id"].dataType.simpleString(),
             "words": base64.b64encode(arr.tobytes()).decode(),
         },
+        root=path,
     )
+
+
+def _slice_bloom_from_written(spark: SparkSession, path: str, sid: str) -> int:
+    """Write the slice's Bloom sidecar from the PERSISTED
+    ``doc_batches/<sid>`` slice (round-11 advice) and return its doc
+    count. Building the bloom from a second evaluation of the caller's
+    input frame risked sidecar/slice divergence when that frame is
+    nondeterministic across evaluations (sample/limit upstream) — a
+    bloom false negative would then silently skip the exact reuse
+    probe. Reading back the just-written slice makes the sidecar and
+    the exact-probe table definitionally the same doc_id set (the same
+    device compact_index already uses), and sourcing ``n_docs`` from
+    the same read keeps the valve denominator consistent too."""
+    written = spark.read.parquet(os.path.join(path, "doc_batches", sid)).select(
+        "doc_id"
+    )
+    n = int(written.count())
+    _write_slice_bloom(written, path, sid, n)
+    return n
 
 
 # (path mtime+size)-keyed parse cache: sidecars are immutable once
 # committed, but a REBUILD at the same path reuses sids ("base",
 # batch ids restart) — the stat key invalidates those, while a
 # long-lived stream stops re-reading + re-decoding every historical
-# bloom on every micro-batch (round-10 review)
-_BLOOM_CACHE: dict = {}
+# bloom on every micro-batch (round-10 review). LRU-bounded
+# (round-11 advice): stat-key supersession only evicts entries for a
+# path that is RE-read, so sidecars of deleted indexes (tmp test
+# roots, rebuilt paths, other index roots a long-lived driver served
+# once) otherwise accumulate forever at up to ~1 MiB decoded each.
+# 256 entries ≈ 256 live slices before any re-decode — far above the
+# compaction story's steady-state slice count — for ≤ ~256 MiB worst
+# case, and an evicted entry costs one re-read, never correctness.
+_BLOOM_CACHE_MAX = 256
+_BLOOM_CACHE: OrderedDict = OrderedDict()
 
 
 def _load_bloom(bp: str) -> dict | None:
+    # resolve the LOGICAL sidecar path to its newest physical file —
+    # under versioned commits (object-store mode) the bytes live in
+    # ``<sid>.v<N>.json``; the stat identity keys the cache either way
+    real = manifest.newest_record_path(bp)
+    if real is None:
+        return None
     try:
-        st = os.stat(bp)
+        st = os.stat(real)
     except FileNotFoundError:
         return None
-    key = (bp, st.st_mtime_ns, st.st_size)
+    key = (bp, real, st.st_mtime_ns, st.st_size)
     hit = _BLOOM_CACHE.get(key)
     if hit is None:
-        with open(bp) as f:
-            hit = _BLOOM_CACHE[key] = json.load(f)
+        hit = manifest.read_json_record(bp)
+        if hit is None:  # torn sidecar with no complete predecessor
+            return None
+        _BLOOM_CACHE[key] = hit
         # drop superseded entries for this path (rebuild invalidation)
         for k in [k for k in _BLOOM_CACHE if k[0] == bp and k != key]:
             del _BLOOM_CACHE[k]
+        while len(_BLOOM_CACHE) > _BLOOM_CACHE_MAX:
+            _BLOOM_CACHE.popitem(last=False)
+    else:
+        _BLOOM_CACHE.move_to_end(key)
     return hit
 
 
@@ -251,11 +292,25 @@ def _fsync_slice(path: str, sid: str) -> None:
     permanently "corrupt" index whose batch the watermark forbids
     re-folding. With data-then-manifest fsync ordering, a power loss
     leaves either an uncommitted (invisible, replayable) slice or a
-    fully durable one."""
+    fully durable one.
+
+    Also fsyncs each PARENT table directory and the index root
+    (round-11 advice): fsync_tree makes the slice's own subtree
+    durable, but the dirent that binds ``<sid>`` into ``<table>/``
+    lives in the parent — without fsyncing it, a power loss can keep
+    the fsynced manifest record while the slice dir's binding rolls
+    back, the same durable-manifest/volatile-data inversion this
+    ordering exists to close. The root fsync covers first-build
+    dirents (the table dirs themselves, ``blooms/``)."""
     for t in INDEX_TABLES:
         d = os.path.join(path, t, sid)
         if os.path.isdir(d):
             manifest.fsync_tree(d)
+            manifest.fsync_dir(os.path.dirname(d))
+    bd = os.path.dirname(_bloom_path(path, sid))
+    if os.path.isdir(bd):
+        manifest.fsync_dir(bd)
+    manifest.fsync_dir(path)
 
 
 def _shingle_rows(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -281,9 +336,8 @@ def build_dedup_index(docs: DataFrame, path: str, text_col: str = "text") -> Non
     dirs, so a crash mid-wipe fails loudly at read time instead of
     serving a mix."""
     manifest.clear_slices(path)
-    n = docs.count()
     _write_index_tables(docs, path, text_col, sid="base", batch_id=None)
-    _write_slice_bloom(docs.select("doc_id"), path, "base", int(n))
+    n = _slice_bloom_from_written(docs.sparkSession, path, "base")
     _fsync_slice(path, "base")
     manifest.commit_slice(
         path, "base", {"n_docs": int(n), "batch_id": None, "ckpt_tag": None}
@@ -347,8 +401,16 @@ def index_state(path: str) -> dict:
     slice carries the merged history's high-water batch_id in
     ``watermark`` (its own ``batch_id`` is None — it is not a fold,
     and the reuse guard's own-slice skip must never match it)."""
+    return _state_of(manifest.committed_slices(path), path)
+
+
+def _state_of(recs: list[dict], path: str) -> dict:
+    """index_state over an ALREADY-READ slice-record list — so a
+    caller that must act on one consistent manifest snapshot
+    (compact_index, round-11 race fix) aggregates the same records it
+    snapshotted instead of re-listing the manifest dir."""
     n_docs, last, tag = 0, None, None
-    for rec in manifest.committed_slices(path):
+    for rec in recs:
         n_docs += int(rec.get("n_docs", 0))
         for b in (rec.get("batch_id"), rec.get("watermark")):
             if b is not None and (last is None or b > last):
@@ -428,9 +490,8 @@ def append_to_index(
     if batch_id is not None and last is not None and batch_id <= last:
         return
     sid = _slice_sid(batch_id)
-    n = int(batch.count())
     _write_index_tables(batch, path, text_col, sid=sid, batch_id=batch_id)
-    _write_slice_bloom(batch.select("doc_id"), path, sid, n)
+    n = _slice_bloom_from_written(batch.sparkSession, path, sid)
     _fsync_slice(path, sid)
     # the commit point — everything above is invisible until this
     # rename lands, and the record carries the fold's meta with it
@@ -484,9 +545,17 @@ def compact_index(spark: SparkSession, path: str) -> int:
     A crash BEFORE the rename leaves an invisible compacted slice
     that the next run overwrites (deterministic sid per watermark).
 
-    Single-writer contract (same as folds): run between batches —
-    e.g. from the foreachBatch handler every N batches, or offline;
-    never concurrently with an in-flight fold. The cut-over also
+    Writer concurrency (round 11): the whole compaction acts on ONE
+    manifest snapshot taken at entry — every table union, the summed
+    meta, and the ``replaces`` list name exactly the slices committed
+    at that instant, so a fold that commits while compaction runs is
+    simply not part of it: its slice stays live beside the compacted
+    one (correct union, correct n_docs/watermark via index_state's
+    max/sum) and merges on the next compaction. The regression test
+    injects a commit between the snapshot and the cut-over
+    (tests/test_incremental_index.py). Folds themselves remain
+    single-writer per index (slice sids are batch-deterministic).
+    The cut-over also
     invalidates any OUTSTANDING LAZY reader plan built before it
     (those plans name the old slice dirs, which GC removes) — callers
     that hold un-collected DataFrames over the index must materialize
@@ -495,7 +564,16 @@ def compact_index(spark: SparkSession, path: str) -> int:
     recs = manifest.committed_slices(path)
     if len(recs) <= 1:
         return 0
-    state = index_state(path)
+    # ONE manifest snapshot drives the whole compaction (round-11
+    # race fix): state, the slice list, and every table read below
+    # all derive from `recs`. The old shape re-listed the manifest
+    # per table (_read_table), so a fold committing mid-compaction
+    # entered the LATER tables' unions but not the earlier ones' —
+    # a torn compacted slice that ALSO left the new fold live beside
+    # it (double-counted rows). With the snapshot, a concurrent fold
+    # is simply not part of this compaction: its slice stays live
+    # next to the compacted one and merges on the next pass.
+    state = _state_of(recs, path)
     old_sids = [r["sid"] for r in recs]
     mdir = os.path.join(path, manifest.MANIFEST_DIR)
     # ghost tombstones to carry forward: sids already replaced by the
@@ -506,23 +584,21 @@ def compact_index(spark: SparkSession, path: str) -> int:
     inherited = {
         s
         for s in all_tombstoned
-        if os.path.exists(os.path.join(mdir, f"{s}.json"))
+        if manifest.record_file_exists(os.path.join(mdir, f"{s}.json"))
     }
     # reuse-blocked: live sids, EVERY sid a live record tombstones
     # (even if its manifest is long gone — the tombstoning record
     # survives until this GC completes, and a crash before that makes
     # a reused sid self-tombstone the whole index), and any leftover
     # manifest file
-    taken = set(old_sids) | all_tombstoned
-    if os.path.isdir(mdir):
-        taken |= {n[:-5] for n in os.listdir(mdir) if n.endswith(".json")}
+    taken = set(old_sids) | all_tombstoned | manifest.list_record_sids(path)
     sid = base_sid = f"compacted-{(state['last_batch_id'] or 0):012d}"
     bump = 2
     while sid in taken:
         sid = f"{base_sid}-{bump}"
         bump += 1
     for t in INDEX_TABLES:
-        _read_table(spark, path, t).write.mode("overwrite").parquet(
+        _read_table_slices(spark, path, t, old_sids).write.mode("overwrite").parquet(
             os.path.join(path, t, sid)
         )
     doc_ids = spark.read.parquet(os.path.join(path, "doc_batches", sid)).select(
@@ -547,8 +623,7 @@ def compact_index(spark: SparkSession, path: str) -> int:
 
     for s in sorted(set(old_sids) | inherited):
         bp = _bloom_path(path, s)
-        if os.path.exists(bp):
-            os.unlink(bp)
+        manifest.delete_record(bp)
         # the parsed-bloom cache would otherwise pin one dict per
         # compacted-away slice forever (round-10 review)
         for k in [k for k in _BLOOM_CACHE if k[0] == bp]:
@@ -557,9 +632,7 @@ def compact_index(spark: SparkSession, path: str) -> int:
             d = os.path.join(path, t, s)
             if os.path.isdir(d):
                 shutil.rmtree(d)
-        mp = os.path.join(mdir, f"{s}.json")
-        if os.path.exists(mp):
-            os.unlink(mp)
+        manifest.delete_record(os.path.join(mdir, f"{s}.json"))
     return len(old_sids)
 
 
