@@ -386,7 +386,9 @@ def invalidate_tables(spark: SparkSession, sf_dir: str | None = None) -> int:
     # the q150 persisted ANN index memo — same staleness class
     from morphl_community_edition_spark.queries import llm as _llm
 
-    for _memo in (_llm._ANN_INDEX_MEMO, _llm._TEXT_INDEX_MEMO):
+    from morphl_community_edition_spark.queries import workload as _workload
+
+    for _memo in (_llm._ANN_INDEX_MEMO, _llm._TEXT_INDEX_MEMO, _workload._SERVING_MEMO):
         m = _memo.get(spark)
         if m is not None:
             if sf_dir is None:

@@ -129,9 +129,10 @@ def q92_shopping_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
-@query(
-    "q96_prediction_upsert",
-    oracle=f"""
+# shared by q96 (the full upsert) and q154 (point-lookup serving of
+# the same table): ONE oracle text so the served rows are certified
+# against the identical merge semantics
+_Q96_ORACLE = f"""
     WITH base AS (SELECT user_id, count(*) AS n_events,
                          {sql_crnd(sql_dsum('value'), 2)} AS sum_value,
                          'h1' AS batch
@@ -148,8 +149,10 @@ def q92_shopping_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN d.user_id IS NOT NULL THEN d.batch ELSE b.batch END AS batch
     FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id
     ORDER BY user_id
-    """,
-)
+    """
+
+
+@query("q96_prediction_upsert", oracle=_Q96_ORACLE)
 def q96_prediction_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L6 as a RELATIONAL contract, not just a sink smoke: the daily
     prediction upsert (operators/upsert.merge_upsert — SCD-1, delta
@@ -172,6 +175,68 @@ def q96_prediction_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = half(ev.filter(F.col("ts") < cut), "h1")
     delta = half(ev.filter(F.col("ts") >= cut), "h2")
     return merge_upsert(base, delta, ["user_id"]).orderBy("user_id")
+
+
+# the keys q154 serves — fixed literals present at every fixture SF,
+# shared with the plan gate (tests/test_plans.py) and the oracle text
+POINT_LOOKUP_KEYS = (1, 2, 3, 5, 8, 13)
+_POINT_LOOKUP_BUCKETS = 16
+
+# session -> {sf_dir -> serving table path}: the q134/q150 staleness
+# class — a rewritten fixture needs a REBUILT serving table (cleared
+# by catalog.invalidate_tables)
+import weakref as _weakref  # noqa: E402
+
+_SERVING_MEMO: "_weakref.WeakKeyDictionary[SparkSession, dict[str, str]]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
+@query(
+    "q154_point_lookup_serve",
+    oracle=f"""
+    SELECT * FROM ({_Q96_ORACLE}) t
+    WHERE user_id IN {POINT_LOOKUP_KEYS}
+    ORDER BY user_id
+    """,
+)
+def q154_point_lookup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's serving surface, engine side (round 11; the
+    last capability gap of the r10 verdict): q96's merged prediction
+    table materialized ONCE as a key-bucketed serving layout
+    (operators/point_lookup.py — pmod(user_id, 16) partition dirs,
+    key-sorted buckets, commit marker), then a 6-key point lookup
+    served from it. The probe touches only the probed buckets'
+    files — a static PartitionFilters prune, gated in
+    tests/test_plans.py — which is the parquet-native equivalent of
+    the reference's per-client Cassandra GET behind its REST shim.
+    Oracle = q96's own merge oracle filtered to the served keys, so
+    the build→persist→lookup chain is hash-certified end to end (the
+    q114→q134 shared-oracle device)."""
+    import hashlib as _hl
+    import os as _os
+
+    from morphl_community_edition_spark.catalog import index_root
+    from morphl_community_edition_spark.operators import manifest as _manifest
+    from morphl_community_edition_spark.operators.point_lookup import (
+        point_lookup,
+        write_serving_table,
+    )
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    path = _os.path.join(
+        index_root(spark), "morphl_serving", spark.sparkContext.applicationId, tag
+    )
+    built = _SERVING_MEMO.setdefault(spark, {})
+    if built.get(sf_dir) != path or _manifest.read_commit(path) is None:
+        write_serving_table(
+            q96_prediction_upsert(spark, sf_dir),
+            path,
+            key_col="user_id",
+            n_buckets=_POINT_LOOKUP_BUCKETS,
+        )
+        built[sf_dir] = path
+    return point_lookup(spark, path, POINT_LOOKUP_KEYS).orderBy("user_id")
 
 
 @query(
