@@ -142,7 +142,11 @@ def prefix_jaccard_candidates(
     is ever dropped; the exact verify downstream discards false
     candidates. Length filter: J >= t forces min(n)·1e6 >=
     floor(t·1e6)·max(n) — applied inside the candidate join, before
-    the distinct.
+    the distinct. Positional filter (round 11): each shared prefix
+    token additionally carries its canonical RANK, and a row survives
+    only if 1 + min(na-pa, nb-pb) can still reach the required
+    overlap t/(1+t)·(na+nb) — the first-shared-token argument in the
+    inline comment keeps the pair set a superset of all true pairs.
 
     Scale (100 TB): every stage is linear except the candidate join,
     whose cost is bounded by the prefix tokens' df² — boilerplate
@@ -181,6 +185,13 @@ def prefix_jaccard_candidates(
     post = base.select("doc", "n_sh", F.explode("sh").alias("s")).localCheckpoint(
         eager=True
     )
+    return base, _prefix_cand_from_post(post, threshold)
+
+
+def _prefix_cand_from_post(post: DataFrame, threshold: float) -> DataFrame:
+    """Prefix + positional candidate generation over a CHECKPOINTED
+    postings frame (doc, n_sh, s) — the shared tail of
+    prefix_jaccard_candidates and the auto dispatcher."""
     dfc = post.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
     ranked = post.join(dfc, "s")
     w = Window.partitionBy("doc").orderBy("__df", "s")
@@ -190,13 +201,36 @@ def prefix_jaccard_candidates(
             F.col("__rk")
             <= F.col("n_sh") - F.floor(F.lit(threshold) * F.col("n_sh")) + 1
         )
-        .select("doc", "n_sh", "s")
+        .select("doc", F.col("n_sh").cast("long").alias("n_sh"), "s", F.col("__rk").cast("long").alias("pos"))
     )
     t6 = int(threshold * 10**6)  # trunc <= t·1e6: conservative
+    # PPJoin POSITIONAL filter (round 11, Xiao et al. 2011 §3.2): a
+    # token shared at canonical positions (pa, pb) bounds the overlap
+    # by 1 + min(na-pa, nb-pb) (everything shared after it, plus it),
+    # and J >= t forces overlap >= t/(1+t)·(na+nb). The per-ROW test
+    # below keeps the candidate-pair SUPERSET guarantee: for any true
+    # pair, its FIRST shared token in the canonical order has every
+    # other shared token at or after it in BOTH orderings, so that
+    # row's bound >= the true overlap and the row passes — a pair is
+    # admitted if ANY of its rows passes (the distinct). Integer-
+    # conservative: t6/(1e6+t6) <= t/(1+t), so the admitted set only
+    # grows. All arithmetic in long (int·1e6 overflows at ~2.1e3
+    # shingles under ANSI).
+    positional = (
+        (F.lit(1) + F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb")))
+        * F.lit(10**6 + t6)
+        >= F.lit(t6) * (F.col("na") + F.col("nb"))
+    )
     cand = (
-        pref.select(F.col("doc").alias("a_doc"), F.col("n_sh").alias("na"), "s")
+        pref.select(
+            F.col("doc").alias("a_doc"), F.col("n_sh").alias("na"),
+            F.col("pos").alias("pa"), "s",
+        )
         .join(
-            pref.select(F.col("doc").alias("b_doc"), F.col("n_sh").alias("nb"), "s"),
+            pref.select(
+                F.col("doc").alias("b_doc"), F.col("n_sh").alias("nb"),
+                F.col("pos").alias("pb"), "s",
+            ),
             "s",
         )
         .filter(F.col("a_doc") < F.col("b_doc"))
@@ -204,10 +238,11 @@ def prefix_jaccard_candidates(
             (F.col("na") * F.lit(10**6) >= F.lit(t6) * F.col("nb"))
             & (F.col("nb") * F.lit(10**6) >= F.lit(t6) * F.col("na"))
         )
-        .select("a_doc", "b_doc", "na", "nb")
+        .filter(positional)
+        .select("a_doc", "b_doc", F.col("na").cast("int").alias("na"), F.col("nb").cast("int").alias("nb"))
         .distinct()
     )
-    return base, cand
+    return cand
 
 
 def _verify_candidates_exact(
@@ -254,9 +289,170 @@ def _prefix_jaccard_pairs(
     Pairs whose exact intersection is EMPTY can't reach threshold > 0
     anyway, so the inner-join verify dropping them is correct (they
     were prefix-collision false candidates)."""
-    base, cand = prefix_jaccard_candidates(docs, id_col, text_col, n, threshold)
-    post = base.select("doc", F.explode("sh").alias("s"))
-    return _verify_candidates_exact(cand, post, threshold)
+    post = _post_frame(docs, id_col, text_col, n)
+    cand = _prefix_cand_from_post(post, threshold)
+    # verify over the SAME checkpointed postings (round 11: the old
+    # shape re-exploded base here — one extra full shingle pass)
+    return _verify_candidates_exact(cand, post.select("doc", "s"), threshold)
+
+
+def _post_frame(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """ONE corpus shingle pass, checkpointed: (doc, n_sh, s) distinct
+    postings with the per-doc set size riding along. The single
+    materialization every multi-consumer jaccard path shares."""
+    shingled = word_shingles(
+        fan_out_narrow_scan(docs.select(id_col, text_col)), text_col, n
+    )
+    return (
+        shingled.select(
+            F.col(id_col).alias("doc"),
+            F.size("shingles").alias("n_sh"),
+            F.explode("shingles").alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _postings_pairs_from_post(sh: DataFrame, threshold: float) -> DataFrame:
+    """The direct inverted-index self-join over (doc, n_sh, s)
+    postings — the measured-fastest path on benign df distributions.
+    min() is exact: na/nb are constant within an (a_doc, b_doc)
+    group."""
+    raw_j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    inter = (
+        sh.select(F.col("doc").alias("a_doc"), F.col("n_sh").alias("na"), "s")
+        .join(
+            sh.select(F.col("doc").alias("b_doc"), F.col("n_sh").alias("nb"), "s"),
+            "s",
+        )
+        .filter(F.col("a_doc") < F.col("b_doc"))
+        .groupBy("a_doc", "b_doc")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.min("na").alias("na"),
+            F.min("nb").alias("nb"),
+        )
+    )
+    return inter.filter(raw_j >= threshold).select(
+        "a_doc", "b_doc", crnd(raw_j, 6).alias("jaccard")
+    )
+
+
+# Auto-dispatch crossover: mean candidate multiplicity (Σdf²/Σdf over
+# the COLLAPSED corpus' postings) above which the prefix+positional
+# path is chosen over the direct postings join. Calibrated by
+# measurement (SCALE.md round-11 dedup section): benign corpora
+# (fixture + its 10× decade) profile at ~2-7 where postings wins by
+# ~1.5×; the boilerplate corpus profiles at ~150+ where the direct
+# join is df²-impossible and prefix is the only exact option.
+AUTO_PREFIX_CROSSOVER = 32.0
+
+
+def _auto_jaccard_pairs(
+    docs: DataFrame, id_col: str, text_col: str, n: int, threshold: float
+) -> DataFrame:
+    """Measured-dispatch exact Jaccard (round 11, verdict r10 #7):
+
+    1. **Identity collapse** — group byte-identical texts (sha2-256,
+       the q24 exact-dedup contract) and run the candidate machinery
+       on one REPRESENTATIVE per group. Exact duplication multiplies
+       every shingle df by the copy count, so the candidate join pays
+       (df·c)² while the distinct-text problem is df² — on the 90%-
+       duplicate worst case this is the whole fight. Pairs expand
+       back afterwards (identical texts ⇒ identical jaccard; within-
+       group pairs are J=1 by definition when the text shingles at
+       all), so the result is tuple-identical to the direct path.
+    2. **df-profile dispatch** — one aggregate over the collapsed
+       postings measures mean candidate multiplicity Σdf²/Σdf;
+       above AUTO_PREFIX_CROSSOVER the prefix+positional path runs,
+       else the direct postings join. Both return the identical pair
+       set; the profile only decides the cost.
+
+    Scale: the collapse is one map-side-combinable hash agg on
+    sha2(text) — the exact-dedup pass a production pipeline runs
+    anyway; the profile is one agg over the already-checkpointed
+    postings. Output expansion is answer-sized (the true pair set IS
+    quadratic in copy count — nothing can shrink the answer)."""
+    keyed = docs.select(
+        F.col(id_col).alias("m"), F.col(text_col).alias("t")
+    ).withColumn("h", F.sha2(F.col("t").cast("binary"), 256))
+    # narrow checkpoint (ids only — never the text): reused by the
+    # reps join, both expansion sides, and the within-group explode
+    groups = (
+        keyed.groupBy("h")
+        .agg(
+            F.min("m").alias("doc"),
+            F.sort_array(F.collect_list("m")).alias("members"),
+            F.count(F.lit(1)).alias("gsz"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # duplicate-free fast path: one trivial agg on the checkpointed
+    # groups (no recompute) — when every text is unique, reps == docs
+    # and the expansion machinery is the identity, so skip the rep
+    # join, both expansion joins, and the within-group explode
+    mx = groups.agg(F.max("gsz").alias("mx")).collect()[0]["mx"] or 0
+    if mx <= 1:
+        reps = docs
+    else:
+        reps = groups.select(F.col("doc").alias(id_col)).join(
+            docs.select(id_col, text_col), id_col
+        )
+    post = _post_frame(reps, id_col, text_col, n)
+    prof = (
+        post.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(
+            F.sum("df").cast("double").alias("n"),
+            F.sum(F.col("df") * F.col("df")).cast("double").alias("v"),
+        )
+        .collect()[0]
+    )
+    if prof["n"] and prof["v"] / prof["n"] > AUTO_PREFIX_CROSSOVER:
+        cand = _prefix_cand_from_post(post, threshold)
+        rep_pairs = _verify_candidates_exact(
+            cand, post.select("doc", "s"), threshold
+        )
+    else:
+        rep_pairs = _postings_pairs_from_post(post, threshold)
+    if mx <= 1:
+        return rep_pairs
+
+    mem = groups.select("doc", "members")
+    expanded = (
+        rep_pairs.join(
+            mem.select(F.col("doc").alias("a_doc"), F.col("members").alias("ma")),
+            "a_doc",
+        )
+        .join(
+            mem.select(F.col("doc").alias("b_doc"), F.col("members").alias("mb")),
+            "b_doc",
+        )
+        .select(F.explode("ma").alias("x"), F.col("mb"), "jaccard")
+        .select("x", F.explode("mb").alias("y"), "jaccard")
+        .select(
+            F.least("x", "y").alias("a_doc"),
+            F.greatest("x", "y").alias("b_doc"),
+            "jaccard",
+        )
+    )
+    # within-group pairs: identical texts, J = 1.0 exactly — but ONLY
+    # for groups whose text shingles at all (empty shingle sets have
+    # no defined jaccard and the direct path emits nothing for them)
+    shingling_reps = post.select("doc").distinct()
+    within = (
+        groups.filter(F.col("gsz") > 1)
+        .join(shingling_reps, "doc")
+        .select(F.explode("members").alias("x"), "members")
+        .select("x", F.explode("members").alias("y"))
+        .filter(F.col("x") < F.col("y"))
+        .select(
+            F.col("x").alias("a_doc"),
+            F.col("y").alias("b_doc"),
+            crnd(F.lit(1.0), 6).alias("jaccard"),
+        )
+    )
+    return expanded.unionByName(within)
 
 
 def exact_jaccard_pairs(
@@ -291,9 +487,19 @@ def exact_jaccard_pairs(
       cost stays near-linear. Meaningless below ~t=0.2 (prefix ≈
       whole set).
 
+    - ``"auto"`` (round 11) — MEASURED dispatch: collapse byte-
+      identical texts to one representative first (duplication
+      multiplies candidate cost by copy-count² while the distinct-
+      text problem is unchanged), profile the collapsed postings'
+      mean candidate multiplicity Σdf²/Σdf in one aggregate, and run
+      prefix above AUTO_PREFIX_CROSSOVER / postings below; expand
+      pairs back (identical texts ⇒ identical jaccard, within-group
+      J=1) so the pair set stays tuple-identical.
+
     The dispatch is the caller's corpus-shape knob, not magic: benign
-    df → postings; boilerplate-heavy → prefix; boilerplate-heavy AND
-    a lossy feature cut acceptable → postings + max_doc_freq.
+    df → postings; boilerplate-heavy → prefix; duplication-heavy or
+    unknown → auto; boilerplate-heavy AND a lossy feature cut
+    acceptable → postings + max_doc_freq.
 
     ``max_doc_freq`` is the scale valve (SCALE.md, dedup family): the
     candidate join's cost is Σ_shingle df², dominated by stop-shingles
@@ -315,12 +521,16 @@ def exact_jaccard_pairs(
     on the q93 end-to-end pipeline at sf0.1; no-op on real multi-split
     tables.
     """
-    if method not in ("postings", "prefix"):
+    if method not in ("postings", "prefix", "auto"):
         raise ValueError(f"unknown method {method!r}")
     if method == "prefix":
         if max_doc_freq is not None:
             raise ValueError("the df valve composes with the postings path only")
         return _prefix_jaccard_pairs(docs, id_col, text_col, n, threshold)
+    if method == "auto":
+        if max_doc_freq is not None:
+            raise ValueError("the df valve composes with the postings path only")
+        return _auto_jaccard_pairs(docs, id_col, text_col, n, threshold)
     shingled = word_shingles(
         fan_out_narrow_scan(docs.select(id_col, text_col)), text_col, n
     )
@@ -330,30 +540,12 @@ def exact_jaccard_pairs(
         # (size of the distinct-shingle array), so it rides the
         # postings as an 8-byte column and the two sizes joins — plus
         # a third evaluation of the shingle pipeline — disappear.
-        # min() is exact: na/nb are constant within an (a_doc, b_doc)
-        # group.
         sh = shingled.select(
             F.col(id_col).alias("doc"),
             F.size("shingles").alias("n_sh"),
             F.explode("shingles").alias("s"),
         )
-        inter = (
-            sh.select(F.col("doc").alias("a_doc"), F.col("n_sh").alias("na"), "s")
-            .join(
-                sh.select(F.col("doc").alias("b_doc"), F.col("n_sh").alias("nb"), "s"),
-                "s",
-            )
-            .filter(F.col("a_doc") < F.col("b_doc"))
-            .groupBy("a_doc", "b_doc")
-            .agg(
-                F.count(F.lit(1)).alias("inter"),
-                F.min("na").alias("na"),
-                F.min("nb").alias("nb"),
-            )
-        )
-        return inter.filter(raw_j >= threshold).select(
-            "a_doc", "b_doc", crnd(raw_j, 6).alias("jaccard")
-        )
+        return _postings_pairs_from_post(sh, threshold)
     # valved path: set sizes must count the PRUNED shingle sets (so the
     # ratio stays a true Jaccard over the reduced feature space), which
     # is only known after the df cut — hence the explicit sizes joins.

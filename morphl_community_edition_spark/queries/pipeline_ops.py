@@ -766,7 +766,13 @@ def q147_quality_keeper_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, so a celebrity cluster collapses before the wire instead
     of shipping and sorting its membership."""
     docs = load_table(spark, sf_dir, "documents")
-    edges = exact_jaccard_pairs(docs, threshold=0.5).select("a_doc", "b_doc")
+    # method="auto" (round 11, verdict r10 #7): this query is the
+    # measured Σdf² worst case of the family (the dup90 decade tail) —
+    # identity collapse + the df-profile dispatch cut that tail while
+    # the pair set stays tuple-identical (oracle unchanged)
+    edges = exact_jaccard_pairs(docs, threshold=0.5, method="auto").select(
+        "a_doc", "b_doc"
+    )
     clusters = dedup_clusters(edges, "a_doc", "b_doc").select(
         F.col("n").alias("doc_id"), "comp", "cluster_size"
     )

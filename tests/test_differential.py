@@ -463,29 +463,35 @@ def test_fuzz_exact_jaccard_matches_brute_force(texts, valve):
     threshold=st.sampled_from([0.2, 0.34, 0.5, 0.76]),
 )
 def test_fuzz_prefix_filter_equals_postings(texts, threshold):
-    """Round-8 PPJoin path: prefix filtering is candidate machinery
-    only — the (a_doc, b_doc, jaccard) tuple set must equal the direct
-    postings join's EXACTLY on arbitrary corpora and thresholds
-    (including float-boundary thresholds like 0.34·n_sh, where a
-    non-conservative prefix length or length filter would drop a true
-    pair)."""
+    """Round-8 PPJoin path (round-11: + positional filter, + auto
+    dispatch with identity collapse): candidate machinery only — the
+    (a_doc, b_doc, jaccard) tuple set must equal the direct postings
+    join's EXACTLY on arbitrary corpora and thresholds (including
+    float-boundary thresholds like 0.34·n_sh, where a non-conservative
+    prefix length, length filter, or positional bound would drop a
+    true pair; the generator's tiny vocabulary makes byte-identical
+    texts common, so the auto path's collapse/expansion is exercised
+    hard)."""
     from morphl_community_edition_spark.operators.dedup import exact_jaccard_pairs
 
     spark = get_spark()
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
-    got = {
-        (r["a_doc"], r["b_doc"]): r["jaccard"]
-        for r in exact_jaccard_pairs(df, n=3, threshold=threshold, method="prefix").collect()
-    }
     want = {
         (r["a_doc"], r["b_doc"]): r["jaccard"]
         for r in exact_jaccard_pairs(
             df, n=3, threshold=threshold, method="postings"
         ).collect()
     }
-    assert got == want
+    for method in ("prefix", "auto"):
+        got = {
+            (r["a_doc"], r["b_doc"]): r["jaccard"]
+            for r in exact_jaccard_pairs(
+                df, n=3, threshold=threshold, method=method
+            ).collect()
+        }
+        assert got == want, method
 
 
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
