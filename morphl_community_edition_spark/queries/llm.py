@@ -1367,3 +1367,189 @@ def q152_heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_exact(bigrams, "bigram", k=2000).orderBy(
         F.col("cnt").desc(), "bigram"
     )
+
+
+@query(
+    "q155_hybrid_retrieval_rrf",
+    oracle=f"""
+    WITH dl AS (SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+                FROM documents),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(dl) AS BIGINT) AS sumdl
+           FROM dl),
+    w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+    tfq AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM w WHERE term IN {BM25_TERMS!r}
+            GROUP BY doc_id, term),
+    dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM tfq GROUP BY term),
+    idf AS (SELECT term,
+                   CAST(floor(ln(1 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                                     / (CAST(df AS DOUBLE) + 0.5)) * 1e6 + 0.5)
+                        AS BIGINT) AS idf_slp
+            FROM dfr, st),
+    co AS (SELECT tfq.doc_id AS doc_id,
+                  CAST(floor(CAST(idf_slp AS DOUBLE)
+                             * ((CAST(tf AS DOUBLE) * ({BM25_K1} + 1))
+                                / (CAST(tf AS DOUBLE)
+                                   + {BM25_K1} * ((1 - {BM25_B})
+                                                  + {BM25_B} * (CAST(dl.dl AS DOUBLE)
+                                                                / (CAST(sumdl AS DOUBLE)
+                                                                   / CAST(n_docs AS DOUBLE))))))
+                             + 0.5) AS BIGINT) AS contrib
+           FROM tfq JOIN dl USING (doc_id) JOIN idf ON tfq.term = idf.term, st),
+    sc AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_scaled
+           FROM co GROUP BY doc_id),
+    lex AS (SELECT doc_id, rnk FROM (
+              SELECT doc_id, row_number() OVER (ORDER BY score_scaled DESC, doc_id) AS rnk
+              FROM sc) WHERE rnk <= 20),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id = 0),
+    p AS (SELECT c.vec_id AS doc_id,
+                 floor((list_dot_product(q.emb, c.emb)
+                       / (sqrt(list_dot_product(q.emb, q.emb))
+                          * sqrt(list_dot_product(c.emb, c.emb)))) * 1e6 + 0.5) / 1e6 AS sim
+          FROM q JOIN e c ON c.vec_id != q.vec_id),
+    vec AS (SELECT doc_id, rnk FROM (
+              SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS rnk
+              FROM p) WHERE rnk <= 20),
+    f AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                 CAST(l.rnk AS INTEGER) AS lex_rnk,
+                 CAST(v.rnk AS INTEGER) AS vec_rnk,
+                 CAST(COALESCE(1000000000000 // (60 + l.rnk), 0)
+                      + COALESCE(1000000000000 // (60 + v.rnk), 0) AS BIGINT) AS rrf_scaled
+          FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id),
+    top AS (SELECT * FROM f ORDER BY rrf_scaled DESC, doc_id LIMIT 10)
+    SELECT top.doc_id, lex_rnk, vec_rnk, rrf_scaled, d.source AS source
+    FROM top JOIN documents d ON d.doc_id = top.doc_id
+    ORDER BY rrf_scaled DESC, top.doc_id
+    """,
+)
+def q155_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (round 11): fuse the lexical and vector
+    rankers over the same corpus with reciprocal-rank fusion — the
+    K4/K3 serving surfaces (q141 BM25, q12/q110 cosine KNN) composed
+    into the contract a production search system actually exposes.
+    Lexical side: BM25 top-20 for the fixed term set. Vector side:
+    exact cosine top-20 for the vec_id=0 probe (doc_id == vec_id is
+    the corpus's cross-modal key, as in q110). Fusion: RRF with the
+    standard K=60, computed in exact BIGINT floor division
+    (operators/fusion.py) so both engines rank identically — no
+    cross-engine float comparison anywhere. Payload columns re-enter
+    via a broadcast of the 10-row fused hit list against documents
+    (hit-list side is always the small side at scale).
+
+    Scale shape: each ranker's cost is its own (already-audited)
+    plan; fusion joins two 20-row frames and sorts 40 rows — the
+    merge step is rank-bounded no matter the corpus size."""
+    from pyspark.sql import Window
+
+    from morphl_community_edition_spark.operators.fusion import rrf_fuse
+    from morphl_community_edition_spark.operators.text_index import bm25_topk_inline
+
+    docs = fan_out_narrow_scan(load_table(spark, sf_dir, "documents"))
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    lex = bm25_topk_inline(docs, BM25_TERMS, k=20, k1=BM25_K1, b=BM25_B).select(
+        "doc_id",
+        # re-rank the 20-row list; window over a k-bounded frame
+        F.row_number()
+        .over(Window.orderBy(F.col("score_scaled").desc(), "doc_id"))
+        .alias("rnk"),
+    )
+    vec = cosine_topk_per_query(emb, emb.filter("vec_id = 0"), k=20).select(
+        F.col("n_vec").alias("doc_id"), "rnk"
+    )
+    fused = (
+        rrf_fuse({"lex": lex, "vec": vec})
+        .orderBy(F.col("rrf_scaled").desc(), "doc_id")
+        .limit(10)
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .join(F.broadcast(fused), "doc_id")
+        .select("doc_id", "lex_rnk", "vec_rnk", "rrf_scaled", "source")
+        .orderBy(F.col("rrf_scaled").desc(), "doc_id")
+    )
+
+
+@query(
+    "q156_retrieval_eval",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    qz AS MATERIALIZED (
+      SELECT vec_id, emb,
+             list_transform(emb, x -> floor(x * 127.0 / s + 0.5)) AS code
+      FROM (SELECT vec_id, emb,
+                   greatest(list_aggregate(list_transform(emb, x -> abs(x)), 'max'),
+                            1e-30) AS s
+            FROM e)
+    ),
+    p AS (SELECT * FROM qz WHERE vec_id < 10),
+    cand AS (
+      SELECT p.vec_id AS q_vec, c.vec_id AS n_vec,
+             floor((list_dot_product(p.code, c.code)
+                   / (sqrt(list_dot_product(p.code, p.code)
+                           * list_dot_product(c.code, c.code)) + 1e-30))
+                   * 1e6 + 0.5) / 1e6 AS isim
+      FROM p JOIN qz c ON c.vec_id != p.vec_id
+    ),
+    quant AS (SELECT q_vec, n_vec, crk FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_vec
+                                     ORDER BY isim DESC, n_vec) AS crk
+        FROM cand) WHERE crk <= 10),
+    eq AS (SELECT * FROM e WHERE vec_id < 10),
+    ep AS (SELECT q.vec_id AS q_vec, c.vec_id AS n_vec,
+                  floor((list_dot_product(q.emb, c.emb)
+                        / (sqrt(list_dot_product(q.emb, q.emb))
+                           * sqrt(list_dot_product(c.emb, c.emb)))) * 1e6 + 0.5) / 1e6 AS sim
+           FROM eq q JOIN e c ON c.vec_id != q.vec_id),
+    ex AS (SELECT q_vec, n_vec, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_vec
+                                     ORDER BY sim DESC, n_vec) AS rnk
+        FROM ep) WHERE rnk <= 10),
+    per AS (SELECT ex.q_vec,
+                   CAST(count(quant.crk) AS BIGINT) AS hits_at_k,
+                   max(CASE WHEN ex.rnk = 1 THEN quant.crk END) AS top1
+            FROM ex LEFT JOIN quant
+              ON quant.q_vec = ex.q_vec AND quant.n_vec = ex.n_vec
+            GROUP BY ex.q_vec)
+    SELECT q_vec, hits_at_k,
+           floor((CAST(hits_at_k AS DOUBLE) / 10.0) * 1e6 + 0.5) / 1e6 AS recall_at_k,
+           CAST(COALESCE(1000000 // top1, 0) AS BIGINT) AS rr_scaled
+    FROM per ORDER BY q_vec
+    """,
+)
+def q156_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline retrieval evaluation (round 11): recall@10 and the
+    top-1 reciprocal rank of the UN-reranked int8 candidate tier
+    (quantized_candidate_rank — the stage whose quality loss q130's
+    float re-rank can only repair if the true neighbors survive it),
+    judged per probe against the exact float KNN (q39's ranker). The
+    metric operator (similarity.retrieval_recall_mrr) consumes any
+    two (q_vec, n_vec, rnk) frames; this query instantiates it on
+    the exact-vs-quantized pair, the comparison that decides whether
+    the 4× memory cut is admissible for a given corpus.
+
+    Determinism: both rankers are exactly reproducible (integer
+    candidate math / canonical rounding / id tie-breaks), hits are
+    BIGINT counts and the reciprocal rank is BIGINT floor division —
+    so the eval itself is hash-checkable, unlike classic ANN evals.
+
+    Scale shape: the two rankers pay their audited corpus-scan
+    plans; the eval joins two q·k-row rank lists and aggregates per
+    probe — metric cost is rank-bounded regardless of corpus size."""
+    from morphl_community_edition_spark.operators.similarity import (
+        quantized_candidate_rank,
+        retrieval_recall_mrr,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk_per_query(emb, probes, k=10)
+    quant = quantized_candidate_rank(emb, probes, n=10).select(
+        "q_vec", "n_vec", F.col("crk").alias("rnk")
+    )
+    return retrieval_recall_mrr(exact, quant, k=10).orderBy("q_vec")

@@ -1432,3 +1432,34 @@ def test_index_rebuild_wipes_stale_slices_and_detects_corruption(spark, tmp_path
     _shutil.rmtree(os.path.join(path, "postings", "batch-000000000000"))
     with _pytest.raises(ValueError, match="corrupt"):
         _read_table(spark, path, "postings")
+
+
+def test_rrf_fuse_algebra(spark):
+    """RRF invariants on hand-built rank lists: missing-side rank is
+    NULL and contributes 0; a doc on both lists sums both
+    contributions exactly (BIGINT floor division, no float); empty
+    input rejected."""
+    import pytest as _pytest
+
+    from morphl_community_edition_spark.operators.fusion import (
+        RRF_K,
+        RRF_SCALE,
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rnk int")
+    b = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, rnk int")
+    out = {
+        r["doc_id"]: r
+        for r in rrf_fuse({"a": a, "b": b}).collect()
+    }
+    c = lambda r: RRF_SCALE // (RRF_K + r)  # noqa: E731
+    assert out[1]["a_rnk"] == 1 and out[1]["b_rnk"] is None
+    assert out[1]["rrf_scaled"] == c(1)
+    assert out[2]["rrf_scaled"] == c(2) + c(1)
+    assert out[3]["a_rnk"] is None and out[3]["rrf_scaled"] == c(2)
+    # both-lists doc outranks every single-list doc here
+    ranked = sorted(out.values(), key=lambda r: (-r["rrf_scaled"], r["doc_id"]))
+    assert ranked[0]["doc_id"] == 2
+    with _pytest.raises(ValueError):
+        rrf_fuse({})
