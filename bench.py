@@ -114,6 +114,8 @@ EXTRA = {
     "persisted_ann_serve": "q150_persisted_ann_serve",
     "persisted_bm25_serve": "q151_persisted_bm25_serve",
     "heavy_hitter_bigrams": "q152_heavy_hitter_bigrams",
+    "hybrid_rrf": "q155_hybrid_retrieval_rrf",
+    "retrieval_eval": "q156_retrieval_eval",
 }
 
 # best-of-5 blocks × 3 full-suite passes: single-JVM local mode has
