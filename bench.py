@@ -116,6 +116,7 @@ EXTRA = {
     "heavy_hitter_bigrams": "q152_heavy_hitter_bigrams",
     "hybrid_rrf": "q155_hybrid_retrieval_rrf",
     "retrieval_eval": "q156_retrieval_eval",
+    "hybrid_persisted_serve": "q157_persisted_hybrid_serve",
 }
 
 # best-of-5 blocks × 3 full-suite passes: single-JVM local mode has

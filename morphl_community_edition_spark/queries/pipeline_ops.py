@@ -799,3 +799,78 @@ from morphl_community_edition_spark.queries import ORACLE_SQL as _ORACLE_SQL  # 
 
 _ORACLE_SQL["q134_indexed_incremental_dedup"] = _ORACLE_SQL["q114_incremental_dedup"]
 _ORACLE_SQL["q153_compacted_index_dedup"] = _ORACLE_SQL["q114_incremental_dedup"]
+
+
+@query(
+    "q158_leakage_safe_split",
+    oracle="""
+    WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(ws[gs:gs+2], ' ') AS s
+           FROM w, LATERAL unnest(generate_series(1, len(ws) - 2)) AS t(gs)),
+    sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    i AS (SELECT a.doc_id AS a_doc, b.doc_id AS b_doc, count(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+    e AS (SELECT a_doc, b_doc FROM i
+          JOIN sz sa ON sa.doc_id = a_doc JOIN sz sb ON sb.doc_id = b_doc
+          WHERE inter >= 0.5 * (sa.n_sh + sb.n_sh - inter)),
+    bi AS (SELECT a_doc AS n, b_doc AS m FROM e
+           UNION SELECT b_doc, a_doc FROM e),
+    reach(n, m) AS (
+        SELECT n, n FROM (SELECT DISTINCT n FROM bi) nodes
+        UNION
+        SELECT r.n, bi.m FROM reach r JOIN bi ON bi.n = r.m
+    ),
+    comp AS (SELECT n AS doc_id, min(m) AS comp FROM reach GROUP BY n),
+    rep AS (SELECT d.doc_id, d.n_chars, COALESCE(c.comp, d.doc_id) AS rep
+            FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+    SELECT CASE WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+                WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc
+    FROM rep GROUP BY 1 ORDER BY split
+    """,
+)
+def q158_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (round 11): q75's
+    deterministic md5 split keyed by the NEAR-DUP CLUSTER
+    REPRESENTATIVE instead of the document id. A per-doc split lets
+    two near-duplicates straddle the train/test boundary — the exact
+    eval-contamination channel the q106/q117 screens exist to detect
+    after the fact; splitting by the q77 component label prevents it
+    by construction (a cluster is atomic: all members share rep ⇒
+    share split). Docs in no cluster are their own rep, so the split
+    degrades to q75's on a duplicate-free corpus. The aggregate
+    fingerprint (counts, cluster counts, char sum, min/max key)
+    proves membership equality per split, q75's device.
+
+    Scale shape: edges + components are q77's audited plans (LSH
+    candidates at production thresholds, forest contraction); the
+    rep join is doc-sized on the component side (components frame ≤
+    corpus), and the split itself is a pure per-row projection —
+    no new shuffle class beyond q77."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = exact_jaccard_pairs(docs, threshold=0.5).select("a_doc", "b_doc")
+    comps = dedup_clusters(edges, "a_doc", "b_doc").select(
+        F.col("n").alias("doc_id"), "comp"
+    )
+    rep = docs.join(comps, "doc_id", "left").select(
+        "doc_id", "n_chars", F.coalesce("comp", "doc_id").alias("rep")
+    )
+    hex1 = F.substring(F.md5(F.col("rep").cast("string")), 1, 1)
+    split = F.when(hex1 <= "b", "train").when(hex1 <= "d", "val").otherwise("test")
+    return (
+        rep.groupBy(split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("rep").cast("bigint").alias("n_clusters"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split")
+    )

@@ -1236,3 +1236,60 @@ def test_point_lookup_string_keys_hash_bucketed(spark, tmp_path):
         map(tuple, served.filter(F.col("c_name").isin(keys)).collect())
     )
     assert got == want
+
+
+def test_q157_hybrid_serve_reads_only_the_two_indexes(spark, tmp_path):
+    """q157 persisted hybrid serve (round 11): the fused plan must
+    inherit BOTH legs' serving contracts — the BM25 leg's static
+    term_bucket partition filter, the ANN leg's dynamic cell pruning —
+    and scan NO corpus parquet: the only FileScans permitted are the
+    two index directories (plus the payload join, exercised at the
+    query layer, not here). One plan string gates the composition."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from morphl_community_edition_spark.catalog import load_table
+    from morphl_community_edition_spark.operators.ann_index import (
+        ann_index_topk,
+        build_ann_index,
+    )
+    from morphl_community_edition_spark.operators.fusion import rrf_fuse
+    from morphl_community_edition_spark.operators.text_index import (
+        bm25_topk,
+        build_text_index,
+    )
+    from tests.conftest import SF_DIR_SMOKE
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents").select("doc_id", "text")
+    tpath = str(tmp_path / "tidx")
+    build_text_index(docs, tpath)
+    emb = load_table(spark, SF_DIR_SMOKE, "embeddings")
+    apath = str(tmp_path / "ann")
+    build_ann_index(emb, apath, n_cells=16)
+
+    lex = bm25_topk(spark, tpath, ("merge", "window"), k=10).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score_scaled").desc(), "doc_id"))
+        .alias("rnk"),
+    )
+    probe = emb.filter(F.col("vec_id") == 0).localCheckpoint(eager=True)
+    vec = ann_index_topk(spark, apath, probe, k=10, n_candidates=50, n_probe=2).select(
+        F.col("n_vec").alias("doc_id"), "rnk"
+    )
+    fused = rrf_fuse({"lex": lex, "vec": vec})
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    pf = [
+        seg
+        for seg in plan.split("PartitionFilters: [")[1:]
+        if "term_bucket" in seg.split("]")[0]
+    ]
+    assert pf, f"BM25 leg lost its static bucket filter:\n{plan[:2000]}"
+    assert "dynamicpruningexpression(cell" in plan, (
+        f"ANN leg lost its cell pruning:\n{plan[:2000]}"
+    )
+    assert "documents.parquet" not in plan and "embeddings.parquet" not in plan, (
+        "hybrid serve re-reads a corpus table"
+    )
+    rows = {r["doc_id"]: r for r in fused.collect()}
+    assert rows and all(r["rrf_scaled"] > 0 for r in rows.values())
