@@ -972,3 +972,64 @@ def test_fuzz_heavy_hitters_exact_matches_counter(words, k):
         if r["item"] is not None
     }
     assert {w for w, _ in want} <= cand
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    lists=st.lists(
+        st.lists(st.integers(0, 30), min_size=0, max_size=12, unique=True),
+        min_size=2,
+        max_size=3,
+    ),
+    k=st.integers(1, 8),
+)
+def test_fuzz_rrf_and_retrieval_eval_match_reference(lists, k):
+    """rrf_fuse and retrieval_recall_mrr vs pure-Python references on
+    random rank lists (each inner list IS a ranking: position+1 =
+    rank). Covers empty lists, disjoint/overlapping membership, and
+    k beyond/below list length — the boundary shapes q155-q157's
+    fixture workload can't reach."""
+    from morphl_community_edition_spark.operators.fusion import (
+        RRF_K,
+        RRF_SCALE,
+        rrf_fuse,
+    )
+    from morphl_community_edition_spark.operators.similarity import (
+        retrieval_recall_mrr,
+    )
+
+    spark = _ENGINES["spark"]
+    frames = {}
+    for i, ids in enumerate(lists):
+        rows = [(int(d), r + 1) for r, d in enumerate(ids)]
+        frames[f"r{i}"] = spark.createDataFrame(rows, "doc_id long, rnk int")
+
+    # --- rrf_fuse vs reference ---
+    got = {r["doc_id"]: r for r in rrf_fuse(frames).collect()}
+    want = {}
+    for i, ids in enumerate(lists):
+        for r, d in enumerate(ids):
+            want[d] = want.get(d, 0) + RRF_SCALE // (RRF_K + r + 1)
+    assert set(got) == set(want)
+    for d, s in want.items():
+        assert got[d]["rrf_scaled"] == s, (d, got[d], s)
+        for i, ids in enumerate(lists):
+            exp = ids.index(d) + 1 if d in ids else None
+            assert got[d][f"r{i}_rnk"] == exp
+
+    # --- retrieval_recall_mrr vs reference (r0 = exact, r1 = approx) ---
+    ex_ids, ap_ids = lists[0][:k], lists[1][:k]
+    ex = frames["r0"].selectExpr("0 AS q_vec", "doc_id AS n_vec", "rnk")
+    ap = frames["r1"].selectExpr("0 AS q_vec", "doc_id AS n_vec", "rnk")
+    out = retrieval_recall_mrr(ex, ap, k=k).collect()
+    if not ex_ids:
+        assert out == []
+    else:
+        assert len(out) == 1
+        row = out[0]
+        hits = len(set(ex_ids) & set(ap_ids))
+        assert row["hits_at_k"] == hits
+        assert abs(row["recall_at_k"] - (hits / k)) < 1e-6 + 1e-9
+        top1 = ex_ids[0]
+        rr = 1000000 // (ap_ids.index(top1) + 1) if top1 in ap_ids else 0
+        assert row["rr_scaled"] == rr
