@@ -76,6 +76,11 @@ DOC_QUERIES = (
     "q148_heavy_hitter_words",
     "q151_persisted_bm25_serve",
     "q152_heavy_hitter_bigrams",
+    # round 11. q155/q157 are excluded not by oversight: the variant
+    # dirs carry ONLY the scaled table, and the hybrid queries join
+    # documents ⊕ embeddings; their fusion stage is rank-bounded
+    # (SCALE.md round 11) and each leg is swept via q141/q151/q130/q150.
+    "q158_leakage_safe_split",
 )
 EVENT_QUERIES = (
     "q16_sessionize",
@@ -90,6 +95,7 @@ EMB_QUERIES = (
     "q129_semantic_dedup",
     "q130_quantized_retrieval",
     "q150_persisted_ann_serve",
+    "q156_retrieval_eval",  # round 11
 )
 
 
