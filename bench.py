@@ -117,6 +117,10 @@ EXTRA = {
     "hybrid_rrf": "q155_hybrid_retrieval_rrf",
     "retrieval_eval": "q156_retrieval_eval",
     "hybrid_persisted_serve": "q157_persisted_hybrid_serve",
+    "incremental_rollup": "q159_incremental_rollup",
+    "psi_drift": "q162_psi_drift",
+    "triangle_corners": "q163_triangle_corners",
+    "zorder_histogram": "q164_zorder_histogram",
 }
 
 # best-of-5 blocks × 3 full-suite passes: single-JVM local mode has

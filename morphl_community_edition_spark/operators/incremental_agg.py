@@ -1,0 +1,200 @@
+"""Incremental materialized-aggregate (rollup) maintenance.
+
+A 100 TB warehouse does not recompute its supplier/daily rollups from
+the full fact table every time a batch lands — it maintains PARTIAL
+AGGREGATE STATES (sum / count / min / max per group) and folds each
+delta batch by MERGING states. Every state used here is a commutative
+monoid, so fold order, partitioning, and slice count never affect the
+result, and serving the rollup costs O(n_slices · |groups|) —
+independent of the fact-table size the states summarize. This is the
+materialized-view-maintenance shape (Larson & Zhou's view-matching /
+partial-aggregation literature; Spark exposes the same decomposition
+internally as partial+final HashAggregate, here persisted between
+runs instead of between stages).
+
+Partial-state vocabulary, per measure column ``m`` with decimal scale
+``k`` (the functions/rounding money device — exact scaled-integer
+sums are order-independent, so cross-slice merge is bit-stable):
+
+- ``m_sum``: BIGINT — Σ floor(m·10ᵏ + 0.5), exact
+- ``m_cnt``: BIGINT — non-NULL count (avg finalizes correctly on
+  nullable data)
+
+per extremum column ``e``: ``e_min`` / ``e_max`` in the native type,
+plus one ``n_rows`` BIGINT for the group. ``avg`` is DERIVED at read
+time (sum/cnt) and never stored: avg is not a monoid; (sum, count)
+is. Finalization performs the identical op order as
+functions/rounding.davg, so a rollup read hash-matches a from-scratch
+aggregate on both engines.
+
+Honest contract note: min/max are monoids under APPEND-ONLY
+maintenance. Deletes or updates would need per-group re-aggregation
+(or a two-level structure); this module's contract is append-only
+folds — the same contract as the persisted dedup index family, whose
+slice/manifest commit protocol (operators/manifest.py, including the
+round-11 versioned no-rename mode for object stores) it reuses
+verbatim. Crash mid-fold ⇒ the slice is uncommitted and invisible;
+replay of a fold rewrites the same slice id wholesale (mode =
+overwrite) and re-commits — idempotent by construction.
+
+Scale shape at 100 TB: each fold aggregates ONLY its delta (map-side
+partial agg into |groups|-sized output); serving unions the committed
+|groups|-sized state slices and runs one more partial+final merge agg
+on the group key. The fact table is never re-read. When n_slices
+grows, the same compaction argument as the dedup index applies
+(merge all slices into one generation); kept out of scope here — the
+read-side merge IS the compaction computation, so compacting is an
+optimization, not a correctness need.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from morphl_community_edition_spark.functions.rounding import to_scaled_long
+from morphl_community_edition_spark.operators import manifest
+
+
+@dataclass(frozen=True)
+class RollupSpec:
+    """Declared shape of a maintained rollup: group keys, scaled-sum
+    measures (col -> decimal scale k), min/max extrema columns."""
+
+    keys: tuple[str, ...]
+    measures: dict[str, int] = field(default_factory=dict)
+    extrema: tuple[str, ...] = ()
+
+    def to_payload(self) -> dict:
+        return {
+            "keys": list(self.keys),
+            "measures": {c: int(k) for c, k in self.measures.items()},
+            "extrema": list(self.extrema),
+        }
+
+    @staticmethod
+    def from_payload(p: dict) -> "RollupSpec":
+        return RollupSpec(
+            keys=tuple(p["keys"]),
+            measures={c: int(k) for c, k in p["measures"].items()},
+            extrema=tuple(p["extrema"]),
+        )
+
+
+def _states_dir(path: str, sid: str) -> str:
+    return os.path.join(path, "states", sid)
+
+
+def _fsync_states(path: str, sid: str) -> None:
+    """Data-then-manifest fsync ordering (the incremental_index
+    _fsync_slice device, incl. the round-11 parent-dirent fix): the
+    slice subtree, its parent table dir (whose dirent binds the slice),
+    and the index root are all durable BEFORE the commit record —
+    power loss can lose an uncommitted slice (invisible, harmless),
+    never a committed one."""
+    d = _states_dir(path, sid)
+    if os.path.isdir(d):
+        manifest.fsync_tree(d)
+        manifest.fsync_dir(os.path.dirname(d))
+    manifest.fsync_dir(path)
+
+
+def rollup_states(df: DataFrame, spec: RollupSpec) -> DataFrame:
+    """One partial-aggregation pass over a fact frame (or delta batch):
+    group by the spec keys, emit the monoid states. Catalyst plans
+    this as partial+final HashAggregate — map-side combine means the
+    shuffle carries |groups|-sized rows, not fact rows."""
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for m, k in spec.measures.items():
+        aggs.append(F.sum(to_scaled_long(F.col(m), k)).cast("bigint").alias(f"{m}_sum"))
+        aggs.append(F.count(F.col(m)).cast("bigint").alias(f"{m}_cnt"))
+    for e in spec.extrema:
+        aggs.append(F.min(e).alias(f"{e}_min"))
+        aggs.append(F.max(e).alias(f"{e}_max"))
+    return df.groupBy(*[F.col(c) for c in spec.keys]).agg(*aggs)
+
+
+def _merge_states(states: DataFrame, spec: RollupSpec) -> DataFrame:
+    """Merge state rows across slices: sums add, counts add, extrema
+    re-extremize. Same output schema as rollup_states, so merging is
+    closed (a merged frame can be merged again — the monoid law the
+    whole design rests on)."""
+    aggs = [F.sum("n_rows").cast("bigint").alias("n_rows")]
+    for m in spec.measures:
+        aggs.append(F.sum(f"{m}_sum").cast("bigint").alias(f"{m}_sum"))
+        aggs.append(F.sum(f"{m}_cnt").cast("bigint").alias(f"{m}_cnt"))
+    for e in spec.extrema:
+        aggs.append(F.min(f"{e}_min").alias(f"{e}_min"))
+        aggs.append(F.max(f"{e}_max").alias(f"{e}_max"))
+    return states.groupBy(*[F.col(c) for c in spec.keys]).agg(*aggs)
+
+
+def build_rollup(df: DataFrame, spec: RollupSpec, path: str) -> None:
+    """Create (or wholesale-recreate) a persisted rollup at ``path``
+    from an initial fact frame. Clears any previous generation first —
+    build is the one non-incremental event, by definition."""
+    manifest.clear_commit(path)
+    manifest.clear_slices(path)
+    rollup_states(df, spec).write.mode("overwrite").parquet(_states_dir(path, "base"))
+    _fsync_states(path, "base")
+    manifest.commit_slice(path, "base", {"spec": spec.to_payload()})
+
+
+def rollup_spec(path: str) -> RollupSpec:
+    """The spec a rollup was built with, read from the base slice's
+    commit record (the fold API must not let a caller fold a delta
+    with a DIFFERENT shape than the maintained states)."""
+    for rec in manifest.committed_slices(path):
+        if rec.get("sid") == "base":
+            return RollupSpec.from_payload(rec["spec"])
+    raise ValueError(f"no committed rollup base at {path} — run build_rollup first")
+
+
+def append_rollup(delta: DataFrame, path: str, sid: str) -> None:
+    """Fold one delta batch into the rollup: aggregate ONLY the delta
+    to states, persist as slice ``sid``, commit atomically. Cost is
+    O(|delta|) + a |groups|-bounded write — the fact table is not
+    touched. Replay-idempotent: same sid ⇒ same slice dir rewritten
+    and re-committed."""
+    if sid == "base":
+        raise ValueError("sid 'base' is reserved for build_rollup")
+    spec = rollup_spec(path)
+    rollup_states(delta, spec).write.mode("overwrite").parquet(_states_dir(path, sid))
+    _fsync_states(path, sid)
+    manifest.commit_slice(path, sid, {"spec": spec.to_payload()})
+
+
+def read_rollup(spark: SparkSession, path: str, finalize: bool = True) -> DataFrame:
+    """Serve the rollup: union every COMMITTED state slice, merge the
+    monoid states, and (by default) finalize — ``{m}_sum`` as the
+    descaled double, ``{m}_avg`` via the exact-sum/count division of
+    functions/rounding.davg, extrema and ``n_rows`` as-is. Uncommitted
+    (crashed) folds are invisible: the read assembles from the
+    manifest, never from a directory listing."""
+    recs = manifest.committed_slices(path)
+    if not any(r.get("sid") == "base" for r in recs):
+        raise ValueError(f"no committed rollup base at {path} — run build_rollup first")
+    spec = rollup_spec(path)
+    frames = [spark.read.parquet(_states_dir(path, r["sid"])) for r in recs]
+    states = frames[0]
+    for f in frames[1:]:
+        states = states.unionByName(f)
+    merged = _merge_states(states, spec)
+    if not finalize:
+        return merged
+    cols: list = [F.col(c) for c in spec.keys] + [F.col("n_rows")]
+    for m, k in spec.measures.items():
+        p = F.lit(float(10**k))
+        cols.append((F.col(f"{m}_sum").cast("double") / p).alias(f"{m}_sum"))
+        cols.append(
+            (F.col(f"{m}_sum").cast("double") / p / F.col(f"{m}_cnt").cast("double")).alias(
+                f"{m}_avg"
+            )
+        )
+    for e in spec.extrema:
+        cols.append(F.col(f"{e}_min"))
+        cols.append(F.col(f"{e}_max"))
+    return merged.select(*cols)

@@ -1,0 +1,98 @@
+"""Distributed triangle counting via degree-ordered edge orientation.
+
+The naive triangle join (edges ⋈ edges ⋈ edges) enumerates every
+WEDGE — Σ deg(v)² candidate rows — which a power-law graph turns
+quadratic at its hubs (one celebrity node with deg 10⁶ contributes
+10¹² wedges). The standard fix (Schank's forward algorithm / the
+Suri-Vassilvitskii MapReduce formulation) orients every undirected
+edge from its lower endpoint to its higher endpoint under the total
+order (degree, node-id), and joins ORIENTED edges on their source:
+out-degree under this orientation is bounded by O(√m) regardless of
+the degree distribution, so candidate volume drops from Σ deg² to
+Σ outdeg² ≤ m·√m — the bound that makes the join feasible at
+billion-edge scale. Each triangle {x,y,z} then has exactly ONE vertex
+with oriented edges to the other two (the order-minimum), so closure
+checking counts every triangle exactly once — no /6 correction, no
+double counting.
+
+Shuffle shape: one node-sized degree aggregate, two edge⋈degree
+equi-joins to attach endpoint degrees, one oriented⋈oriented
+equi-join on the shared source (the Σ outdeg² step — map-side
+bounded by orientation), and one closure equi-join back to the
+oriented edge list on (lo, hi). All equi-joins on graph keys; AQE
+handles residual source skew by splitting the hot src partitions.
+The per-corner count is a plain hash agg over 3 rows per triangle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _order_lt(d1: Column, n1: Column, d2: Column, n2: Column) -> Column:
+    """The orientation total order: (degree, node-id) lexicographic."""
+    return (d1 < d2) | ((d1 == d2) & (n1 < n2))
+
+
+def orient_edges(und: DataFrame) -> DataFrame:
+    """Orient an undirected simple edge list (columns ``a`` < ``b``,
+    distinct) by (degree, id): returns (src, dst, src_deg, dst_deg)
+    with src strictly lower than dst in the total order."""
+    sym = und.select(F.col("a").alias("node")).unionAll(
+        und.select(F.col("b").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    e = (
+        und.join(deg.withColumnsRenamed({"node": "a", "deg": "da"}), "a")
+        .join(deg.withColumnsRenamed({"node": "b", "deg": "db"}), "b")
+    )
+    a_lt = _order_lt(F.col("da"), F.col("a"), F.col("db"), F.col("b"))
+    return e.select(
+        F.when(a_lt, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_lt, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_lt, F.col("da")).otherwise(F.col("db")).alias("src_deg"),
+        F.when(a_lt, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
+    )
+
+
+def triangles(und: DataFrame) -> DataFrame:
+    """All triangles of an undirected simple graph (``a`` < ``b``
+    distinct edge rows), one row per triangle as (x, y, z) — the
+    orientation-order-ascending corner naming. Exact, each triangle
+    exactly once."""
+    o = orient_edges(und)
+    e1 = o.select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+        F.col("dst_deg").alias("dv"),
+    )
+    e2 = o.select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("w"),
+        F.col("dst_deg").alias("dw"),
+    )
+    # wedge (v, w) out of u, deduped by taking v strictly below w in
+    # the orientation order — so the closure edge, if present, is
+    # oriented v -> w by construction
+    wedges = e1.join(e2, "u").where(
+        _order_lt(F.col("dv"), F.col("v"), F.col("dw"), F.col("w"))
+    )
+    closure = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    return wedges.join(closure, ["v", "w"]).select(
+        F.col("u").alias("x"), F.col("v").alias("y"), F.col("w").alias("z")
+    )
+
+
+def triangle_corner_counts(und: DataFrame) -> DataFrame:
+    """Per-node triangle participation: explode each triangle to its
+    three corners and count — the local-clustering numerator."""
+    tri = triangles(und)
+    corners = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )

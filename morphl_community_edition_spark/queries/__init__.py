@@ -64,6 +64,7 @@ def _load_modules() -> None:
         pipeline_ops,
         ingestion,
         curation,
+        maintenance,
     )
 
 

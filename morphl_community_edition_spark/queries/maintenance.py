@@ -1,0 +1,337 @@
+"""Warehouse-maintenance and dataset-monitoring operators (round 11
+continuation): incremental materialized-rollup maintenance, mergeable
+distinct-count sketch rollups, and distribution-drift detection (PSI)
+— the jobs that run BESIDE a 100 TB training-data pipeline to keep its
+aggregates, cardinality dashboards, and input-drift alarms current
+without re-reading the fact tables.
+
+All splits of the fixture into "initial corpus" vs "delta batches"
+use the md5-hex-digit device of q75 (pipeline_ops): membership is a
+pure function of the row key, identical on both engines, so the
+oracle can replay the same split exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from morphl_community_edition_spark.catalog import index_root, load_table
+from morphl_community_edition_spark.functions.rounding import (
+    dsum,
+    sql_davg,
+    sql_dsum,
+)
+from morphl_community_edition_spark.queries import query
+
+
+def _per_app_path(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Per-application scratch root for a persisted structure (the
+    q134 device: two concurrent runs on one host must never overwrite
+    each other's index mid-read)."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return os.path.join(
+        index_root(spark), name, spark.sparkContext.applicationId, tag
+    )
+
+
+# ---------------------------------------------------------------------------
+# q159: incremental materialized rollup — fold two delta batches into a
+# persisted partial-state table; serving it must hash-match a
+# from-scratch aggregate over the full fact table.
+# ---------------------------------------------------------------------------
+
+_ORDKEY_HEX1 = "substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 1)"
+
+
+@query(
+    "q159_incremental_rollup",
+    oracle=f"""
+    SELECT l_suppkey,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           {sql_dsum('l_quantity')} AS qty_sum,
+           {sql_davg('l_quantity')} AS qty_avg,
+           {sql_dsum('l_extendedprice')} AS price_sum,
+           {sql_davg('l_extendedprice')} AS price_avg,
+           min(l_shipdate) AS ship_min,
+           max(l_shipdate) AS ship_max
+    FROM lineitem
+    GROUP BY l_suppkey
+    ORDER BY l_suppkey
+    """,
+)
+def q159_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-level sales rollup maintained INCREMENTALLY
+    (operators/incremental_agg): the fact table is split by
+    md5(l_orderkey) into an initial build (14/16 of orders) plus two
+    delta folds ('e' and 'f' buckets); each fold aggregates only its
+    delta into persisted monoid states (exact scaled-integer sums,
+    counts, extrema) and the serve-time read merges the committed
+    slices. The oracle aggregates the FULL fact table from scratch —
+    hash-equality proves fold-merge == recompute, the materialized-
+    view-maintenance contract.
+
+    Scale shape: at 100 TB the build is one fact pass (partial+final
+    hash agg, |groups|-sized shuffle); every later fold costs only its
+    batch; the serve merge unions |groups|-sized state slices. The
+    fact table is never re-read after ingest."""
+    from morphl_community_edition_spark.operators.incremental_agg import (
+        RollupSpec,
+        append_rollup,
+        build_rollup,
+        read_rollup,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hex1 = F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 1)
+    spec = RollupSpec(
+        keys=("l_suppkey",),
+        measures={"l_quantity": 2, "l_extendedprice": 2},
+        extrema=("l_shipdate",),
+    )
+    path = _per_app_path(spark, sf_dir, "morphl_rollup")
+    build_rollup(li.filter(hex1 < "e"), spec, path)
+    append_rollup(li.filter(hex1 == "e"), path, sid="batch-e")
+    append_rollup(li.filter(hex1 == "f"), path, sid="batch-f")
+    served = read_rollup(spark, path)
+    return served.select(
+        "l_suppkey",
+        "n_rows",
+        F.col("l_quantity_sum").alias("qty_sum"),
+        F.col("l_quantity_avg").alias("qty_avg"),
+        F.col("l_extendedprice_sum").alias("price_sum"),
+        F.col("l_extendedprice_avg").alias("price_avg"),
+        F.col("l_shipdate_min").alias("ship_min"),
+        F.col("l_shipdate_max").alias("ship_max"),
+    ).orderBy("l_suppkey")
+
+
+# ---------------------------------------------------------------------------
+# q160/q161: mergeable distinct-count sketch rollup. Daily HLL sketches
+# are MATERIALIZED (binary column in parquet — the round-trip is part
+# of the query), then re-aggregated to the period level with
+# hll_union_agg. Distinct counts are NOT summable across days; sketches
+# are — that is the entire point of sketch materialization at 100 TB:
+# the cardinality dashboard re-reads |days × groups| sketch rows, never
+# the event log. q161 is the exact twin (one full count-distinct pass),
+# DuckDB-hash-certified; q160's estimate is tolerance-checked against
+# it in tests/test_approx.py (the q18/q17 pattern).
+# ---------------------------------------------------------------------------
+
+
+@query("q160_hll_sketch_rollup")
+def q160_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user estimate served FROM persisted
+    daily HLL sketches (Datasketches HllSketch, lgK=14 ≈ 0.5% rse):
+    one event-log pass builds |days × types| sketch rows, written to
+    parquet (binary sketch column survives the round-trip); the serve
+    query unions the daily sketches per type — no event re-read, and
+    the union is exact over sketch state (HLL union is lossless at
+    equal lgK), so daily materialization costs no accuracy vs a
+    one-shot sketch."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg(F.col("user_id"), F.lit(14)).alias("sk"))
+    path = _per_app_path(spark, sf_dir, "morphl_hll_daily")
+    daily.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_daily_sketches"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q161_exact_distinct_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q161_exact_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q160's exact twin: per-event-type distinct users (and active
+    days) computed from scratch — the expensive full-pass answer the
+    sketch rollup approximates. Registered with a DuckDB oracle so the
+    pair gives the driver one hash-exact row and one tolerance row for
+    the same question (the q17/q18 device)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.countDistinct(F.to_date("ts")).cast("bigint").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q162: PSI input-drift detection between two corpus epochs — the alarm
+# a production training pipeline keeps on its document length (or any
+# feature) distribution. Epoch membership is md5(doc_id) parity (pure
+# per-row function, engine-identical); the ln of the share ratio is
+# integer-scaled at 1e-6 (the q138 NLL device), so the per-bin PSI
+# contributions hash-match DuckDB exactly.
+# ---------------------------------------------------------------------------
+
+_PSI_BIN_W = 50  # n_chars 48..553 at sf0.01 → ~11 populated bins
+
+
+@query(
+    "q162_psi_drift",
+    oracle=f"""
+    WITH e AS (SELECT CAST(floor(n_chars / {_PSI_BIN_W}.0) AS BIGINT) AS bin,
+                      CAST(md5(CAST(doc_id AS VARCHAR)) AS VARCHAR) AS h
+               FROM documents),
+    t AS (SELECT bin,
+                 CAST(count(*) FILTER (WHERE ascii(substr(h, 32, 1)) % 2 = 0) AS BIGINT) AS cnt_a,
+                 CAST(count(*) FILTER (WHERE ascii(substr(h, 32, 1)) % 2 = 1) AS BIGINT) AS cnt_b
+          FROM e GROUP BY bin),
+    tot AS (SELECT CAST(sum(cnt_a) + count(*) AS BIGINT) AS ta,
+                   CAST(sum(cnt_b) + count(*) AS BIGINT) AS tb
+            FROM t),
+    s AS (SELECT bin, cnt_a, cnt_b,
+                 (cnt_a + 1) / CAST(ta AS DOUBLE) AS pa,
+                 (cnt_b + 1) / CAST(tb AS DOUBLE) AS pb
+          FROM t, tot)
+    SELECT bin, cnt_a, cnt_b,
+           floor(((pa - pb) * CAST(floor(ln(pa / pb) * 1e6 + 0.5) AS BIGINT) / 1e6)
+                 * 1e8 + 0.5) / 1e8 AS psi_contrib
+    FROM s ORDER BY bin
+    """,
+)
+def q162_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift between two document epochs
+    (epoch A = even last-md5-hex-digit of doc_id, B = odd): n_chars is
+    binned at width 50, per-bin shares are Laplace-smoothed (+1 per
+    bin, the standard zero-bin guard), and each bin contributes
+    (pa−pb)·ln(pa/pb). Per-bin contributions are emitted (the
+    actionable output — WHICH lengths drifted), rounded at 1e-8 with
+    the ln integer-scaled at 1e-6 so both engines do identical double
+    ops.
+
+    Scale shape: two map-side-combined hash aggs (bin counts are
+    |bins|-sized immediately) + a 1-row total broadcast — one corpus
+    scan, no shuffle wider than |bins|."""
+    docs = load_table(spark, sf_dir, "documents")
+    hexlast = F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1)
+    epoch_b = F.ascii(hexlast) % 2  # 0 → epoch A, 1 → epoch B
+    t = (
+        docs.select(
+            F.floor(F.col("n_chars") / F.lit(float(_PSI_BIN_W))).cast("bigint").alias("bin"),
+            epoch_b.alias("eb"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.when(F.col("eb") == 0, 1)).cast("bigint").alias("cnt_a"),
+            F.count(F.when(F.col("eb") == 1, 1)).cast("bigint").alias("cnt_b"),
+        )
+    )
+    tot = t.agg(
+        (F.sum("cnt_a") + F.count(F.lit(1))).cast("bigint").alias("ta"),
+        (F.sum("cnt_b") + F.count(F.lit(1))).cast("bigint").alias("tb"),
+    )
+    pa = (F.col("cnt_a") + 1) / F.col("ta").cast("double")
+    pb = (F.col("cnt_b") + 1) / F.col("tb").cast("double")
+    slp = F.floor(F.log(pa / pb) * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    contrib = (pa - pb) * slp / F.lit(1e6)
+    return (
+        t.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "cnt_a",
+            "cnt_b",
+            (F.floor(contrib * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)).alias("psi_contrib"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q164: z-order (Morton) layout key — the multi-dimensional clustering
+# projection behind OPTIMIZE ZORDER, hash-certified bit-for-bit. The
+# layout write + both-dimension skip-factor property live in
+# operators/zorder.py and tests/test_smoke_operators.py; the contract
+# query certifies the projection arithmetic itself (5 shift/mask ops
+# per dimension — identical BIGINT chains on both engines).
+# ---------------------------------------------------------------------------
+
+_Z_EPOCH = "1995-01-01"  # orders span 1995..2001 → day number < 2^16
+
+
+def _zorder_oracle() -> str:
+    from morphl_community_edition_spark.operators.zorder import sql_z_value
+
+    zv = sql_z_value("x", "y")
+    return f"""
+    WITH z AS (
+      SELECT o_custkey % 65536 AS x,
+             date_diff('day', DATE '{_Z_EPOCH}', CAST(o_orderdate AS DATE)) % 65536 AS y,
+             o_custkey, o_totalprice
+      FROM orders),
+    m AS (SELECT {zv} AS zval, o_custkey, o_totalprice FROM z)
+    SELECT CAST(zval >> 18 AS INTEGER) AS zbucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(zval) AS BIGINT) AS z_min,
+           CAST(max(zval) AS BIGINT) AS z_max,
+           CAST(min(o_custkey) AS BIGINT) AS cust_min,
+           CAST(max(o_custkey) AS BIGINT) AS cust_max,
+           {sql_dsum('o_totalprice')} AS price_sum
+    FROM m GROUP BY 1 ORDER BY zbucket
+    """
+
+
+@query("q164_zorder_histogram", oracle=_zorder_oracle())
+def q164_zorder_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-code layout histogram over orders, clustering (customer,
+    order-day): per coarse z-bucket (top 14 bits — fine enough to stay
+    non-degenerate on fixtures whose dimensions populate only the low
+    z bits, while |buckets| stays <= 2^14) the row count, fine
+    z-range, customer range, and exact money sum. The customer range
+    per bucket is the point of the layout: buckets slice BOTH the
+    customer axis and the date axis at once, so either dimension's
+    predicate prunes most buckets (measured as a property test, not
+    assumed).
+
+    Scale shape: pure per-row integer projection + one |buckets|-sized
+    hash agg — map-side combined, no join, no window; at 100 TB this
+    is the same single pass the layout write itself performs."""
+    from morphl_community_edition_spark.operators.zorder import z_value, zbucket
+
+    o = load_table(spark, sf_dir, "orders")
+    x = F.pmod(F.col("o_custkey"), F.lit(65536))
+    y = F.pmod(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit(_Z_EPOCH).cast("date")),
+        F.lit(65536),
+    )
+    z = z_value(x, y)
+    return (
+        o.select(
+            zbucket(z, 14).alias("zbucket"),
+            z.alias("zval"),
+            "o_custkey",
+            "o_totalprice",
+        )
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("zval").cast("bigint").alias("z_min"),
+            F.max("zval").cast("bigint").alias("z_max"),
+            F.min("o_custkey").cast("bigint").alias("cust_min"),
+            F.max("o_custkey").cast("bigint").alias("cust_max"),
+            dsum(F.col("o_totalprice")).alias("price_sum"),
+        )
+        .orderBy("zbucket")
+    )

@@ -708,3 +708,66 @@ def q145_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("label").alias("community"), "community_size")
         .orderBy("node")
     )
+
+
+@query(
+    "q163_triangle_corners",
+    oracle="""
+    WITH p AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    e AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+          FROM p a JOIN p b ON a.ok = b.ok AND a.pk < b.pk),
+    tr AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM e e1
+           JOIN e e2 ON e2.a = e1.b
+           JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    c AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+          FROM (SELECT x AS node FROM tr
+                UNION ALL SELECT y FROM tr
+                UNION ALL SELECT z FROM tr)
+          GROUP BY node)
+    SELECT node, n_triangles FROM c
+    ORDER BY n_triangles DESC, node LIMIT 20
+    """,
+)
+def q163_triangle_corners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation over the co-purchase graph (round 11,
+    completing the graph-analytics family: connectivity q77, centrality
+    q143, communities q145, now local clustering): parts are connected
+    when they appear in the same order (the market-basket projection),
+    and the top-20 nodes by triangle count are the densest-neighborhood
+    products. Pipeline role: triangle density is the classic
+    cohesion signal for near-dup cluster QA — a cluster whose members
+    co-triangle is a real clique, a chain without triangles is
+    components over-merge.
+
+    Exactness + oracle: edge set, triangles, and counts are all
+    integer; the DuckDB oracle enumerates x<y<z by node id, the engine
+    enumerates by (degree, id) orientation — different naming, same
+    triangle SET, so corner counts hash-match exactly (deterministic
+    tie-break on node).
+
+    Scale shape (operators/triangles.py): degree-ordered orientation
+    bounds out-degree by O(√m), so the wedge join's candidate volume
+    is Σ outdeg² ≤ m·√m instead of the naive Σ deg² — the
+    Suri-Vassilvitskii bound that keeps hub nodes from going
+    quadratic; every join is an equi-join on graph keys (AQE splits
+    residual hot sources), and the corner count is a partial-agg-ed
+    3-rows-per-triangle hash agg."""
+    from morphl_community_edition_spark.operators.triangles import (
+        triangle_corner_counts,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")).distinct()
+    a = pairs.withColumnsRenamed({"pk": "a"})
+    b = pairs.withColumnsRenamed({"pk": "b", "ok": "ok2"})
+    und = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("a") < F.col("b")))
+        .select("a", "b")
+        .distinct()
+    )
+    return (
+        triangle_corner_counts(und)
+        .orderBy(F.col("n_triangles").desc(), "node")
+        .limit(20)
+    )
