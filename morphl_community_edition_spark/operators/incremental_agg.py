@@ -167,6 +167,51 @@ def append_rollup(delta: DataFrame, path: str, sid: str) -> None:
     manifest.commit_slice(path, sid, {"spec": spec.to_payload()})
 
 
+def streaming_rollup_ingest(
+    stream_facts: DataFrame, path: str, checkpoint_path: str
+):
+    """Continuous rollup maintenance (the I8 × this-module composite):
+    each micro-batch folds into the persisted rollup via foreachBatch.
+    Exactly-once comes free from the slice protocol: the slice id is
+    derived from the batch id, so a replay (crash between the fold and
+    the checkpoint advance) rewrites ITS OWN slice wholesale and
+    re-commits — the fold is idempotent per batch, no watermark or
+    read-side dedup needed (simpler than the dedup-ingest loop, whose
+    handler also READS the index it mutates).
+
+    The one hazard is id provenance (the round-8 dedup-ingest lesson):
+    batch ids only name batches within ONE checkpoint sequence. A
+    second checkpoint feeding the same rollup restarts ids at 0 and
+    would silently OVERWRITE slice b0 with different data — so the
+    first fold records a checkpoint tag in the rollup meta and any
+    later stream with a different tag fails loudly at start."""
+    import hashlib
+
+    tag = hashlib.md5(checkpoint_path.encode()).hexdigest()[:12]
+    rollup_spec(path)  # fails loudly if the rollup was never built
+    meta_path = os.path.join(path, "stream.json")
+    rec = manifest.read_json_record(meta_path)
+    if rec is not None and rec.get("ckpt_tag") != tag:
+        raise ValueError(
+            f"rollup at {path} was fed from a different checkpoint "
+            f"(tag {rec.get('ckpt_tag')} != {tag}): batch ids are not "
+            "comparable — use a fresh rollup or the original checkpoint"
+        )
+    if rec is None:
+        manifest.write_json_record(meta_path, {"ckpt_tag": tag}, root=path)
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        append_rollup(batch, path, sid=f"b{batch_id:09d}")
+
+    return (
+        stream_facts.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def read_rollup(spark: SparkSession, path: str, finalize: bool = True) -> DataFrame:
     """Serve the rollup: union every COMMITTED state slice, merge the
     monoid states, and (by default) finalize — ``{m}_sum`` as the

@@ -56,11 +56,19 @@ def orient_edges(und: DataFrame) -> DataFrame:
     )
 
 
-def triangles(und: DataFrame) -> DataFrame:
+def triangles(und: DataFrame, broadcast_closure: bool = False) -> DataFrame:
     """All triangles of an undirected simple graph (``a`` < ``b``
     distinct edge rows), one row per triangle as (x, y, z) — the
     orientation-order-ascending corner naming. Exact, each triangle
-    exactly once."""
+    exactly once.
+
+    ``broadcast_closure``: the wedge frame (Σ outdeg² rows) is the
+    dominant volume; hashing the closure EDGE LIST to every executor
+    turns the closure check into a map-side probe, so the wedges are
+    never shuffled. Callers size-gate this on the edge source's bytes
+    (plans/hints.broadcast_if_small doctrine) — two BIGINTs per edge
+    broadcasts fine up to tens of millions of edges; past the gate the
+    shuffle join runs unchanged (and AQE may still promote it)."""
     o = orient_edges(und)
     e1 = o.select(
         F.col("src").alias("u"),
@@ -79,15 +87,17 @@ def triangles(und: DataFrame) -> DataFrame:
         _order_lt(F.col("dv"), F.col("v"), F.col("dw"), F.col("w"))
     )
     closure = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    if broadcast_closure:
+        closure = F.broadcast(closure)
     return wedges.join(closure, ["v", "w"]).select(
         F.col("u").alias("x"), F.col("v").alias("y"), F.col("w").alias("z")
     )
 
 
-def triangle_corner_counts(und: DataFrame) -> DataFrame:
+def triangle_corner_counts(und: DataFrame, broadcast_closure: bool = False) -> DataFrame:
     """Per-node triangle participation: explode each triangle to its
     three corners and count — the local-clustering numerator."""
-    tri = triangles(und)
+    tri = triangles(und, broadcast_closure=broadcast_closure)
     corners = (
         tri.select(F.col("x").alias("node"))
         .unionAll(tri.select(F.col("y").alias("node")))

@@ -713,7 +713,10 @@ def q145_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q163_triangle_corners",
     oracle="""
-    WITH p AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    WITH li AS (SELECT * FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+                  AND l_shipdate <  TIMESTAMP '1996-01-01'),
+    p AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM li),
     e AS (SELECT DISTINCT a.pk AS a, b.pk AS b
           FROM p a JOIN p b ON a.ok = b.ok AND a.pk < b.pk),
     tr AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
@@ -735,7 +738,11 @@ def q163_triangle_corners(spark: SparkSession, sf_dir: str) -> DataFrame:
     q143, communities q145, now local clustering): parts are connected
     when they appear in the same order (the market-basket projection),
     and the top-20 nodes by triangle count are the densest-neighborhood
-    products. Pipeline role: triangle density is the classic
+    products. The basket window is one ship-year (the realistic
+    market-basket scoping — and what keeps the fixture graph's wedge
+    volume proportionate: unwindowed, the random TPC-H baskets
+    produce an 83M-wedge near-clique at sf0.1 that measures constant
+    factors, not the algorithm). Pipeline role: triangle density is the classic
     cohesion signal for near-dup cluster QA — a cluster whose members
     co-triangle is a real clique, a chain without triangles is
     components over-merge.
@@ -753,11 +760,27 @@ def q163_triangle_corners(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic; every join is an equi-join on graph keys (AQE splits
     residual hot sources), and the corner count is a partial-agg-ed
     3-rows-per-triangle hash agg."""
+    from morphl_community_edition_spark.catalog import table_path
     from morphl_community_edition_spark.operators.triangles import (
         triangle_corner_counts,
     )
+    from morphl_community_edition_spark.plans.hints import (
+        DEFAULT_BROADCAST_FILE_LIMIT,
+        dataset_file_bytes,
+    )
 
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    # the closure edge list is two BIGINTs per distinct co-purchase
+    # pair (~1.5 rows per lineitem row here) — gate its broadcast on
+    # the SOURCE bytes like every other hinted side; past the gate the
+    # wedge⋈closure shuffle join runs unchanged
+    bc = (
+        dataset_file_bytes(table_path(sf_dir, "lineitem"))
+        <= DEFAULT_BROADCAST_FILE_LIMIT
+    )
     pairs = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")).distinct()
     a = pairs.withColumnsRenamed({"pk": "a"})
     b = pairs.withColumnsRenamed({"pk": "b", "ok": "ok2"})
@@ -767,7 +790,7 @@ def q163_triangle_corners(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        triangle_corner_counts(und)
+        triangle_corner_counts(und, broadcast_closure=bc)
         .orderBy(F.col("n_triangles").desc(), "node")
         .limit(20)
     )

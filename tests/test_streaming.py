@@ -986,3 +986,55 @@ def test_s13_streaming_ann_serve_equals_batch(spark, tmp_path):
     q2.awaitTermination(600)
     assert q2.exception() is None
     assert spark.read.parquet(out_path).count() == n_rows
+
+
+def test_s14_streaming_rollup_ingest(spark, tmp_path):
+    """Continuous rollup maintenance (round 11): lineitem streamed in
+    3 micro-batches through streaming_rollup_ingest must serve exactly
+    the full-table aggregate — and a restart on the committed
+    checkpoint folds nothing twice (slice-per-batch idempotence). A
+    second checkpoint feeding the same rollup fails loudly (batch-id
+    provenance guard)."""
+    from morphl_community_edition_spark.operators.incremental_agg import (
+        RollupSpec,
+        build_rollup,
+        read_rollup,
+        streaming_rollup_ingest,
+    )
+
+    spec = RollupSpec(keys=("l_suppkey",), measures={"l_quantity": 2}, extrema=("l_orderkey",))
+    li = load_table(spark, SF_DIR_SMOKE, "lineitem")
+    staged = stage_stream_input(
+        spark, SF_DIR_SMOKE, "lineitem", n_chunks=3, order_col="l_orderkey"
+    )
+    path = str(tmp_path / "rollup")
+    build_rollup(li.limit(0), spec, path)  # empty base: stream-fed from zero
+
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming_rollup_ingest(read_stream_dir(spark, staged, "lineitem"), path, ckpt)
+    q.awaitTermination(600)
+    assert q.exception() is None
+
+    def served():
+        return {
+            tuple(r) for r in read_rollup(spark, path).collect()
+        }
+
+    # direct twin: one-shot states over the full table, finalized the
+    # same way — build a second rollup from the batch API
+    twin = str(tmp_path / "twin")
+    build_rollup(li, spec, twin)
+    assert served() == {tuple(r) for r in read_rollup(spark, twin).collect()}
+
+    # restart on the committed checkpoint: no new folds
+    before = served()
+    q2 = streaming_rollup_ingest(read_stream_dir(spark, staged, "lineitem"), path, ckpt)
+    q2.awaitTermination(600)
+    assert q2.exception() is None
+    assert served() == before
+
+    # a different checkpoint cannot feed this rollup
+    with pytest.raises(ValueError, match="different checkpoint"):
+        streaming_rollup_ingest(
+            read_stream_dir(spark, staged, "lineitem"), path, str(tmp_path / "ckpt2")
+        )
