@@ -338,14 +338,18 @@ def _postings_pairs_from_post(sh: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-# Auto-dispatch crossover: mean candidate multiplicity (Σdf²/Σdf over
-# the COLLAPSED corpus' postings) above which the prefix+positional
-# path is chosen over the direct postings join. Calibrated by
-# measurement (SCALE.md round-11 dedup section): benign corpora
-# (fixture + its 10× decade) profile at ~2-7 where postings wins by
-# ~1.5×; the boilerplate corpus profiles at ~150+ where the direct
-# join is df²-impossible and prefix is the only exact option.
-AUTO_PREFIX_CROSSOVER = 32.0
+# Auto-dispatch crossover, round-11-continuation recalibration: the
+# prefix path is chosen when the direct join's candidate volume Σdf²
+# EXCEEDS this fraction of all-pairs volume n² — i.e. exactly when the
+# postings join is within a constant of brute force and only excluding
+# high-df shingles from prefixes can help (the boilerplate regime:
+# near-universal shingles, max_df ~ n). The earlier mean-multiplicity
+# rule (Σdf²/Σdf > 32) misfired on the grown 10× corpus: uniform
+# df≈100 over 50k docs profiles at 105 but is only 11% of all-pairs —
+# postings 28 s vs prefix 140 s measured (SCALE.md). Volume ratios on
+# the calibration corpora: grown-10× 0.11, sf0.1 ~1e-3, boiler ~12 —
+# two orders of magnitude on each side of 1.0.
+AUTO_PREFIX_VOLUME_RATIO = 1.0
 
 
 def _auto_jaccard_pairs(
@@ -363,10 +367,12 @@ def _auto_jaccard_pairs(
        group pairs are J=1 by definition when the text shingles at
        all), so the result is tuple-identical to the direct path.
     2. **df-profile dispatch** — one aggregate over the collapsed
-       postings measures mean candidate multiplicity Σdf²/Σdf;
-       above AUTO_PREFIX_CROSSOVER the prefix+positional path runs,
-       else the direct postings join. Both return the identical pair
-       set; the profile only decides the cost.
+       postings measures the direct join's candidate volume Σdf²;
+       when it exceeds AUTO_PREFIX_VOLUME_RATIO × n_reps² (the
+       boilerplate regime, where the postings join is within a
+       constant of all-pairs brute force) the prefix+positional path
+       runs, else the direct postings join. Both return the identical
+       pair set; the profile only decides the cost.
 
     Scale: the collapse is one map-side-combinable hash agg on
     sha2(text) — the exact-dedup pass a production pipeline runs
@@ -391,7 +397,10 @@ def _auto_jaccard_pairs(
     # groups (no recompute) — when every text is unique, reps == docs
     # and the expansion machinery is the identity, so skip the rep
     # join, both expansion joins, and the within-group explode
-    mx = groups.agg(F.max("gsz").alias("mx")).collect()[0]["mx"] or 0
+    _gs = groups.agg(
+        F.max("gsz").alias("mx"), F.count(F.lit(1)).alias("n_reps")
+    ).collect()[0]
+    mx, n_reps = _gs["mx"] or 0, _gs["n_reps"] or 0
     if mx <= 1:
         reps = docs
     else:
@@ -408,7 +417,7 @@ def _auto_jaccard_pairs(
         )
         .collect()[0]
     )
-    if prof["n"] and prof["v"] / prof["n"] > AUTO_PREFIX_CROSSOVER:
+    if prof["n"] and n_reps > 1 and prof["v"] > AUTO_PREFIX_VOLUME_RATIO * float(n_reps) ** 2:
         cand = _prefix_cand_from_post(post, threshold)
         rep_pairs = _verify_candidates_exact(
             cand, post.select("doc", "s"), threshold
@@ -492,7 +501,7 @@ def exact_jaccard_pairs(
       multiplies candidate cost by copy-count² while the distinct-
       text problem is unchanged), profile the collapsed postings'
       mean candidate multiplicity Σdf²/Σdf in one aggregate, and run
-      prefix above AUTO_PREFIX_CROSSOVER / postings below; expand
+      prefix when Σdf² > AUTO_PREFIX_VOLUME_RATIO·n² / postings below; expand
       pairs back (identical texts ⇒ identical jaccard, within-group
       J=1) so the pair set stays tuple-identical.
 

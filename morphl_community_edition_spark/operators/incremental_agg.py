@@ -144,11 +144,13 @@ def build_rollup(df: DataFrame, spec: RollupSpec, path: str) -> None:
 
 
 def rollup_spec(path: str) -> RollupSpec:
-    """The spec a rollup was built with, read from the base slice's
-    commit record (the fold API must not let a caller fold a delta
-    with a DIFFERENT shape than the maintained states)."""
+    """The spec a rollup was built with, read from any committed
+    slice's record — every commit carries it, so the spec survives
+    compaction replacing the base slice (the fold API must not let a
+    caller fold a delta with a DIFFERENT shape than the maintained
+    states)."""
     for rec in manifest.committed_slices(path):
-        if rec.get("sid") == "base":
+        if "spec" in rec:
             return RollupSpec.from_payload(rec["spec"])
     raise ValueError(f"no committed rollup base at {path} — run build_rollup first")
 
@@ -162,9 +164,80 @@ def append_rollup(delta: DataFrame, path: str, sid: str) -> None:
     if sid == "base":
         raise ValueError("sid 'base' is reserved for build_rollup")
     spec = rollup_spec(path)
+    # a sid tombstoned by a compaction record would commit into
+    # invisibility (committed_slices filters replaced sids) — silent
+    # data loss; replays of a LIVE sid remain allowed (idempotence)
+    tombstoned = {
+        s for r in manifest.committed_slices(path) for s in r.get("replaces", [])
+    }
+    if sid in tombstoned:
+        raise ValueError(
+            f"slice id {sid!r} was compacted away at {path} — folding under "
+            "it would be invisible; use a fresh sid"
+        )
     rollup_states(delta, spec).write.mode("overwrite").parquet(_states_dir(path, sid))
     _fsync_states(path, sid)
     manifest.commit_slice(path, sid, {"spec": spec.to_payload()})
+
+
+def compact_rollup(spark: SparkSession, path: str) -> int:
+    """Merge every committed state slice into one (the long-lived
+    stream's answer to slice-count growth — the compact_index shape,
+    radically simpler here because the monoid merge IS the read path:
+    the compacted slice is just _merge_states over the snapshot,
+    bit-identical to what any read would serve). Returns the number
+    of slices merged away (0 = nothing to do).
+
+    Crash/concurrency invariants ported from compact_index (round 10
+    tombstone protocol + round 11 snapshot-race fix):
+
+    - ONE manifest snapshot at entry drives the union and the
+      ``replaces`` list — a fold committing mid-compaction stays live
+      beside the compacted slice and merges next pass;
+    - the commit record's ``replaces`` is the atomic cut-over
+      (committed_slices ignores replaced sids the instant the record
+      lands); GC below it is crash-safe to stop anywhere;
+    - ghost tombstones (sids replaced by records we now replace whose
+      manifest a crashed GC left behind) are carried forward, and sid
+      uniqueness is checked against live + tombstoned + leftover
+      manifests so a reused sid can never self-tombstone the rollup."""
+    import shutil
+
+    recs = manifest.committed_slices(path)
+    if len(recs) <= 1:
+        return 0
+    spec = rollup_spec(path)
+    old_sids = [r["sid"] for r in recs]
+    mdir = os.path.join(path, manifest.MANIFEST_DIR)
+    all_tombstoned = {s for r in recs for s in r.get("replaces", [])}
+    inherited = {
+        s
+        for s in all_tombstoned
+        if manifest.record_file_exists(os.path.join(mdir, f"{s}.json"))
+    }
+    taken = set(old_sids) | all_tombstoned | manifest.list_record_sids(path)
+    sid = base_sid = f"compacted-{len(old_sids):06d}"
+    bump = 2
+    while sid in taken:
+        sid = f"{base_sid}-{bump}"
+        bump += 1
+    states = spark.read.parquet(_states_dir(path, old_sids[0]))
+    for s in old_sids[1:]:
+        states = states.unionByName(spark.read.parquet(_states_dir(path, s)))
+    _merge_states(states, spec).write.mode("overwrite").parquet(_states_dir(path, sid))
+    _fsync_states(path, sid)
+    manifest.commit_slice(
+        path,
+        sid,
+        {"spec": spec.to_payload(), "replaces": sorted(set(old_sids) | inherited)},
+    )
+    # --- GC: invisible already; crash-safe to stop anywhere below ---
+    for s in sorted(set(old_sids) | inherited):
+        d = _states_dir(path, s)
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+        manifest.delete_record(os.path.join(mdir, f"{s}.json"))
+    return len(old_sids)
 
 
 def streaming_rollup_ingest(
@@ -220,7 +293,7 @@ def read_rollup(spark: SparkSession, path: str, finalize: bool = True) -> DataFr
     (crashed) folds are invisible: the read assembles from the
     manifest, never from a directory listing."""
     recs = manifest.committed_slices(path)
-    if not any(r.get("sid") == "base" for r in recs):
+    if not recs:
         raise ValueError(f"no committed rollup base at {path} — run build_rollup first")
     spec = rollup_spec(path)
     frames = [spark.read.parquet(_states_dir(path, r["sid"])) for r in recs]

@@ -44,9 +44,6 @@ def _per_app_path(spark: SparkSession, sf_dir: str, name: str) -> str:
 # from-scratch aggregate over the full fact table.
 # ---------------------------------------------------------------------------
 
-_ORDKEY_HEX1 = "substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 1)"
-
-
 @query(
     "q159_incremental_rollup",
     oracle=f"""

@@ -227,3 +227,77 @@ def test_triangle_count_matches_bruteforce(spark):
         for n in t:
             brute[n] = brute.get(n, 0) + 1
     assert counts == brute
+
+
+def test_rollup_compaction_preserves_semantics(spark, tmp_path):
+    """compact_rollup: served result identical before/after, slice
+    census collapses to 1, later folds land beside the compacted
+    slice, double compaction is stable, and a tombstoned sid is
+    rejected instead of committing into invisibility."""
+    from morphl_community_edition_spark.operators.incremental_agg import (
+        compact_rollup,
+    )
+
+    path = str(tmp_path / "ru")
+    build_rollup(_facts(spark, 0, 400), _SPEC, path)
+    append_rollup(_facts(spark, 400, 700), path, sid="b1")
+    append_rollup(_facts(spark, 700, 900), path, sid="b2")
+    before = _served(spark, path)
+    assert compact_rollup(spark, path) == 3
+    assert len(manifest.committed_slices(path)) == 1
+    assert _served(spark, path) == before == _oracle(spark, 0, 900)
+    # compacting a single slice is a no-op
+    assert compact_rollup(spark, path) == 0
+    # tombstoned sid rejected; fresh sid folds fine
+    with pytest.raises(ValueError, match="compacted away"):
+        append_rollup(_facts(spark, 900, 1000), path, sid="b1")
+    append_rollup(_facts(spark, 900, 1000), path, sid="b3")
+    assert _served(spark, path) == _oracle(spark, 0, 1000)
+    # second compaction (compacted slice + b3) under a bumped sid
+    assert compact_rollup(spark, path) == 2
+    assert _served(spark, path) == _oracle(spark, 0, 1000)
+
+
+def test_rollup_compaction_crash_windows(spark, tmp_path):
+    """Crash before the compacted commit = invisible slice, census
+    unchanged; crash mid-GC (old manifests left) = replaced sids stay
+    tombstoned and a re-compaction sweeps the ghosts."""
+    from morphl_community_edition_spark.operators.incremental_agg import (
+        _merge_states,
+        _states_dir,
+        compact_rollup,
+        rollup_spec,
+    )
+
+    path = str(tmp_path / "ru")
+    build_rollup(_facts(spark, 0, 300), _SPEC, path)
+    append_rollup(_facts(spark, 300, 600), path, sid="b1")
+    want = _oracle(spark, 0, 600)
+    # crash BEFORE commit: states written, no manifest record
+    spec = rollup_spec(path)
+    states = spark.read.parquet(_states_dir(path, "base")).unionByName(
+        spark.read.parquet(_states_dir(path, "b1"))
+    )
+    _merge_states(states, spec).write.mode("overwrite").parquet(
+        _states_dir(path, "compacted-000002")
+    )
+    assert len(manifest.committed_slices(path)) == 2  # invisible
+    assert _served(spark, path) == want
+    # the real compaction overwrites the crashed slice dir and commits
+    assert compact_rollup(spark, path) == 2
+    assert _served(spark, path) == want
+    # crash mid-GC simulation: resurrect an old manifest record as a
+    # ghost; it must stay invisible (tombstoned by the live record)
+    mdir = os.path.join(path, manifest.MANIFEST_DIR)
+    manifest.write_json_record(
+        os.path.join(mdir, "b1.json"),
+        {"sid": "b1", "spec": spec.to_payload()},
+        root=path,
+    )
+    assert {r["sid"] for r in manifest.committed_slices(path)} == {"compacted-000002"}
+    assert _served(spark, path) == want
+    # next compaction inherits the ghost tombstone and sweeps it
+    append_rollup(_facts(spark, 600, 700), path, sid="b4")
+    assert compact_rollup(spark, path) == 2
+    assert _served(spark, path) == _oracle(spark, 0, 700)
+    assert not manifest.record_file_exists(os.path.join(mdir, "b1.json"))

@@ -81,6 +81,12 @@ DOC_QUERIES = (
     # documents ⊕ embeddings; their fusion stage is rank-bounded
     # (SCALE.md round 11) and each leg is swept via q141/q151/q130/q150.
     "q158_leakage_safe_split",
+    # round 11 continuation. q159/q163/q164 (lineitem/orders) are
+    # excluded not by oversight: the variant dirs carry only the
+    # scaled documents/events/embeddings tables; their scale shapes
+    # are single-pass hash aggs (q159/q164) and the oriented wedge
+    # join (q163, bound argued in operators/triangles.py).
+    "q162_psi_drift",
 )
 EVENT_QUERIES = (
     "q16_sessionize",
@@ -90,6 +96,8 @@ EVENT_QUERIES = (
     "q102_purchase_intervals",
     "q137_scd2_history",
     "q142_interval_coalesce",
+    "q160_hll_sketch_rollup",  # round 11 continuation
+    "q161_exact_distinct_rollup",  # round 11 continuation
 )
 EMB_QUERIES = (
     "q129_semantic_dedup",
