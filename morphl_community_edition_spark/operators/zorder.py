@@ -81,6 +81,38 @@ def zbucket(z: Column, bucket_bits: int = 6) -> Column:
     return F.shiftright(z, 2 * ZBITS - bucket_bits).cast("int")
 
 
+def _py_spread(v: int) -> int:
+    """Driver-side twin of _spread_bits (same mask chain — Python int
+    ops are exact, so the twin cannot drift from the Column version)."""
+    for sh, mask in _SPREAD:
+        v = (v | (v << sh)) & mask
+    return v
+
+
+def zbuckets_for_x_range(
+    x_lo: int, x_hi_excl: int, bucket_bits: int = 14
+) -> list[int]:
+    """Every z-bucket that COULD contain a row with x in
+    [x_lo, x_hi_excl) — the driver-computed literal partition filter
+    (the point_lookup/BM25 static-pruning device: no DPP subquery,
+    the bucket list is pure integer math on the predicate bounds).
+
+    Provably a superset: with bucket_bits=2k, the bucket is the
+    interleave of x's and y's top k bits (x>>(16-k), y>>(16-k));
+    the x side ranges over the predicate's possible high bits, the
+    y side over all 2^k values (y is unconstrained). A range query
+    on ONE dimension therefore touches |x_hi_set|·2^k of the 2^2k
+    buckets — the √-decay that makes the layout pay on either axis."""
+    k = bucket_bits // 2
+    drop = ZBITS - k
+    xs = range(x_lo >> drop, ((x_hi_excl - 1) >> drop) + 1)
+    return sorted(
+        (_py_spread(xh) << 1) | _py_spread(yh)
+        for xh in xs
+        for yh in range(1 << k)
+    )
+
+
 def zorder_layout(
     df: DataFrame, x: Column, y: Column, path: str, bucket_bits: int = 6
 ) -> None:

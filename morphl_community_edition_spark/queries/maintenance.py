@@ -332,3 +332,124 @@ def q164_zorder_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zbucket")
     )
+
+
+@query("q165_compacted_rollup")
+def q165_compacted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q159's serve after COMPACTION (the q153 device: same pipeline,
+    the maintenance operation inserted mid-stream, certified by the
+    same oracle): build + two folds, compact_rollup collapses the
+    slice census to one, a third fold lands beside the compacted
+    slice, and the serve must still hash-match the from-scratch
+    full-fact aggregate. Registered with q159's exact oracle below —
+    equal by construction is the claim, the shared hash is the proof.
+
+    The split differs from q159 only in where the third batch ends:
+    build <'d', folds 'd','e' → compact → fold 'f'."""
+    from morphl_community_edition_spark.operators.incremental_agg import (
+        RollupSpec,
+        append_rollup,
+        build_rollup,
+        compact_rollup,
+        read_rollup,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hex1 = F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 1)
+    spec = RollupSpec(
+        keys=("l_suppkey",),
+        measures={"l_quantity": 2, "l_extendedprice": 2},
+        extrema=("l_shipdate",),
+    )
+    path = _per_app_path(spark, sf_dir, "morphl_rollup_compact")
+    build_rollup(li.filter(hex1 < "d"), spec, path)
+    append_rollup(li.filter(hex1 == "d"), path, sid="batch-d")
+    append_rollup(li.filter(hex1 == "e"), path, sid="batch-e")
+    compact_rollup(spark, path)
+    append_rollup(li.filter(hex1 == "f"), path, sid="batch-f")
+    served = read_rollup(spark, path)
+    return served.select(
+        "l_suppkey",
+        "n_rows",
+        F.col("l_quantity_sum").alias("qty_sum"),
+        F.col("l_quantity_avg").alias("qty_avg"),
+        F.col("l_extendedprice_sum").alias("price_sum"),
+        F.col("l_extendedprice_avg").alias("price_avg"),
+        F.col("l_shipdate_min").alias("ship_min"),
+        F.col("l_shipdate_max").alias("ship_max"),
+    ).orderBy("l_suppkey")
+
+
+# equal by construction => q159's oracle certifies the compacted form
+from morphl_community_edition_spark.queries import ORACLE_SQL as _ORACLE_SQL  # noqa: E402
+
+_ORACLE_SQL["q165_compacted_rollup"] = _ORACLE_SQL["q159_incremental_rollup"]
+
+
+@query(
+    "q166_zorder_serve",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+           {sql_dsum('o_totalprice')} AS price_sum,
+           min(CAST(o_orderdate AS DATE)) AS d_min,
+           max(CAST(o_orderdate AS DATE)) AS d_max
+    FROM orders
+    WHERE o_custkey >= 100 AND o_custkey < 200
+    """,
+)
+def q166_zorder_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The z-order layout ROUND-TRIP (q164 certifies the projection;
+    this serves FROM the layout): orders written once z-clustered on
+    (customer, order-day) — memoized per (session, sf_dir) like every
+    persisted structure — then a customer-range query runs against
+    the layout and must hash-match the same predicate over the raw
+    table. The customer range maps to a minority of z-buckets
+    (operators/zorder locality), so the scan's partition filter
+    prunes most directories; the plan gate in tests/test_plans.py
+    asserts the pruning, this oracle certifies the values.
+
+    Scale shape: serve = one pruned scan + hash agg; the layout write
+    (one key-ranged shuffle) is the amortized ingest cost, exactly
+    like the q134/q150/q151 index builds."""
+    import os as _os
+
+    from morphl_community_edition_spark.operators.zorder import zorder_layout
+
+    path = _per_app_path(spark, sf_dir, "morphl_zorder_orders")
+    if not _os.path.isdir(path):
+        o = load_table(spark, sf_dir, "orders")
+        zorder_layout(
+            o,
+            F.pmod(F.col("o_custkey"), F.lit(65536)),
+            F.pmod(
+                F.datediff(
+                    F.col("o_orderdate").cast("date"), F.lit(_Z_EPOCH).cast("date")
+                ),
+                F.lit(65536),
+            ),
+            path,
+            bucket_bits=14,
+        )
+    from morphl_community_edition_spark.operators.zorder import zbuckets_for_x_range
+
+    back = spark.read.parquet(path)
+    # driver-computed LITERAL bucket list (the point_lookup/BM25
+    # static-pruning device): a provable superset of the buckets any
+    # custkey in [100, 200) can land in — the partition filter prunes
+    # the other directories at plan time, no DPP subquery
+    buckets = zbuckets_for_x_range(100, 200, bucket_bits=14)
+    return (
+        back.filter(
+            F.col("zbucket").isin(buckets)
+            & (F.col("o_custkey") >= 100)
+            & (F.col("o_custkey") < 200)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("o_custkey").cast("bigint").alias("n_custs"),
+            dsum(F.col("o_totalprice")).alias("price_sum"),
+            F.min(F.col("o_orderdate").cast("date")).alias("d_min"),
+            F.max(F.col("o_orderdate").cast("date")).alias("d_max"),
+        )
+    )

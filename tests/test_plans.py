@@ -1293,3 +1293,62 @@ def test_q157_hybrid_serve_reads_only_the_two_indexes(spark, tmp_path):
     )
     rows = {r["doc_id"]: r for r in fused.collect()}
     assert rows and all(r["rrf_scaled"] > 0 for r in rows.values())
+
+
+def test_q166_zorder_serve_prunes_partitions(spark):
+    """The z-layout serve must carry the driver-computed literal
+    zbucket list as a STATIC PartitionFilter (no DPP subquery) and
+    actually read fewer files than the full layout holds."""
+    from pyspark.sql import functions as F
+
+    from morphl_community_edition_spark.queries import QUERIES
+
+    df = QUERIES["q166_zorder_serve"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "zbucket" in pf
+    assert "dynamicpruning" not in plan.lower()
+    # files actually touched vs files in the layout
+    from morphl_community_edition_spark.queries.maintenance import _per_app_path
+
+    path = _per_app_path(spark, SF_DIR, "morphl_zorder_orders")
+    touched = (
+        spark.read.parquet(path)
+        .filter(F.col("zbucket").isin(
+            __import__(
+                "morphl_community_edition_spark.operators.zorder",
+                fromlist=["zbuckets_for_x_range"],
+            ).zbuckets_for_x_range(100, 200, bucket_bits=14)
+        ))
+        .select(F.input_file_name().alias("f")).distinct().count()
+    )
+    total = (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("f")).distinct().count()
+    )
+    assert touched < total, f"pruning read {touched}/{total} files"
+
+
+def test_rollup_serve_never_rereads_fact_table(spark, tmp_path):
+    """read_rollup's plan must scan ONLY the persisted state slices —
+    the fact table is paid once at build/fold time, never at serve."""
+    from pyspark.sql import functions as F
+
+    from morphl_community_edition_spark.operators.incremental_agg import (
+        RollupSpec,
+        append_rollup,
+        build_rollup,
+        read_rollup,
+    )
+    from morphl_community_edition_spark.catalog import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    spec = RollupSpec(keys=("l_suppkey",), measures={"l_quantity": 2})
+    path = str(tmp_path / "ru")
+    build_rollup(li.filter(F.col("l_orderkey") % 2 == 0), spec, path)
+    append_rollup(li.filter(F.col("l_orderkey") % 2 == 1), path, sid="b1")
+    plan = read_rollup(spark, path)._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in plan, "serve plan re-reads the fact table"
+    # the scans read the persisted monoid-state schema, not fact rows
+    assert plan.count("FileScan") >= 1 and "l_quantity_sum" in plan
