@@ -47,6 +47,14 @@ self-diagnosing and self-correcting instead of silently regressing:
   estimator HEADLINE_SF1 uses across independent runs, applied
   inside the one run the driver invokes.
 
+Round 12 (verdict r11 #2/#3/#5): the canary ALSO runs after every
+suite pass (per-pass weather stamps, so extras drift is attributable
+by the artifact alone), the artifact carries BOTH Spark/DuckDB ratios
+(``suite_vs_baseline`` against the survey-time recording and
+``suite_vs_canary`` against the best canary of this very window), and
+the complete record is committed as ``BENCHLOCAL_r{N}.json`` so the
+driver's 2000-char stdout tail can't truncate it away.
+
 Bench profile: AQE off + 2 shuffle partitions for the timed section —
 at sf0.1 on one host, AQE's per-stage scheduling adds ~0.3-0.5s/query
 of pure orchestration; on a real cluster AQE pays for itself and the
@@ -121,6 +129,7 @@ EXTRA = {
     "psi_drift": "q162_psi_drift",
     "triangle_corners": "q163_triangle_corners",
     "zorder_histogram": "q164_zorder_histogram",
+    "zorder_rect_serve": "q167_zorder_rect_serve",
 }
 
 # best-of-5 blocks × 3 full-suite passes: single-JVM local mode has
@@ -218,6 +227,7 @@ def main() -> None:
     cold: dict[str, float] = {}
     pass_totals: list[float] = []
     extra_pass_totals: list[float] = []
+    pass_canary_totals: list[float] = []
     try:
         dfs = {}
         for name, key in HEADLINE.items():
@@ -273,8 +283,17 @@ def main() -> None:
                 extra[name] = round(min(extra.get(name, 1e9), best), 4)
             etotal = round(sum(pass_extra.values()), 4)
             extra_pass_totals.append(etotal)
+            # per-pass canary (round 12, verdict r11 #3): one DuckDB
+            # canary before/after cannot attribute drift inside a
+            # ~70 s × PASSES extras block — a ~2 s canary after EVERY
+            # pass stamps each pass with the machine weather it ran
+            # under, so an extras regression is attributable to code
+            # or to load by the artifact alone
+            pass_canary = round(sum(_duck_canary().values()), 4)
+            pass_canary_totals.append(pass_canary)
             print(
-                f"# pass {pnum + 1}/{PASSES}: suite total {total:.3f}s extra total {etotal:.3f}s",
+                f"# pass {pnum + 1}/{PASSES}: suite total {total:.3f}s "
+                f"extra total {etotal:.3f}s canary {pass_canary:.3f}s",
                 file=sys.stderr,
             )
 
@@ -344,9 +363,20 @@ def main() -> None:
     )
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    value = round(sum(warm.values()), 4)
+    # the same-window Spark/DuckDB ratio (round 12, verdict r11 #5):
+    # value/baseline flatters the engine when the VM runs hot (both
+    # the recorded DuckDB baseline and the Spark number drift, but
+    # only Spark's drift lands in the ratio) — suite_vs_canary divides
+    # by the MINIMUM canary total observed in this very run, so the
+    # honest same-weather ratio rides in the artifact beside the
+    # recorded-baseline one
+    canary_min = min(
+        [c_before, c_after] + pass_canary_totals
+    )
     out = {
         "metric": "headline_suite_warm_total",
-        "value": round(sum(warm.values()), 4),
+        "value": value,
         "unit": "sec",
         "semantics": f"per-query min across {PASSES} passes of best-of-{RUNS} full re-plan + re-execution blocks, one warm session (no plan or shuffle reuse)",
         "queries": warm,
@@ -355,11 +385,17 @@ def main() -> None:
         "headline_topup_passes": topup,
         "duck_canary_before": canary_before,
         "duck_canary_after": canary_after,
+        "duck_canary_per_pass_totals": pass_canary_totals,
         "duck_canary_baseline_total": base_total,
         "duck_canary_ratios": [
             round(c_before / base_total, 3),
             round(c_after / base_total, 3),
         ],
+        "duck_canary_per_pass_ratios": [
+            round(c / base_total, 3) for c in pass_canary_totals
+        ],
+        "suite_vs_baseline": round(value / base_total, 3),
+        "suite_vs_canary": round(value / canary_min, 3),
         # >15% over the survey-time baseline on EITHER canary = the VM
         # was loaded during this run; read the Spark numbers with that
         "ambient_load_suspect": bool(
@@ -377,6 +413,29 @@ def main() -> None:
         "extra_pass_min": round(min(extra_pass_totals), 4) if extra_pass_totals else None,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # Commit the COMPLETE record as a repo artifact (round 12, verdict
+    # r11 #2): the driver's BENCH_r{N}.json keeps only a 2000-char
+    # tail of stdout, which truncated the r11 record to headless —
+    # BENCHLOCAL_r{N}.json preserves every tier + per-pass totals +
+    # all canaries. N = max committed CORRECTNESS round + 1 (the
+    # driver writes its artifact at round end), same rule as the
+    # scale-sweep forcing function.
+    try:
+        import glob
+        import re
+
+        repo = os.path.dirname(os.path.abspath(__file__))
+        rounds = [
+            int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+            for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        ]
+        if rounds:
+            local = os.path.join(repo, f"BENCHLOCAL_r{max(rounds) + 1:02d}.json")
+            with open(local, "w") as f:
+                json.dump(out, f, indent=1)
+            print(f"# full record -> {local}", file=sys.stderr)
+    except OSError as e:
+        print(f"# BENCHLOCAL write failed: {e}", file=sys.stderr)
     print(json.dumps(out))
 
 

@@ -155,22 +155,40 @@ def rollup_spec(path: str) -> RollupSpec:
     raise ValueError(f"no committed rollup base at {path} — run build_rollup first")
 
 
-def append_rollup(delta: DataFrame, path: str, sid: str) -> None:
+def append_rollup(
+    delta: DataFrame, path: str, sid: str, on_tombstoned: str = "error"
+) -> None:
     """Fold one delta batch into the rollup: aggregate ONLY the delta
     to states, persist as slice ``sid``, commit atomically. Cost is
     O(|delta|) + a |groups|-bounded write — the fact table is not
     touched. Replay-idempotent: same sid ⇒ same slice dir rewritten
-    and re-committed."""
+    and re-committed.
+
+    ``on_tombstoned`` picks the behavior when ``sid`` was compacted
+    away (its commit would land in invisibility — committed_slices
+    filters replaced sids):
+
+    - ``"error"`` (default, ad-hoc callers): the sid names NEW data, so
+      an invisible commit is silent data loss — fail loudly.
+    - ``"skip"`` (replay-safe callers, i.e. streaming folds whose sid
+      is derived from the micro-batch id): a tombstoned sid proves this
+      exact batch was already folded, committed, AND merged into the
+      compacted slice — the replay is the idempotent no-op, not an
+      error. Without this a stream crashing between fold-commit and
+      checkpoint advance, with a compact_rollup in between, would
+      crash-loop forever on restart (round-11 advice item)."""
     if sid == "base":
         raise ValueError("sid 'base' is reserved for build_rollup")
+    if on_tombstoned not in ("error", "skip"):
+        raise ValueError(f"on_tombstoned must be 'error' or 'skip', got {on_tombstoned!r}")
     spec = rollup_spec(path)
-    # a sid tombstoned by a compaction record would commit into
-    # invisibility (committed_slices filters replaced sids) — silent
-    # data loss; replays of a LIVE sid remain allowed (idempotence)
+    # replays of a LIVE sid remain allowed (idempotence)
     tombstoned = {
         s for r in manifest.committed_slices(path) for s in r.get("replaces", [])
     }
     if sid in tombstoned:
+        if on_tombstoned == "skip":
+            return
         raise ValueError(
             f"slice id {sid!r} was compacted away at {path} — folding under "
             "it would be invisible; use a fresh sid"
@@ -274,7 +292,10 @@ def streaming_rollup_ingest(
         manifest.write_json_record(meta_path, {"ckpt_tag": tag}, root=path)
 
     def handle(batch: DataFrame, batch_id: int) -> None:
-        append_rollup(batch, path, sid=f"b{batch_id:09d}")
+        # on_tombstoned="skip": batch-id-derived sids are replay-safe —
+        # a tombstoned sid means this batch's fold already reached the
+        # compacted slice, so the replay must no-op, not crash-loop
+        append_rollup(batch, path, sid=f"b{batch_id:09d}", on_tombstoned="skip")
 
     return (
         stream_facts.writeStream.foreachBatch(handle)

@@ -854,7 +854,15 @@ def q158_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus), and the split itself is a pure per-row projection —
     no new shuffle class beyond q77."""
     docs = load_table(spark, sf_dir, "documents")
-    edges = exact_jaccard_pairs(docs, threshold=0.5).select("a_doc", "b_doc")
+    # method="auto" (round 12, verdict r11 #6): q158's edge derivation
+    # was the direct postings join regardless of corpus shape — the
+    # worst decade row in SCALE_r11 (grown 7.25×, dup90 7.05×). The
+    # measured dispatch (dup-mass-gated identity collapse + sampled
+    # Σdf² profile) is the same device that cut q147's grown decade
+    # 17.6→3.9; its low-dup overhead is two sub-second probe aggs.
+    edges = exact_jaccard_pairs(docs, threshold=0.5, method="auto").select(
+        "a_doc", "b_doc"
+    )
     comps = dedup_clusters(edges, "a_doc", "b_doc").select(
         F.col("n").alias("doc_id"), "comp"
     )

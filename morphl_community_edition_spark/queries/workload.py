@@ -760,28 +760,32 @@ def q163_triangle_corners(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic; every join is an equi-join on graph keys (AQE splits
     residual hot sources), and the corner count is a partial-agg-ed
     3-rows-per-triangle hash agg."""
-    from morphl_community_edition_spark.catalog import table_path
     from morphl_community_edition_spark.operators.triangles import (
         triangle_corner_counts,
     )
     from morphl_community_edition_spark.plans.hints import (
         DEFAULT_BROADCAST_FILE_LIMIT,
-        dataset_file_bytes,
     )
 
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
     )
-    # the closure edge list is two BIGINTs per distinct co-purchase
-    # pair (~1.5 rows per lineitem row here) — gate its broadcast on
-    # the SOURCE bytes like every other hinted side; past the gate the
-    # wedge⋈closure shuffle join runs unchanged
-    bc = (
-        dataset_file_bytes(table_path(sf_dir, "lineitem"))
-        <= DEFAULT_BROADCAST_FILE_LIMIT
-    )
     pairs = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")).distinct()
+    # the closure edge list is quadratic PER BASKET (k·(k-1)/2 pairs
+    # for a k-item order), so source file bytes underestimate it badly
+    # on skewed basket sizes (r11 advice item). Gate the broadcast on
+    # Σ C(k,2) over baskets — the exact pre-distinct edge bound, one
+    # |orders|-group agg to a 1-row driver probe — at 16 bytes/edge
+    # against the same limit every other hinted side uses.
+    est_edges = (
+        pairs.groupBy("ok")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .agg(F.sum(F.col("k") * (F.col("k") - 1) / 2).alias("e"))
+        .collect()[0]["e"]
+        or 0
+    )
+    bc = est_edges * 16 <= DEFAULT_BROADCAST_FILE_LIMIT
     a = pairs.withColumnsRenamed({"pk": "a"})
     b = pairs.withColumnsRenamed({"pk": "b", "ok": "ok2"})
     und = (

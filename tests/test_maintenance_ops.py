@@ -251,6 +251,12 @@ def test_rollup_compaction_preserves_semantics(spark, tmp_path):
     # tombstoned sid rejected; fresh sid folds fine
     with pytest.raises(ValueError, match="compacted away"):
         append_rollup(_facts(spark, 900, 1000), path, sid="b1")
+    # replay-safe mode: a streaming restart replaying a batch whose
+    # slice was compacted away (crash between fold-commit and
+    # checkpoint advance, compact_rollup in between) must no-op —
+    # the data is already in the compacted slice (r11 advice item)
+    append_rollup(_facts(spark, 400, 700), path, sid="b1", on_tombstoned="skip")
+    assert _served(spark, path) == _oracle(spark, 0, 900)
     append_rollup(_facts(spark, 900, 1000), path, sid="b3")
     assert _served(spark, path) == _oracle(spark, 0, 1000)
     # second compaction (compacted slice + b3) under a bumped sid
@@ -301,3 +307,152 @@ def test_rollup_compaction_crash_windows(spark, tmp_path):
     assert compact_rollup(spark, path) == 2
     assert _served(spark, path) == _oracle(spark, 0, 700)
     assert not manifest.record_file_exists(os.path.join(mdir, "b1.json"))
+
+
+def test_zorder_bucket_bits_enforced_and_persisted(spark, tmp_path):
+    """r11 advice item: the superset property of bucket pruning needs
+    bucket_bits even AND equal to the layout's write-time value. Odd
+    values are rejected everywhere; the layout persists its value in a
+    sidecar and layout_bucket_bits reads it back; a sidecar-less dir
+    fails loudly instead of guessing."""
+    from morphl_community_edition_spark.operators.zorder import (
+        layout_bucket_bits,
+        zbucket,
+        zbuckets_for_x_range,
+        zorder_layout,
+    )
+
+    with pytest.raises(ValueError, match="even"):
+        zbuckets_for_x_range(0, 10, bucket_bits=7)
+    with pytest.raises(ValueError, match="even"):
+        zbucket(F.lit(0), bucket_bits=5)
+    df = spark.range(100).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") % 32).alias("y")
+    )
+    path = str(tmp_path / "zo")
+    with pytest.raises(ValueError, match="even"):
+        zorder_layout(df, F.col("x"), F.col("y"), path, bucket_bits=3)
+    zorder_layout(df, F.col("x"), F.col("y"), path, bucket_bits=4)
+    assert layout_bucket_bits(path) == 4
+    bare = str(tmp_path / "bare")
+    df.write.parquet(bare)
+    with pytest.raises(ValueError, match="sidecar"):
+        layout_bucket_bits(bare)
+
+
+def test_z_ranges_for_rect_exact_and_superset():
+    """Decomposition properties, brute-forced: at full depth the
+    interval list covers EXACTLY the rectangle's Morton codes; under
+    the max_depth/max_ranges valves it stays a superset; an x-only
+    rectangle's bucket tier equals the 1-d helper's bucket list."""
+    import random
+
+    from morphl_community_edition_spark.operators.zorder import (
+        _py_spread,
+        z_ranges_for_rect,
+        zbuckets_for_ranges,
+        zbuckets_for_x_range,
+    )
+
+    def zval(x, y):
+        return (_py_spread(x) << 1) | _py_spread(y)
+
+    rng = random.Random(7)
+    for _ in range(10):
+        xl = rng.randrange(0, 65500)
+        xh = xl + rng.randrange(1, 30)
+        yl = rng.randrange(0, 65500)
+        yh = yl + rng.randrange(1, 30)
+        ranges = z_ranges_for_rect(xl, xh, yl, yh, max_depth=32, max_ranges=1 << 30)
+        area = sum(hi - lo for lo, hi in ranges)
+        assert area == (xh - xl) * (yh - yl)  # exact, not just superset
+        for x in range(xl, xh):
+            for y in range(yl, yh):
+                z = zval(x, y)
+                assert any(lo <= z < hi for lo, hi in ranges)
+        assert all(ranges[i][0] >= ranges[i - 1][1] for i in range(1, len(ranges)))
+    for _ in range(10):  # valves: bounded count, still a superset
+        xl = rng.randrange(0, 60000)
+        xh = xl + rng.randrange(1, 3000)
+        yl = rng.randrange(0, 60000)
+        yh = yl + rng.randrange(1, 3000)
+        ranges = z_ranges_for_rect(xl, xh, yl, yh)
+        assert len(ranges) <= 64
+        for _ in range(100):
+            z = zval(rng.randrange(xl, xh), rng.randrange(yl, yh))
+            assert any(lo <= z < hi for lo, hi in ranges)
+    assert z_ranges_for_rect(0, 65536, 0, 65536) == [(0, 1 << 32)]
+    r = z_ranges_for_rect(100, 200, 0, 65536, max_depth=32, max_ranges=1 << 30)
+    assert set(zbuckets_for_ranges(r, 14)) == set(zbuckets_for_x_range(100, 200, 14))
+
+
+def test_zorder_rect_serve_skips_row_groups_below_bucket_level(spark, tmp_path):
+    """The round-11 verdict #8 'done' bar: prove the z-range tier
+    prunes BELOW the bucket level. Measured at the parquet footers —
+    within the buckets that survive partition pruning, the row groups
+    whose [z_min, z_max] span intersects the interval list are a
+    strict minority — and at the plan: the z disjuncts reach the scan
+    as pushed data filters."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from morphl_community_edition_spark.operators.zorder import (
+        layout_bucket_bits,
+        z_range_predicate,
+        z_ranges_for_rect,
+        zbuckets_for_ranges,
+        zorder_layout,
+    )
+
+    n = 1 << 17
+    df = spark.range(n).select(
+        ((F.col("id") * 2654435761) % 65536).alias("x"),
+        ((F.col("id") * 40503) % 65536).alias("y"),
+    )
+    path = str(tmp_path / "zo")
+    # small row groups so a file holds many — the skipping unit under test
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old_block = hconf.get("parquet.block.size")
+    hconf.set("parquet.block.size", str(4 * 1024))
+    try:
+        zorder_layout(df, F.col("x"), F.col("y"), path, bucket_bits=4)
+    finally:
+        if old_block is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", old_block)
+    ranges = z_ranges_for_rect(1000, 3000, 20000, 24000)
+    buckets = zbuckets_for_ranges(ranges, layout_bucket_bits(path))
+    assert len(buckets) < 16  # tier 1: some directories pruned
+    total_rg = hit_rg = 0
+    for b in buckets:
+        for f in glob.glob(os.path.join(path, f"zbucket={b}", "*.parquet")):
+            meta = pq.ParquetFile(f).metadata
+            zi = meta.schema.names.index("z")
+            for g in range(meta.num_row_groups):
+                st = meta.row_group(g).column(zi).statistics
+                total_rg += 1
+                if any(lo <= st.max and st.min < hi for lo, hi in ranges):
+                    hit_rg += 1
+    assert total_rg > 20, f"fixture too coarse ({total_rg} row groups)"
+    assert hit_rg < total_rg // 2, f"z ranges hit {hit_rg}/{total_rg} row groups"
+    # tier 2 reaches the scan: z bounds appear among pushed filters
+    back = spark.read.parquet(path)
+    pred = z_range_predicate(ranges, F.col("z"))
+    plan = (
+        back.filter(pred)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "z" in plan.split("PushedFilters", 1)[1][:4000]
+    # and the served rows equal the unpruned filter (superset + exact
+    # predicate re-application — correctness does not ride on stats)
+    exact = (
+        (F.col("x") >= 1000) & (F.col("x") < 3000)
+        & (F.col("y") >= 20000) & (F.col("y") < 24000)
+    )
+    got = back.filter(pred & exact).count()
+    want = back.filter(exact).count()
+    assert got == want

@@ -1330,6 +1330,28 @@ def test_q166_zorder_serve_prunes_partitions(spark):
     assert touched < total, f"pruning read {touched}/{total} files"
 
 
+def test_q167_zorder_rect_serve_prunes_both_tiers(spark):
+    """q167 (the BIGMIN/LITMAX closure of verdict r11 #8) must show
+    BOTH pruning tiers in its plan: the literal zbucket list as a
+    static PartitionFilter (no DPP subquery), and the z-interval
+    disjuncts among the scan's pushed data filters (the row-group
+    min/max skipping handle — effectiveness measured at the footers
+    in tests/test_maintenance_ops.py)."""
+    from morphl_community_edition_spark.queries import QUERIES
+
+    df = QUERIES["q167_zorder_rect_serve"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "zbucket" in pf
+    assert "dynamicpruning" not in plan.lower()
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "z" in pushed and ("Or(" in pushed or "GreaterThanOrEqual" in pushed), (
+        f"z intervals not pushed: {pushed[:300]}"
+    )
+
+
 def test_rollup_serve_never_rereads_fact_table(spark, tmp_path):
     """read_rollup's plan must scan ONLY the persisted state slices —
     the fact table is paid once at build/fold time, never at serve."""
