@@ -130,6 +130,7 @@ EXTRA = {
     "triangle_corners": "q163_triangle_corners",
     "zorder_histogram": "q164_zorder_histogram",
     "zorder_rect_serve": "q167_zorder_rect_serve",
+    "quantile_rollup": "q168_quantile_rollup",
 }
 
 # best-of-5 blocks × 3 full-suite passes: single-JVM local mode has

@@ -337,3 +337,204 @@ def read_rollup(spark: SparkSession, path: str, finalize: bool = True) -> DataFr
         cols.append(F.col(f"{e}_min"))
         cols.append(F.col(f"{e}_max"))
     return merged.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Histogram (mergeable-quantile) rollups — the quantile member of the
+# sketch-rollup family (HLL handles distinct counts; quantiles need
+# their own mergeable state). The state is an exact value HISTOGRAM:
+# one (keys..., v, cnt) row per distinct scaled value per group. Counts
+# add, so the state is the same commutative monoid as every other
+# slice in this module, and serving any percentile costs
+# O(n_slices · |histogram|) — never a fact re-read.
+#
+# Honest scale contract: the state size is |distinct (group, value)|.
+# Exact quantiles over an UNBOUNDED continuous domain are impossible
+# in bounded state (that is what KLL/t-digest trade accuracy for);
+# this operator's valve is DOMAIN QUANTIZATION — ``scale`` fixes the
+# decimal grid (the PSI-bin device), so state is bounded by the grid,
+# and the quantile is exact over the quantized domain on BOTH engines
+# (DuckDB quantile_disc over the identically-quantized value —
+# hash-certifiable, unlike a sketch).
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class HistSpec:
+    """Declared shape of a maintained quantile histogram: group keys,
+    the value column, and the decimal quantization scale (value rows
+    are keyed by floor(v·10^scale + 0.5) as BIGINT)."""
+
+    keys: tuple[str, ...]
+    value: str
+    scale: int = 0
+
+    def to_payload(self) -> dict:
+        return {
+            "kind": "hist",
+            "keys": list(self.keys),
+            "value": self.value,
+            "scale": int(self.scale),
+        }
+
+    @staticmethod
+    def from_payload(p: dict) -> "HistSpec":
+        if p.get("kind") != "hist":
+            raise ValueError(f"not a histogram rollup payload: {p}")
+        return HistSpec(
+            keys=tuple(p["keys"]), value=p["value"], scale=int(p["scale"])
+        )
+
+
+def hist_states(df: DataFrame, spec: HistSpec) -> DataFrame:
+    """One delta batch -> histogram state rows (keys..., v, cnt)."""
+    v = to_scaled_long(F.col(spec.value).cast("double"), spec.scale).alias("v")
+    return (
+        df.select(*[F.col(c) for c in spec.keys], v)
+        .filter(F.col("v").isNotNull())
+        .groupBy(*[F.col(c) for c in spec.keys], F.col("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def _merge_hist(states: DataFrame, spec: HistSpec) -> DataFrame:
+    return states.groupBy(*[F.col(c) for c in spec.keys], F.col("v")).agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+
+
+def build_hist_rollup(df: DataFrame, spec: HistSpec, path: str) -> None:
+    """Create (or wholesale-recreate) a persisted histogram rollup —
+    same commit protocol as build_rollup (manifest slices, rename or
+    versioned mode, data-then-manifest fsync ordering)."""
+    manifest.clear_commit(path)
+    manifest.clear_slices(path)
+    hist_states(df, spec).write.mode("overwrite").parquet(_states_dir(path, "base"))
+    _fsync_states(path, "base")
+    manifest.commit_slice(path, "base", {"spec": spec.to_payload()})
+
+
+def hist_spec(path: str) -> HistSpec:
+    for rec in manifest.committed_slices(path):
+        if "spec" in rec:
+            return HistSpec.from_payload(rec["spec"])
+    raise ValueError(f"no committed histogram rollup at {path} — run build_hist_rollup")
+
+
+def append_hist_rollup(
+    delta: DataFrame, path: str, sid: str, on_tombstoned: str = "error"
+) -> None:
+    """Fold one delta batch — append_rollup's contract verbatim
+    (replay-idempotent per sid; tombstoned-sid behavior selectable for
+    replay-safe streaming callers)."""
+    if sid == "base":
+        raise ValueError("sid 'base' is reserved for build_hist_rollup")
+    if on_tombstoned not in ("error", "skip"):
+        raise ValueError(f"on_tombstoned must be 'error' or 'skip', got {on_tombstoned!r}")
+    spec = hist_spec(path)
+    tombstoned = {
+        s for r in manifest.committed_slices(path) for s in r.get("replaces", [])
+    }
+    if sid in tombstoned:
+        if on_tombstoned == "skip":
+            return
+        raise ValueError(
+            f"slice id {sid!r} was compacted away at {path} — folding under "
+            "it would be invisible; use a fresh sid"
+        )
+    hist_states(delta, spec).write.mode("overwrite").parquet(_states_dir(path, sid))
+    _fsync_states(path, sid)
+    manifest.commit_slice(path, sid, {"spec": spec.to_payload()})
+
+
+def read_hist(spark: SparkSession, path: str) -> DataFrame:
+    """The merged histogram (keys..., v, cnt) across committed slices."""
+    recs = manifest.committed_slices(path)
+    if not recs:
+        raise ValueError(f"no committed histogram rollup at {path} — run build_hist_rollup")
+    spec = hist_spec(path)
+    frames = [spark.read.parquet(_states_dir(path, r["sid"])) for r in recs]
+    states = frames[0]
+    for f in frames[1:]:
+        states = states.unionByName(f)
+    return _merge_hist(states, spec)
+
+
+def quantiles_from_hist(
+    spark: SparkSession, path: str, percentiles: dict[str, tuple[int, int]]
+) -> DataFrame:
+    """Serve discrete percentiles from the persisted histogram:
+    for each group and each requested p = num/den, the value at rank
+    ceil(p·n) of the ordered multiset (1-indexed) — percentile_disc /
+    DuckDB quantile_disc semantics, computed with exact integer rank
+    arithmetic so both engines agree bit-for-bit.
+
+    ``percentiles`` maps output column name -> (num, den), e.g.
+    {"p50": (1, 2), "p90": (9, 10), "p99": (99, 100)}.
+
+    Plan shape: one cumulative-count window PER GROUP over the
+    histogram rows (histogram-sized — bounded by the quantization
+    grid, never fact-sized), then a min-of-conditional agg per
+    percentile. No fact-table access; the rank thresholds ride as
+    integer expressions."""
+    spec = hist_spec(path)
+    from pyspark.sql import Window
+
+    hist = read_hist(spark, path)
+    keys = [F.col(c) for c in spec.keys]
+    w = Window.partitionBy(*keys).orderBy("v")
+    tot = Window.partitionBy(*keys)
+    cum = hist.select(
+        *keys,
+        "v",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(tot).alias("n"),
+    )
+    aggs = [F.max("n").cast("bigint").alias("n_rows")]
+    for name, (num, den) in percentiles.items():
+        if not (0 < num <= den):
+            raise ValueError(f"percentile {name} must satisfy 0 < num <= den")
+        # rank = ceil(num·n / den), exact in integers
+        rank = F.floor((F.lit(num) * F.col("n") + F.lit(den - 1)) / F.lit(den))
+        aggs.append(
+            F.min(F.when(F.col("cum") >= rank, F.col("v"))).alias(name)
+        )
+    return cum.groupBy(*keys).agg(*aggs)
+
+
+def streaming_hist_ingest(
+    stream_facts: DataFrame, path: str, checkpoint_path: str
+):
+    """Continuous quantile-histogram maintenance — streaming_rollup_
+    ingest's contract applied to the histogram member: each
+    micro-batch folds ONE histogram slice via foreachBatch, slice ids
+    derive from batch ids (replay rewrites its own slice and
+    re-commits; a tombstoned replay no-ops), and the checkpoint-tag
+    guard rejects a second checkpoint sequence whose batch ids would
+    collide. Serving any percentile between micro-batches reads only
+    committed slices."""
+    import hashlib
+
+    tag = hashlib.md5(checkpoint_path.encode()).hexdigest()[:12]
+    hist_spec(path)  # fails loudly if the rollup was never built
+    meta_path = os.path.join(path, "stream.json")
+    rec = manifest.read_json_record(meta_path)
+    if rec is not None and rec.get("ckpt_tag") != tag:
+        raise ValueError(
+            f"histogram rollup at {path} was fed from a different checkpoint "
+            f"(tag {rec.get('ckpt_tag')} != {tag}): batch ids are not "
+            "comparable — use a fresh rollup or the original checkpoint"
+        )
+    if rec is None:
+        manifest.write_json_record(meta_path, {"ckpt_tag": tag}, root=path)
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        append_hist_rollup(batch, path, sid=f"b{batch_id:09d}", on_tombstoned="skip")
+
+    return (
+        stream_facts.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

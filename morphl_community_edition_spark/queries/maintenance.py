@@ -548,3 +548,72 @@ def q167_zorder_rect_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(od).alias("d_max"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q168: mergeable-quantile (histogram) rollup — the quantile member of
+# the sketch-rollup family (q160 covers distinct counts; quantiles
+# need their own mergeable state). The state is an exact value
+# histogram over a QUANTIZED domain (the PSI-bin device as the
+# bounded-state valve), so unlike KLL/t-digest the served percentile
+# is hash-exact against DuckDB's quantile_disc over the identically
+# quantized value.
+# ---------------------------------------------------------------------------
+
+_Q168_PCTS = {"p50": (1, 2), "p90": (9, 10), "p99": (99, 100)}
+_Q168_SCALE = -2  # hundred-dollar price grid: bounded histogram state
+
+
+def _q168_oracle() -> str:
+    from morphl_community_edition_spark.functions.rounding import sql_scaled_long
+
+    v = sql_scaled_long("l_extendedprice", _Q168_SCALE)
+    cols = ",\n           ".join(
+        f"CAST(quantile_disc({v}, {num}/{den}) AS BIGINT) AS {name}"
+        for name, (num, den) in _Q168_PCTS.items()
+    )
+    return f"""
+    SELECT l_suppkey,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           {cols}
+    FROM lineitem
+    GROUP BY l_suppkey
+    ORDER BY l_suppkey
+    """
+
+
+@query("q168_quantile_rollup", oracle=_q168_oracle())
+def q168_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier price percentiles served from a persisted
+    MERGEABLE-QUANTILE rollup (round 12): the fact table is split by
+    md5(l_orderkey) into an initial build plus two delta folds (the
+    q159 replay device); each fold persists an exact value-histogram
+    slice over the hundred-dollar price grid
+    (operators/incremental_agg.HistSpec, scale −2 — the quantization
+    valve that bounds state for a continuous domain); the serve
+    merges committed slices and extracts p50/p90/p99 by exact integer
+    rank arithmetic (rank = ceil(p·n), percentile_disc semantics).
+    The oracle computes quantile_disc over the identically quantized
+    value on the FULL fact table — hash-equality proves
+    fold-merge == recompute for quantiles, which no summable state
+    could show (quantiles are not a sum; histograms are).
+
+    Scale shape: folds cost O(|delta|) with map-side combine into
+    |grid×groups|-bounded slices; the serve's window runs over
+    histogram rows only (grid-bounded per group), never fact rows;
+    the fact table is read once per fold, never at serve."""
+    from morphl_community_edition_spark.operators.incremental_agg import (
+        HistSpec,
+        append_hist_rollup,
+        build_hist_rollup,
+        quantiles_from_hist,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hex1 = F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 1)
+    spec = HistSpec(keys=("l_suppkey",), value="l_extendedprice", scale=_Q168_SCALE)
+    path = _per_app_path(spark, sf_dir, "morphl_hist_rollup")
+    build_hist_rollup(li.filter(hex1 < "e"), spec, path)
+    append_hist_rollup(li.filter(hex1 == "e"), path, sid="batch-e")
+    append_hist_rollup(li.filter(hex1 == "f"), path, sid="batch-f")
+    return quantiles_from_hist(spark, path, _Q168_PCTS).orderBy("l_suppkey")

@@ -456,3 +456,77 @@ def test_zorder_rect_serve_skips_row_groups_below_bucket_level(spark, tmp_path):
     got = back.filter(pred & exact).count()
     want = back.filter(exact).count()
     assert got == want
+
+
+def test_hist_rollup_fold_merge_equals_recompute(spark, tmp_path):
+    """Quantile (histogram) rollup: build + two folds must serve the
+    same percentiles as a from-scratch computation over the full data
+    — against a pure-Python sorted-multiset reference, which also pins
+    the rank = ceil(p·n) percentile_disc semantics."""
+    from morphl_community_edition_spark.operators.incremental_agg import (
+        HistSpec,
+        append_hist_rollup,
+        build_hist_rollup,
+        quantiles_from_hist,
+    )
+
+    def vals(lo, hi):
+        return [(i % 5, float((i * 37) % 200) / 10.0) for i in range(lo, hi)]
+
+    spec = HistSpec(keys=("g",), value="x", scale=1)
+    path = str(tmp_path / "hq")
+    mk = lambda lo, hi: spark.createDataFrame(vals(lo, hi), "g int, x double")
+    build_hist_rollup(mk(0, 500), spec, path)
+    append_hist_rollup(mk(500, 800), path, sid="b1")
+    append_hist_rollup(mk(800, 1000), path, sid="b2")
+    pcts = {"p50": (1, 2), "p90": (9, 10), "p25": (1, 4)}
+    got = {
+        r["g"]: (r["n_rows"], r["p50"], r["p90"], r["p25"])
+        for r in quantiles_from_hist(spark, path, pcts).collect()
+    }
+    by_g = {}
+    for g, x in vals(0, 1000):
+        by_g.setdefault(g, []).append(int(x * 10 + 0.5))  # scale 1 grid
+    want = {}
+    for g, xs in by_g.items():
+        xs.sort()
+        n = len(xs)
+        want[g] = (
+            n,
+            xs[(1 * n + 1) // 2 - 1],
+            xs[(9 * n + 9) // 10 - 1],
+            xs[(1 * n + 3) // 4 - 1],
+        )
+    assert got == want
+    # replay idempotence + tombstone-skip contract shared with append_rollup
+    append_hist_rollup(mk(800, 1000), path, sid="b2")
+    got2 = {
+        r["g"]: (r["n_rows"], r["p50"], r["p90"], r["p25"])
+        for r in quantiles_from_hist(spark, path, pcts).collect()
+    }
+    assert got2 == want
+    with pytest.raises(ValueError, match="reserved"):
+        append_hist_rollup(mk(0, 1), path, sid="base")
+
+
+def test_hist_rollup_serve_never_rereads_fact(spark, tmp_path):
+    """quantiles_from_hist's plan must scan only the persisted state
+    slices (the read_rollup gate, applied to the quantile member)."""
+    from morphl_community_edition_spark.operators.incremental_agg import (
+        HistSpec,
+        build_hist_rollup,
+        quantiles_from_hist,
+    )
+
+    fact_path = str(tmp_path / "srcfacts")
+    spark.range(1000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 17).cast("double").alias("x")
+    ).write.parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    path = str(tmp_path / "hq")
+    build_hist_rollup(fact, HistSpec(keys=("g",), value="x", scale=0), path)
+    served = quantiles_from_hist(spark, path, {"p50": (1, 2)})
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    locs = [ln for ln in plan.splitlines() if "Location" in ln or "FileScan" in ln]
+    assert locs and all("/hq/" in ln for ln in locs), locs  # Spark elides long paths
+    assert served.count() == 3

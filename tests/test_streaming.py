@@ -1038,3 +1038,52 @@ def test_s14_streaming_rollup_ingest(spark, tmp_path):
         streaming_rollup_ingest(
             read_stream_dir(spark, staged, "lineitem"), path, str(tmp_path / "ckpt2")
         )
+
+
+def test_s15_streaming_hist_ingest(spark, tmp_path):
+    """Continuous quantile-histogram maintenance (round 12): lineitem
+    streamed in 3 micro-batches through streaming_hist_ingest must
+    serve exactly the percentiles a one-shot histogram build computes;
+    a restart on the committed checkpoint folds nothing twice, and a
+    foreign checkpoint is rejected (the S14 contract, quantile
+    member)."""
+    from morphl_community_edition_spark.operators.incremental_agg import (
+        HistSpec,
+        build_hist_rollup,
+        quantiles_from_hist,
+        streaming_hist_ingest,
+    )
+
+    spec = HistSpec(keys=("l_suppkey",), value="l_quantity", scale=0)
+    li = load_table(spark, SF_DIR_SMOKE, "lineitem")
+    staged = stage_stream_input(
+        spark, SF_DIR_SMOKE, "lineitem", n_chunks=3, order_col="l_orderkey"
+    )
+    path = str(tmp_path / "hist")
+    build_hist_rollup(li.limit(0), spec, path)  # empty base: stream-fed
+
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming_hist_ingest(read_stream_dir(spark, staged, "lineitem"), path, ckpt)
+    q.awaitTermination(600)
+    assert q.exception() is None
+
+    pcts = {"p50": (1, 2), "p95": (19, 20)}
+
+    def served():
+        return {tuple(r) for r in quantiles_from_hist(spark, path, pcts).collect()}
+
+    twin = str(tmp_path / "twin")
+    build_hist_rollup(li, spec, twin)
+    want = {tuple(r) for r in quantiles_from_hist(spark, twin, pcts).collect()}
+    assert served() == want and want
+
+    before = served()
+    q2 = streaming_hist_ingest(read_stream_dir(spark, staged, "lineitem"), path, ckpt)
+    q2.awaitTermination(600)
+    assert q2.exception() is None
+    assert served() == before
+
+    with pytest.raises(ValueError, match="different checkpoint"):
+        streaming_hist_ingest(
+            read_stream_dir(spark, staged, "lineitem"), path, str(tmp_path / "ckpt2")
+        )

@@ -416,10 +416,51 @@ def main() -> None:
     }
 
     out_path = os.path.join(REPO, f"SCALE_r{round_no:02d}.json")
+    # Min-merge across passes (round 12): the sweep's base and variant
+    # phases run ~15 minutes apart, so a load episode inside ONE phase
+    # poisons the decade ratios asymmetrically (r12 pass 1: q113 grown
+    # doubled on unchanged code while its base got FASTER). Re-running
+    # the sweep and folding per-row minima is the same estimator
+    # bench.py's passes and HEADLINE_SF1's independent runs use; the
+    # artifact discloses the pass count and keeps the per-pass totals.
+    prior = None
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)
+        if prior.get("round") != round_no:
+            prior = None
+    if prior is not None:
+        report["passes"] = int(prior.get("passes", 1)) + 1
+
+        def _merge(dst: dict, src: dict) -> None:
+            for k, v in dst.items():
+                if isinstance(v, dict) and isinstance(src.get(k), dict):
+                    if k in ("timings", "sf0.1"):
+                        for q, t in v.items():
+                            s = src[k].get(q)
+                            if isinstance(t, (int, float)) and isinstance(s, (int, float)):
+                                v[q] = min(t, s)
+                    else:
+                        _merge(v, src[k])
+
+        _merge(report["families"], prior.get("families", {}))
+        # recompute every decade ratio from the merged minima
+        for fam in report["families"].values():
+            base = fam.get("sf0.1")
+            if not isinstance(base, dict):
+                continue
+            for var in fam.get("variants", {}).values():
+                t = var.get("timings", {})
+                var["decade_ratio"] = {
+                    q: (round(t[q] / base[q], 2) if base.get(q) else None)
+                    for q in var.get("decade_ratio", {})
+                }
+    else:
+        report["passes"] = 1
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
         f.write("\n")
-    print(json.dumps({"written": out_path}))
+    print(json.dumps({"written": out_path, "passes": report["passes"]}))
 
 
 if __name__ == "__main__":
