@@ -131,6 +131,8 @@ EXTRA = {
     "zorder_histogram": "q164_zorder_histogram",
     "zorder_rect_serve": "q167_zorder_rect_serve",
     "quantile_rollup": "q168_quantile_rollup",
+    "hist_topk_serve": "q169_hist_topk_serve",
+    "rollup_view_match": "q170_rollup_view_match",
 }
 
 # best-of-5 blocks × 3 full-suite passes: single-JVM local mode has

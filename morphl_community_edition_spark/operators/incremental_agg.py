@@ -538,3 +538,90 @@ def streaming_hist_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def topk_values_from_hist(
+    spark: SparkSession, path: str, k: int
+) -> DataFrame:
+    """Second serve shape over the SAME persisted histogram the
+    quantile reader uses: the k most frequent (quantized) values per
+    group with exact counts — mode estimation / dominant-price-point
+    queries, served without touching the fact table. Deterministic
+    tie-break (count desc, value asc) so the result is hash-stable.
+
+    One persisted structure, many serve shapes, is the entire
+    materialization argument: quantiles, modes, top-k, and any
+    value-range mass query all read the identical |grid×groups| state."""
+    from pyspark.sql import Window
+
+    hist = read_hist(spark, path)
+    spec = hist_spec(path)
+    keys = [F.col(c) for c in spec.keys]
+    w = Window.partitionBy(*keys).orderBy(F.col("cnt").desc(), F.col("v").asc())
+    return (
+        hist.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(*keys, "rk", "v", "cnt")
+    )
+
+
+def rollup_view_match(
+    spark: SparkSession,
+    path: str,
+    regroup: dict[str, "F.Column"],
+    finalize: bool = True,
+) -> DataFrame:
+    """View-matched COARSER-grain serving from persisted fine-grain
+    states (Larson & Zhou's view matching, the claim in this module's
+    docstring, executed): any grouping whose keys are FUNCTIONS of the
+    stored group keys — a dim-join attribute, a date truncation, a
+    bucketing — is answered by one more merge aggregate over the
+    |groups|-sized states, never a fact re-read. The monoid laws make
+    this sound: sums/counts re-add and extrema re-extremize under any
+    coarsening of the key space.
+
+    ``regroup`` maps output key names to Column expressions over the
+    stored state columns — this entry point covers coarsenings that
+    are pure expressions of the stored keys (date truncation,
+    bucketing, pmod). For a coarsening that needs DIM ATTRIBUTES
+    (e.g. supplier → nation), join the dim onto
+    read_rollup(..., finalize=False) first — a |groups|-sized,
+    broadcastable join — and call rollup_view_match_frame on the
+    joined frame."""
+    states = read_rollup(spark, path, finalize=False)
+    return rollup_view_match_frame(states, rollup_spec(path), regroup, finalize)
+
+
+def rollup_view_match_frame(
+    states: DataFrame,
+    spec: RollupSpec,
+    regroup: dict[str, "F.Column"],
+    finalize: bool = True,
+) -> DataFrame:
+    """The regrouping core of rollup_view_match over an explicit state
+    frame (callers join dim attributes onto the states first — the
+    join is |groups|-sized, broadcastable, never fact-sized)."""
+    out_keys = [expr.alias(name) for name, expr in regroup.items()]
+    aggs = [F.sum("n_rows").cast("bigint").alias("n_rows")]
+    for m in spec.measures:
+        aggs.append(F.sum(f"{m}_sum").cast("bigint").alias(f"{m}_sum"))
+        aggs.append(F.sum(f"{m}_cnt").cast("bigint").alias(f"{m}_cnt"))
+    for e in spec.extrema:
+        aggs.append(F.min(f"{e}_min").alias(f"{e}_min"))
+        aggs.append(F.max(f"{e}_max").alias(f"{e}_max"))
+    merged = states.groupBy(*out_keys).agg(*aggs)
+    if not finalize:
+        return merged
+    cols: list = [F.col(n) for n in regroup] + [F.col("n_rows")]
+    for m, kk in spec.measures.items():
+        p = F.lit(float(10**kk))
+        cols.append((F.col(f"{m}_sum").cast("double") / p).alias(f"{m}_sum"))
+        cols.append(
+            (F.col(f"{m}_sum").cast("double") / p / F.col(f"{m}_cnt").cast("double")).alias(
+                f"{m}_avg"
+            )
+        )
+    for e in spec.extrema:
+        cols.append(F.col(f"{e}_min"))
+        cols.append(F.col(f"{e}_max"))
+    return merged.select(*cols)

@@ -617,3 +617,141 @@ def q168_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     append_hist_rollup(li.filter(hex1 == "e"), path, sid="batch-e")
     append_hist_rollup(li.filter(hex1 == "f"), path, sid="batch-f")
     return quantiles_from_hist(spark, path, _Q168_PCTS).orderBy("l_suppkey")
+
+
+_Q169_K = 3
+
+
+@query(
+    "q169_hist_topk_serve",
+    oracle=f"""
+    WITH h AS (
+      SELECT l_suppkey,
+             CAST(floor(l_extendedprice * 1e-2 + 0.5) AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1, 2),
+    r AS (SELECT l_suppkey, v, cnt,
+                 row_number() OVER (PARTITION BY l_suppkey
+                                    ORDER BY cnt DESC, v ASC) AS rk
+          FROM h)
+    SELECT l_suppkey, CAST(rk AS INTEGER) AS rk, v, cnt
+    FROM r WHERE rk <= {_Q169_K}
+    ORDER BY l_suppkey, rk
+    """,
+)
+def q169_hist_topk_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second serve shape over q168's persisted histogram (round 12):
+    the {k} dominant price points per supplier — mode/top-value
+    queries answered from the SAME |grid×groups| state the quantile
+    reader uses, no fact re-read and no new structure. One persisted
+    histogram, many serve shapes (quantiles, modes, top-k, range
+    mass) is the materialization argument made concrete; the oracle
+    recomputes the top-k from the raw fact table with the identical
+    deterministic tie-break (count desc, value asc), so hash-equality
+    proves the persisted state serves exact answers, not summaries.
+
+    Scale shape: the serve is one row_number window over histogram
+    rows (grid-bounded per group); the heavy fact pass was paid once
+    at q168's build/folds."""
+    import os as _os
+
+    from morphl_community_edition_spark.operators.incremental_agg import (
+        HistSpec,
+        append_hist_rollup,
+        build_hist_rollup,
+        topk_values_from_hist,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hex1 = F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 1)
+    spec = HistSpec(keys=("l_suppkey",), value="l_extendedprice", scale=_Q168_SCALE)
+    path = _per_app_path(spark, sf_dir, "morphl_hist_rollup")
+    if not _os.path.isdir(path):
+        build_hist_rollup(li.filter(hex1 < "e"), spec, path)
+        append_hist_rollup(li.filter(hex1 == "e"), path, sid="batch-e")
+        append_hist_rollup(li.filter(hex1 == "f"), path, sid="batch-f")
+    return topk_values_from_hist(spark, path, _Q169_K).orderBy("l_suppkey", "rk")
+
+
+@query(
+    "q170_rollup_view_match",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           {sql_dsum('l.l_extendedprice')} AS price_sum,
+           {sql_davg('l.l_extendedprice')} AS price_avg,
+           min(l.l_shipdate) AS ship_min,
+           max(l.l_shipdate) AS ship_max
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY 1 ORDER BY nation
+    """,
+)
+def q170_rollup_view_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View-MATCHED serving (round 12): a nation-grain revenue rollup
+    answered from the persisted SUPPLIER-grain states of the q159
+    rollup — the Larson-Zhou view-matching claim in
+    operators/incremental_agg's docstring, executed. The coarser key
+    (nation) is a function of the stored key through the supplier dim,
+    so the serve is: read the |suppliers|-sized states, broadcast-join
+    the supplier→nation attribute, and run ONE more monoid merge at
+    the coarser grain — sums re-add, counts re-add, extrema
+    re-extremize. The fact table is never touched at serve; the
+    oracle recomputes nation revenue from the raw fact join, so
+    hash-equality proves coarsening-from-states == recompute.
+
+    Scale shape at 100 TB: every nightly dashboard grain (nation,
+    region, week, band) is served from ONE maintained fine-grain
+    state table by |groups|-sized merges — the reason a warehouse
+    maintains the finest useful grain instead of one rollup per
+    dashboard."""
+    import os as _os
+
+    from morphl_community_edition_spark.operators.incremental_agg import (
+        RollupSpec,
+        append_rollup,
+        build_rollup,
+        read_rollup,
+        rollup_spec,
+        rollup_view_match_frame,
+    )
+    from morphl_community_edition_spark.catalog import table_path
+    from morphl_community_edition_spark.plans.hints import (
+        broadcast_if_small,
+        dataset_file_bytes,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hex1 = F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 1)
+    spec = RollupSpec(
+        keys=("l_suppkey",),
+        measures={"l_extendedprice": 2},
+        extrema=("l_shipdate",),
+    )
+    path = _per_app_path(spark, sf_dir, "morphl_vm_rollup")
+    if not _os.path.isdir(path):
+        build_rollup(li.filter(hex1 < "e"), spec, path)
+        append_rollup(li.filter(hex1 == "e"), path, sid="batch-e")
+        append_rollup(li.filter(hex1 == "f"), path, sid="batch-f")
+    states = read_rollup(spark, path, finalize=False)
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("nation")
+    )
+    dim = broadcast_if_small(
+        supp.join(nat, "s_nationkey"),
+        dataset_file_bytes(table_path(sf_dir, "supplier")),
+    )
+    joined = states.join(dim, "l_suppkey")
+    out = rollup_view_match_frame(joined, rollup_spec(path), {"nation": F.col("nation")})
+    return out.select(
+        "nation",
+        "n_rows",
+        F.col("l_extendedprice_sum").alias("price_sum"),
+        F.col("l_extendedprice_avg").alias("price_avg"),
+        F.col("l_shipdate_min").alias("ship_min"),
+        F.col("l_shipdate_max").alias("ship_max"),
+    ).orderBy("nation")

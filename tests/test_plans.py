@@ -1374,3 +1374,29 @@ def test_rollup_serve_never_rereads_fact_table(spark, tmp_path):
     assert "lineitem" not in plan, "serve plan re-reads the fact table"
     # the scans read the persisted monoid-state schema, not fact rows
     assert plan.count("FileScan") >= 1 and "l_quantity_sum" in plan
+
+
+def test_q170_view_match_serves_from_states_only(spark):
+    """q170's plan must scan persisted state slices + the two dim
+    tables and NEVER lineitem (the view-matching contract: coarser
+    grains re-aggregate |groups|-sized states), with the dim side
+    broadcast (size-gated hint on the supplier source)."""
+    from morphl_community_edition_spark.queries import QUERIES
+
+    df = QUERIES["q170_rollup_view_match"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in plan, "view-matched serve re-read the fact table"
+    assert "morphl_vm_rollup" in plan or "states" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q169_topk_serves_from_histogram_only(spark):
+    """q169's plan must scan only the persisted histogram slices —
+    the second-serve-shape claim (quantiles AND top-k from one
+    structure) is a plan property, not just a value property."""
+    from morphl_community_edition_spark.queries import QUERIES
+
+    df = QUERIES["q169_hist_topk_serve"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in plan, "histogram serve re-read the fact table"
+    assert "morphl_hist_rollup" in plan or "states" in plan
