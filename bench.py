@@ -400,9 +400,23 @@ def main() -> None:
         "suite_vs_baseline": round(value / base_total, 3),
         "suite_vs_canary": round(value / canary_min, 3),
         # >15% over the survey-time baseline on EITHER canary = the VM
-        # was loaded during this run; read the Spark numbers with that
+        # was loaded during this run; read the Spark numbers with that.
+        # CAVEAT (round 12, measured): the survey-time DUCK_BASELINE is
+        # stale relative to today's oracle SQL — per-query now/survey
+        # ratios read 0.12×..1.44× (NON-uniform, so not weather; the
+        # window/sessionize/json_agg oracles were retuned after the
+        # survey). The against-baseline flag therefore has a wrong
+        # center; the within-run spread flag below is stale-proof and
+        # is the one to trust.
         "ambient_load_suspect": bool(
             c_before > 1.15 * base_total or c_after > 1.15 * base_total
+        ),
+        # within-run weather: all canaries of THIS run compared to each
+        # other — >25% spread means a load episode hit between passes,
+        # regardless of how stale the recorded baseline is
+        "ambient_load_suspect_spread": bool(
+            max([c_before, c_after] + pass_canary_totals)
+            > 1.25 * min([c_before, c_after] + pass_canary_totals)
         ),
         "queries_default_conf": default_conf,
         "default_conf_total": round(sum(default_conf.values()), 4),
@@ -432,7 +446,9 @@ def main() -> None:
             int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
             for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
         ]
-        if rounds:
+        # only the default sf0.1 run is the round record — an
+        # experimental SPARK_GRAFT_SF_DIR run must not clobber it
+        if rounds and SF_DIR.rstrip("/").endswith("sf0.1"):
             local = os.path.join(repo, f"BENCHLOCAL_r{max(rounds) + 1:02d}.json")
             with open(local, "w") as f:
                 json.dump(out, f, indent=1)
