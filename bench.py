@@ -434,22 +434,66 @@ def main() -> None:
     # r11 #2): the driver's BENCH_r{N}.json keeps only a 2000-char
     # tail of stdout, which truncated the r11 record to headless —
     # BENCHLOCAL_r{N}.json preserves every tier + per-pass totals +
-    # all canaries. N = max committed CORRECTNESS round + 1 (the
-    # driver writes its artifact at round end), same rule as the
-    # scale-sweep forcing function.
+    # all canaries.
+    #
+    # Round derivation (round 13, advice r12 #1): the old rule
+    # N = max(on-disk CORRECTNESS_r*) + 1 was order-dependent — the
+    # driver writes CORRECTNESS_r{N}.json to disk BEFORE its
+    # round-close bench run, so that run stamped N+1 (the untracked
+    # BENCHLOCAL_r13.json produced during round 12 proved it).
+    # New rule, in priority order:
+    #   1. SPARK_GRAFT_ROUND env var, if the caller knows the round;
+    #   2. max CORRECTNESS round COMMITTED IN GIT + 1 — the driver
+    #      commits its correctness artifact together with BENCH at
+    #      round close, so git stays one round behind during both
+    #      the builder's in-round window and the driver's close
+    #      window, stamping both with the round being closed;
+    #   3. the old on-disk glob as a last resort (git unavailable).
+    # An existing BENCHLOCAL_r{N}.json is overwritten latest-wins
+    # (in-round re-runs should refresh the record) but with a loud
+    # stderr warning so a cross-round clobber is visible.
     try:
         import glob
         import re
+        import subprocess
 
         repo = os.path.dirname(os.path.abspath(__file__))
-        rounds = [
-            int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
-            for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
-        ]
+        rnd = None
+        env_round = os.environ.get("SPARK_GRAFT_ROUND")
+        if env_round and env_round.isdigit():
+            rnd = int(env_round)
+        if rnd is None:
+            try:
+                tracked = subprocess.run(
+                    ["git", "-C", repo, "ls-files", "CORRECTNESS_r*.json"],
+                    capture_output=True, text=True, timeout=30,
+                ).stdout.split()
+                committed = [
+                    int(m.group(1))
+                    for p in tracked
+                    if (m := re.search(r"r(\d+)", os.path.basename(p)))
+                ]
+                if committed:
+                    rnd = max(committed) + 1
+            except (OSError, subprocess.SubprocessError):
+                pass
+        if rnd is None:
+            rounds = [
+                int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+                for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+            ]
+            rnd = max(rounds) + 1 if rounds else None
         # only the default sf0.1 run is the round record — an
         # experimental SPARK_GRAFT_SF_DIR run must not clobber it
-        if rounds and SF_DIR.rstrip("/").endswith("sf0.1"):
-            local = os.path.join(repo, f"BENCHLOCAL_r{max(rounds) + 1:02d}.json")
+        if rnd is not None and SF_DIR.rstrip("/").endswith("sf0.1"):
+            local = os.path.join(repo, f"BENCHLOCAL_r{rnd:02d}.json")
+            if os.path.exists(local):
+                print(
+                    f"# WARNING: overwriting existing {local} "
+                    "(latest-wins within a round; if this is a NEW "
+                    "round, set SPARK_GRAFT_ROUND)",
+                    file=sys.stderr,
+                )
             with open(local, "w") as f:
                 json.dump(out, f, indent=1)
             print(f"# full record -> {local}", file=sys.stderr)

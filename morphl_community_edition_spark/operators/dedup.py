@@ -362,6 +362,17 @@ AUTO_PREFIX_VOLUME_RATIO = 1.0
 # join finds their J=1 rows like any other pair).
 AUTO_COLLAPSE_MIN_DUP_MASS = 0.10
 
+# Round 13 (advice r12 #2): the mass gate alone misses the skewed-dup
+# corpus — one byte-identical group of 5k copies in 100k docs is only
+# 5% mass, but the direct candidate join pays C(c,2)·s̄ rows on that
+# group's shingles (cost scales with the LARGEST group squared, not
+# with total mass). Collapse therefore also fires when any single
+# group exceeds this absolute size: at c=256 with ~10² shingles/doc
+# the within-group candidate volume (~3.3M rows) already rivals the
+# collapse machinery's fixed cost (~2 passes over ids), and it grows
+# quadratically past it. Both paths stay exact; the gate is cost-only.
+AUTO_COLLAPSE_MAX_GROUP = 256
+
 # Σdf² profile sampling: df² is summed over a deterministic 1/16 of
 # SHINGLE KEYS (xxhash64 pmod — keys, not rows, so each sampled
 # shingle keeps its true df) and scaled back. The dispatch needs one
@@ -383,10 +394,13 @@ def _auto_jaccard_pairs(
     1. **Dup probe** — one map-side-combinable count agg on
        sha2(text): max group size, rep count, doc count. Cost ~0.3 s
        at sf0.1; no collect_list, no checkpoint.
-    2. **Identity collapse, gated on measured dup MASS** — only when
-       duplicates exceed AUTO_COLLAPSE_MIN_DUP_MASS of the corpus is
-       the candidate machinery run on one representative per
-       byte-identical group (exact duplication multiplies every
+    2. **Identity collapse, gated on measured dup MASS or max group
+       size** — only when duplicates exceed AUTO_COLLAPSE_MIN_DUP_MASS
+       of the corpus, or any single byte-identical group reaches
+       AUTO_COLLAPSE_MAX_GROUP copies (cost is per-group quadratic, so
+       one huge group below the mass gate is still worth collapsing —
+       advice r12 #2), is the candidate machinery run on one
+       representative per byte-identical group (exact duplication multiplies every
        shingle df by the copy count, so the candidate join pays
        (df·c)² while the distinct-text problem is df² — on the 90%-
        duplicate worst case this is the whole fight), with pairs
@@ -421,8 +435,9 @@ def _auto_jaccard_pairs(
         .collect()[0]
     )
     mx, n_reps, n_docs = _gs["mx"] or 0, _gs["n_reps"] or 0, _gs["n_docs"] or 0
-    collapse = (
-        mx > 1 and (n_docs - n_reps) > AUTO_COLLAPSE_MIN_DUP_MASS * n_docs
+    collapse = mx > 1 and (
+        (n_docs - n_reps) > AUTO_COLLAPSE_MIN_DUP_MASS * n_docs
+        or mx >= AUTO_COLLAPSE_MAX_GROUP
     )
     if not collapse:
         reps = docs

@@ -363,7 +363,18 @@ def read_rollup(spark: SparkSession, path: str, finalize: bool = True) -> DataFr
 class HistSpec:
     """Declared shape of a maintained quantile histogram: group keys,
     the value column, and the decimal quantization scale (value rows
-    are keyed by floor(v·10^scale + 0.5) as BIGINT)."""
+    are keyed by floor(v·10^scale + 0.5) as BIGINT).
+
+    NULL contract (advice r12 #3): NULL values are DROPPED at fold
+    time (hist_states filters them), so every count derived from the
+    state — n_rows in the q168/q169 serves included — is
+    count(<value>), not count(*). They agree only when the value
+    column is non-null (true of l_extendedprice, the in-repo use).
+    Feed a nullable column and the histogram answers quantile/count
+    questions about the NON-NULL population — the standard SQL
+    aggregate convention (percentile_cont, avg etc. all ignore
+    NULLs); track a separate null-count rollup if you need count(*).
+    """
 
     keys: tuple[str, ...]
     value: str

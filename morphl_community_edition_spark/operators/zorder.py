@@ -45,7 +45,6 @@ silently drop rows (round-11 advice item).
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import Column, DataFrame
@@ -104,7 +103,7 @@ def _check_bucket_bits(bucket_bits: int) -> None:
         )
 
 
-def zbucket(z: Column, bucket_bits: int = 6) -> Column:
+def zbucket(z: Column, bucket_bits: int) -> Column:
     """The coarse layout key: top ``bucket_bits`` bits of the 32-bit
     z-value — 2**bucket_bits partition directories."""
     _check_bucket_bits(bucket_bits)
@@ -120,12 +119,16 @@ def _py_spread(v: int) -> int:
 
 
 def zbuckets_for_x_range(
-    x_lo: int, x_hi_excl: int, bucket_bits: int = 6
+    x_lo: int, x_hi_excl: int, bucket_bits: int
 ) -> list[int]:
     """Every z-bucket that COULD contain a row with x in
     [x_lo, x_hi_excl) — the driver-computed literal partition filter
     (the point_lookup/BM25 static-pruning device: no DPP subquery,
     the bucket list is pure integer math on the predicate bounds).
+
+    ``bucket_bits`` has NO default (advice r12 #5): a constant that
+    disagrees with the layout's persisted sidecar silently drops
+    rows, so callers must pass ``layout_bucket_bits(path)``.
 
     Provably a superset: with bucket_bits=2k, the bucket is the
     interleave of x's and y's top k bits (x>>(16-k), y>>(16-k));

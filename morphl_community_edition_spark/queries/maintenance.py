@@ -755,3 +755,80 @@ def q170_rollup_view_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate_min").alias("ship_min"),
         F.col("l_shipdate_max").alias("ship_max"),
     ).orderBy("nation")
+
+
+@query(
+    "q171_rollup_grain_lattice",
+    oracle=f"""
+    SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           CAST(quarter(l_shipdate) AS INTEGER) AS ship_quarter,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           {sql_dsum('l_extendedprice')} AS price_sum,
+           {sql_davg('l_extendedprice')} AS price_avg,
+           min(l_shipdate) AS ship_min,
+           max(l_shipdate) AS ship_max
+    FROM lineitem
+    GROUP BY 1, 2 ORDER BY ship_year, ship_quarter
+    """,
+)
+def q171_rollup_grain_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-grain lattice serving (round 13, verdict r12 #6): q170
+    proved the dim-join coarsening (supplier → nation); this query
+    proves the DATE-TRUNCATION coarsening the same states support —
+    the grain-lattice walk a warehouse runs nightly. The maintained
+    fine grain is (l_suppkey, ship_month = month-truncated shipdate);
+    the serve regroups those states to (year, quarter) with key
+    expressions that are pure functions of the stored month key —
+    quarter(month(d)) == quarter(d) and year(month(d)) == year(d)
+    because truncation to a coarser calendar grain factors through
+    every finer one. One monoid merge over |suppliers × months| state
+    rows answers the quarter dashboard; the fact table is read only
+    at build/fold time (plan-gated in
+    tests/test_plans.py::test_q171_grain_lattice_serves_from_states).
+
+    Scale shape at 100 TB: the month fine grain is the finest grain
+    the dashboards need, so its state table is |suppliers × months| —
+    ~10⁶ rows per decade at 10⁵ suppliers, KB-scale vs the fact's TB —
+    and every coarser time grain (quarter, year) plus every dim grain
+    (nation via q170's join device) serves from the same structure
+    with a |states|-sized merge."""
+    import os as _os
+
+    from morphl_community_edition_spark.operators.incremental_agg import (
+        RollupSpec,
+        append_rollup,
+        build_rollup,
+        rollup_view_match,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_month", F.date_trunc("month", F.col("l_shipdate")).cast("date")
+    )
+    hex1 = F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 1)
+    spec = RollupSpec(
+        keys=("l_suppkey", "ship_month"),
+        measures={"l_extendedprice": 2},
+        extrema=("l_shipdate",),
+    )
+    path = _per_app_path(spark, sf_dir, "morphl_grain_rollup")
+    if not _os.path.isdir(path):
+        build_rollup(li.filter(hex1 < "e"), spec, path)
+        append_rollup(li.filter(hex1 == "e"), path, sid="batch-e")
+        append_rollup(li.filter(hex1 == "f"), path, sid="batch-f")
+    out = rollup_view_match(
+        spark,
+        path,
+        {
+            "ship_year": F.year("ship_month").cast("int"),
+            "ship_quarter": F.quarter("ship_month").cast("int"),
+        },
+    )
+    return out.select(
+        "ship_year",
+        "ship_quarter",
+        "n_rows",
+        F.col("l_extendedprice_sum").alias("price_sum"),
+        F.col("l_extendedprice_avg").alias("price_avg"),
+        F.col("l_shipdate_min").alias("ship_min"),
+        F.col("l_shipdate_max").alias("ship_max"),
+    ).orderBy("ship_year", "ship_quarter")

@@ -771,7 +771,12 @@ def q163_triangle_corners(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
     )
-    pairs = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")).distinct()
+    # localCheckpoint before the Σ C(k,2) probe (advice r12 #4): the
+    # probe and the main plan both consume `pairs`, so without it the
+    # lineitem scan + distinct shuffle runs twice per execution.
+    pairs = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct().localCheckpoint(eager=True)
     # the closure edge list is quadratic PER BASKET (k·(k-1)/2 pairs
     # for a k-item order), so source file bytes underestimate it badly
     # on skewed basket sizes (r11 advice item). Gate the broadcast on

@@ -1400,3 +1400,19 @@ def test_q169_topk_serves_from_histogram_only(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "lineitem" not in plan, "histogram serve re-read the fact table"
     assert "morphl_hist_rollup" in plan or "states" in plan
+
+
+def test_q171_grain_lattice_serves_from_states_only(spark):
+    """q171's plan must scan ONLY the persisted (suppkey, ship_month)
+    state slices — the time-grain lattice contract (round 13, verdict
+    r12 #6): month→quarter/year coarsening is a regroup over stored
+    keys, needing no dim table and no fact re-read at serve. The fact
+    scan happens once, at build/fold time, in separate write actions."""
+    from morphl_community_edition_spark.queries import QUERIES
+
+    df = QUERIES["q171_rollup_grain_lattice"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in plan, "grain-lattice serve re-read the fact table"
+    assert "morphl_grain_rollup" in plan or "states" in plan
+    # the regroup runs over the persisted monoid-state schema
+    assert "l_extendedprice_sum" in plan

@@ -1087,3 +1087,94 @@ def test_s15_streaming_hist_ingest(spark, tmp_path):
         streaming_hist_ingest(
             read_stream_dir(spark, staged, "lineitem"), path, str(tmp_path / "ckpt2")
         )
+
+
+def test_s16_compaction_crash_replay_skips_tombstoned_fold(spark, tmp_path):
+    """Crash BETWEEN fold-commit and checkpoint-advance, with a
+    compaction in between (round 13, verdict r12 #7 — the S11c
+    sequence for the ROLLUP family): batch b2's fold commits, the
+    process dies before the checkpoint records b2, a maintenance
+    compact_rollup tombstones every slice including b2's, and the
+    stream restarts. The replayed handler call must hit the
+    on_tombstoned="skip" path (its data already lives in the compacted
+    slice) — no crash-loop, no double-fold — and the served rollup
+    must stay byte-equal to a one-shot batch build.
+
+    The crash is simulated deterministically: the stream runs on a
+    staging dir holding only chunks 0-1 (checkpoint advances past b0,
+    b1), then chunk 2's fold is applied manually under the exact sid
+    the handler would derive (the fold-committed-checkpoint-didn't
+    state), compact_rollup runs, chunk 2's file lands, and the same
+    checkpoint resumes — Spark assigns it batch id 2, replaying the
+    handler call with identical (data, batch_id)."""
+    from morphl_community_edition_spark.operators import manifest
+    from morphl_community_edition_spark.operators.incremental_agg import (
+        RollupSpec,
+        append_rollup,
+        build_rollup,
+        compact_rollup,
+        read_rollup,
+        streaming_rollup_ingest,
+    )
+
+    spec = RollupSpec(
+        keys=("l_suppkey",), measures={"l_quantity": 2}, extrema=("l_orderkey",)
+    )
+    li = load_table(spark, SF_DIR_SMOKE, "lineitem")
+    staged_full = stage_stream_input(
+        spark, SF_DIR_SMOKE, "lineitem", n_chunks=3, order_col="l_orderkey"
+    )
+    parts = sorted(
+        f for f in os.listdir(staged_full) if f.endswith(".parquet")
+    )
+    assert len(parts) == 3, f"staging produced {len(parts)} files, want 3"
+
+    # staging dir that starts with chunks 0-1 only; chunk 2 arrives
+    # post-"crash" (mtimes preserved so batch order matches file order)
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+    for p in parts[:2]:
+        src = os.path.join(staged_full, p)
+        shutil.copy2(src, os.path.join(staged, p))
+
+    path = str(tmp_path / "rollup")
+    build_rollup(li.limit(0), spec, path)
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming_rollup_ingest(read_stream_dir(spark, staged, "lineitem"), path, ckpt)
+    q.awaitTermination(600)
+    assert q.exception() is None
+
+    # b2's fold commits (the handler's exact sid), checkpoint does NOT
+    # advance — then maintenance compacts, tombstoning b0/b1/b2
+    chunk2 = spark.read.parquet(os.path.join(staged_full, parts[2]))
+    append_rollup(chunk2, path, sid="b000000002")
+    assert compact_rollup(spark, path) == 4  # base + b0 + b1 + b2
+    tombstoned = {
+        s for r in manifest.committed_slices(path) for s in r.get("replaces", [])
+    }
+    assert "b000000002" in tombstoned, "fixture went vacuous: b2 not tombstoned"
+    # the crash-loop counterfactual: an error-mode fold of the same sid
+    # would fail forever on every restart
+    with pytest.raises(ValueError, match="compacted away"):
+        append_rollup(chunk2, path, sid="b000000002")
+
+    # chunk 2 lands; the same checkpoint resumes and replays it as b2
+    src2 = os.path.join(staged_full, parts[2])
+    dst2 = os.path.join(staged, parts[2])
+    shutil.copy2(src2, dst2)
+    now = time.time()
+    os.utime(dst2, (now + 60, now + 60))
+    q2 = streaming_rollup_ingest(read_stream_dir(spark, staged, "lineitem"), path, ckpt)
+    q2.awaitTermination(600)
+    assert q2.exception() is None, f"replay crash-looped: {q2.exception()}"
+
+    # no double-fold: the compacted slice is still the only visible one
+    live = [r["sid"] for r in manifest.committed_slices(path)]
+    assert len(live) == 1 and live[0].startswith("compacted-"), live
+
+    # byte-equal verdict vs a one-shot batch build over the full table
+    twin = str(tmp_path / "twin")
+    build_rollup(li, spec, twin)
+    got = {tuple(r) for r in read_rollup(spark, path).collect()}
+    want = {tuple(r) for r in read_rollup(spark, twin).collect()}
+    assert got == want and want, "replayed rollup diverged from batch twin"
