@@ -383,6 +383,16 @@ AUTO_COLLAPSE_MAX_GROUP = 256
 # at sf0.1.
 AUTO_PROFILE_KEY_MOD = 16
 
+# Observability snapshot of the most recent auto dispatch (round 13,
+# verdict r12 #4: "the dispatch decision logged per variant"). Pure
+# driver-side scalars the dispatcher already computed — written after
+# each _auto_jaccard_pairs call so a sweep/profiling harness can
+# record WHICH machinery ran (collapse fired? postings or prefix?)
+# next to the timing it just measured, instead of inferring the
+# decision from the timing. Diagnostics only; never read by engine
+# code.
+LAST_AUTO_DISPATCH: dict = {}
+
 
 def _auto_jaccard_pairs(
     docs: DataFrame, id_col: str, text_col: str, n: int, threshold: float
@@ -468,7 +478,21 @@ def _auto_jaccard_pairs(
         .collect()[0]
     )
     vhat = float(AUTO_PROFILE_KEY_MOD) * float(prof["v"] or 0.0)
-    if n_eff > 1 and vhat > AUTO_PREFIX_VOLUME_RATIO * float(n_eff) ** 2:
+    use_prefix = n_eff > 1 and vhat > AUTO_PREFIX_VOLUME_RATIO * float(n_eff) ** 2
+    LAST_AUTO_DISPATCH.clear()
+    LAST_AUTO_DISPATCH.update(
+        {
+            "collapse": bool(collapse),
+            "max_group": int(mx),
+            "dup_mass": round((n_docs - n_reps) / n_docs, 4) if n_docs else 0.0,
+            "n_docs": int(n_docs),
+            "n_eff": int(n_eff),
+            "vhat_sampled_df2": vhat,
+            "volume_ratio": round(vhat / float(n_eff) ** 2, 6) if n_eff > 1 else None,
+            "method": "prefix" if use_prefix else "postings",
+        }
+    )
+    if use_prefix:
         cand = _prefix_cand_from_post(post, threshold)
         rep_pairs = _verify_candidates_exact(
             cand, post.select("doc", "s"), threshold

@@ -66,7 +66,7 @@ from morphl_community_edition_spark.operators.textstats import (
     lexical_diversity_score,
     lexical_diversity_score_sql,
 )
-from morphl_community_edition_spark.plans.hints import fan_out_narrow_scan
+from morphl_community_edition_spark.plans.hints import capped_order, fan_out_narrow_scan
 from morphl_community_edition_spark.queries import query
 from morphl_community_edition_spark.queries.windows import EVENTS_US
 
@@ -505,7 +505,7 @@ def q110_crossmodal_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
     hits = cosine_topk_per_query(emb, emb.filter("vec_id < 5"), k=3)
-    return (
+    out = (
         docs.join(F.broadcast(hits), F.expr("doc_id = n_vec"))
         .select(
             "q_vec", "n_vec", "sim", "rnk",
@@ -513,8 +513,9 @@ def q110_crossmodal_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("source").alias("n_source"),
             F.col("n_chars").alias("n_chars"),
         )
-        .orderBy("q_vec", "rnk")
     )
+    # 5 probes x k=3, payload-joined on the unique doc_id: <= 15 rows
+    return capped_order(out, "q_vec", "rnk", cap=15)
 
 
 @query(

@@ -22,6 +22,7 @@ from morphl_community_edition_spark.operators.dedup import (
 from morphl_community_edition_spark.operators.heavyhitters import heavy_hitters_exact
 from morphl_community_edition_spark.operators.multimodal import attach_media, extract_features
 from morphl_community_edition_spark.operators.quality_checks import profile
+from morphl_community_edition_spark.plans.hints import capped_order
 from morphl_community_edition_spark.operators.similarity import cosine_pairs_threshold, cosine_topk_per_query
 from morphl_community_edition_spark.operators.textstats import (
     LANG_PRIORITY,
@@ -268,7 +269,7 @@ def q39_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall-tested against this in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10)
-    return cosine_topk_per_query(emb, probes, k=5).orderBy("q_vec", "rnk")
+    return capped_order(cosine_topk_per_query(emb, probes, k=5), "q_vec", "rnk", cap=50)
 
 
 # DuckDB twin of functions/hashing.md5_long60 + operators/dedup.
@@ -495,7 +496,7 @@ def q89_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10)
-    return ivf_cosine_topk(emb, probes, k=5).orderBy("q_vec", "rnk")
+    return capped_order(ivf_cosine_topk(emb, probes, k=5), "q_vec", "rnk", cap=50)
 
 
 @query("q90_ann_lsh")  # no oracle: approximate by design — recall suite covers accuracy
@@ -508,7 +509,7 @@ def q90_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10)
-    return lsh_cosine_topk(emb, probes, k=5).orderBy("q_vec", "rnk")
+    return capped_order(lsh_cosine_topk(emb, probes, k=5), "q_vec", "rnk", cap=50)
 
 
 @query(
@@ -998,8 +999,9 @@ def q130_quantized_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10)
-    return quantized_cosine_topk(emb, probes, k=5, n_candidates=50).orderBy(
-        "q_vec", "rnk"
+    return capped_order(
+        quantized_cosine_topk(emb, probes, k=5, n_candidates=50),
+        "q_vec", "rnk", cap=50,
     )
 
 
@@ -1068,9 +1070,10 @@ def q136_ivf_quantized_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame
 
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10)
-    return ivf_quantized_topk(
-        emb, probes, k=5, n_candidates=50, n_cells=16, n_probe=16
-    ).orderBy("q_vec", "rnk")
+    return capped_order(
+        ivf_quantized_topk(emb, probes, k=5, n_candidates=50, n_cells=16, n_probe=16),
+        "q_vec", "rnk", cap=50,
+    )
 
 
 # q141: fixed query-term set for the BM25 retrieval contract query —
@@ -1246,9 +1249,10 @@ def q150_persisted_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10)
     path = _ensure_ann_index(spark, sf_dir)
-    return ann_index_topk(
-        spark, path, probes, k=5, n_candidates=50, n_probe=16
-    ).orderBy("q_vec", "rnk")
+    return capped_order(
+        ann_index_topk(spark, path, probes, k=5, n_candidates=50, n_probe=16),
+        "q_vec", "rnk", cap=50,
+    )
 
 
 def _ensure_ann_index(spark: SparkSession, sf_dir: str) -> str:
