@@ -130,7 +130,7 @@ _FANOUT_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[tuple, bool]]" = (
 )
 
 
-def capped_order(df, *cols: str, cap: int):
+def capped_order(df, *cols, cap: int):
     """Presentation-sort a provably row-BOUNDED frame without paying
     global-sort boundary sampling (round 13, the q150 grown-decade
     decomposition, SCALE.md):
@@ -148,5 +148,7 @@ def capped_order(df, *cols: str, cap: int):
     (e.g. q probes x k ranks for a top-k serve): at-or-above bounds
     never truncate, so the result set is unchanged — only the
     physical plan is. Use ONLY where such a bound exists by
-    construction; this is a plan-shape device, not a sampler."""
+    construction; this is a plan-shape device, not a sampler.
+    ``cols`` accepts column names or Column expressions (e.g.
+    ``F.col("x").desc()``), exactly like DataFrame.orderBy."""
     return df.orderBy(*cols).limit(int(cap))

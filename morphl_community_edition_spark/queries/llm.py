@@ -1484,11 +1484,15 @@ def q155_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_scaled").desc(), "doc_id")
         .limit(10)
     )
-    return (
+    # the payload join streams the documents table against the <=10-row
+    # broadcast; cap the presentation sort so it plans
+    # TakeOrderedAndProject instead of re-executing that stream for
+    # range-boundary sampling (plans/hints.capped_order, round 13)
+    return capped_order(
         load_table(spark, sf_dir, "documents")
         .join(F.broadcast(fused), "doc_id")
-        .select("doc_id", "lex_rnk", "vec_rnk", "rrf_scaled", "source")
-        .orderBy(F.col("rrf_scaled").desc(), "doc_id")
+        .select("doc_id", "lex_rnk", "vec_rnk", "rrf_scaled", "source"),
+        F.col("rrf_scaled").desc(), "doc_id", cap=10,
     )
 
 
@@ -1698,9 +1702,13 @@ def q157_persisted_hybrid_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_scaled").desc(), "doc_id")
         .limit(10)
     )
-    return (
+    # the payload join streams the documents table against the <=10-row
+    # broadcast; cap the presentation sort so it plans
+    # TakeOrderedAndProject instead of re-executing that stream for
+    # range-boundary sampling (plans/hints.capped_order, round 13)
+    return capped_order(
         load_table(spark, sf_dir, "documents")
         .join(F.broadcast(fused), "doc_id")
-        .select("doc_id", "lex_rnk", "vec_rnk", "rrf_scaled", "source")
-        .orderBy(F.col("rrf_scaled").desc(), "doc_id")
+        .select("doc_id", "lex_rnk", "vec_rnk", "rrf_scaled", "source"),
+        F.col("rrf_scaled").desc(), "doc_id", cap=10,
     )

@@ -832,3 +832,97 @@ def q171_rollup_grain_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate_min").alias("ship_min"),
         F.col("l_shipdate_max").alias("ship_max"),
     ).orderBy("ship_year", "ship_quarter")
+
+
+@query(
+    "q172_rollup_lattice_cross",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+           CAST(quarter(l.l_shipdate) AS INTEGER) AS ship_quarter,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           {sql_dsum('l.l_extendedprice')} AS price_sum,
+           {sql_davg('l.l_extendedprice')} AS price_avg
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY 1, 2, 3 ORDER BY nation, ship_year, ship_quarter
+    """,
+)
+def q172_rollup_lattice_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CROSS-grain lattice serve (round 13): nation × quarter —
+    a dim coarsening (q170's supplier→nation broadcast join) AND a
+    time coarsening (q171's month→quarter key expression) applied to
+    the SAME persisted (l_suppkey, ship_month) states in one
+    view-matched merge. This is the full Larson-Zhou claim: any
+    grouping in the lattice ABOVE the maintained grain — dim
+    attribute, calendar truncation, or their product — is one
+    |states|-sized merge away; the warehouse maintains exactly one
+    fine-grain table for the whole dashboard family. q171 and this
+    query deliberately share the persisted structure (same
+    _per_app_path name): one build, many serve shapes, like the
+    q168/q169 histogram pair.
+
+    Scale shape at 100 TB: the dim join touches |suppliers × months|
+    state rows against a broadcast supplier→nation map; the merge
+    output is |nations × quarters| — both dashboard-sized. The fact
+    table is read only at build/fold (plan-gated:
+    tests/test_plans.py::test_q172_cross_lattice_serves_from_states)."""
+    import os as _os
+
+    from morphl_community_edition_spark.operators.incremental_agg import (
+        RollupSpec,
+        append_rollup,
+        build_rollup,
+        read_rollup,
+        rollup_spec,
+        rollup_view_match_frame,
+    )
+    from morphl_community_edition_spark.catalog import table_path
+    from morphl_community_edition_spark.plans.hints import (
+        broadcast_if_small,
+        dataset_file_bytes,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_month", F.date_trunc("month", F.col("l_shipdate")).cast("date")
+    )
+    hex1 = F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 1)
+    spec = RollupSpec(
+        keys=("l_suppkey", "ship_month"),
+        measures={"l_extendedprice": 2},
+        extrema=("l_shipdate",),
+    )
+    path = _per_app_path(spark, sf_dir, "morphl_grain_rollup")  # shared with q171
+    if not _os.path.isdir(path):
+        build_rollup(li.filter(hex1 < "e"), spec, path)
+        append_rollup(li.filter(hex1 == "e"), path, sid="batch-e")
+        append_rollup(li.filter(hex1 == "f"), path, sid="batch-f")
+    states = read_rollup(spark, path, finalize=False)
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("nation")
+    )
+    dim = broadcast_if_small(
+        supp.join(nat, "s_nationkey"),
+        dataset_file_bytes(table_path(sf_dir, "supplier")),
+    )
+    out = rollup_view_match_frame(
+        states.join(dim, "l_suppkey"),
+        rollup_spec(path),
+        {
+            "nation": F.col("nation"),
+            "ship_year": F.year("ship_month").cast("int"),
+            "ship_quarter": F.quarter("ship_month").cast("int"),
+        },
+    )
+    return out.select(
+        "nation",
+        "ship_year",
+        "ship_quarter",
+        "n_rows",
+        F.col("l_extendedprice_sum").alias("price_sum"),
+        F.col("l_extendedprice_avg").alias("price_avg"),
+    ).orderBy("nation", "ship_year", "ship_quarter")

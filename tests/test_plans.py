@@ -1456,3 +1456,41 @@ def test_q171_grain_lattice_serves_from_states_only(spark):
     assert "morphl_grain_rollup" in plan or "states" in plan
     # the regroup runs over the persisted monoid-state schema
     assert "l_extendedprice_sum" in plan
+
+
+def test_q172_cross_lattice_serves_from_states(spark):
+    """q172's plan must scan the SAME persisted (suppkey, ship_month)
+    states q171 serves from, plus the two dim tables broadcast — and
+    never lineitem: the cross-grain (dim × time) coarsening is one
+    |states|-sized merge, completing the lattice contract."""
+    from morphl_community_edition_spark.queries import QUERIES
+
+    df = QUERIES["q172_rollup_lattice_cross"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in plan, "cross-lattice serve re-read the fact table"
+    assert "morphl_grain_rollup" in plan or "states" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_capped_order_plans_topk_and_preserves_result(spark):
+    """plans/hints.capped_order (round 13): orderBy+limit at a proven
+    row bound must (a) plan TakeOrderedAndProject — no RangeExchange,
+    whose boundary sampling re-executes the child subtree (the q150
+    grown-serve artifact, SCALE.md round 13) — and (b) return exactly
+    the bare orderBy's rows, including with desc/mixed sort Columns."""
+    from pyspark.sql import functions as F
+
+    from morphl_community_edition_spark.catalog import load_table
+    from morphl_community_edition_spark.plans.hints import capped_order
+
+    df = (
+        load_table(spark, SF_DIR, "nation")
+        .select("n_nationkey", "n_regionkey", "n_name")
+    )
+    capped = capped_order(df, F.col("n_regionkey").desc(), "n_name", cap=25)
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+    assert "rangepartitioning" not in plan, "range exchange not eliminated"
+    want = [tuple(r) for r in df.orderBy(F.col("n_regionkey").desc(), "n_name").collect()]
+    got = [tuple(r) for r in capped.collect()]
+    assert got == want and len(got) == 25
