@@ -489,10 +489,38 @@ def quantiles_from_hist(
     percentile. No fact-table access; the rank thresholds ride as
     integer expressions."""
     spec = hist_spec(path)
+    return quantiles_from_hist_frame(read_hist(spark, path), spec.keys, percentiles)
+
+
+def hist_view_match(states: DataFrame, regroup: dict[str, "F.Column"]) -> DataFrame:
+    """Coarser-grain histogram states from persisted fine-grain ones
+    (round 13 — the rollup_view_match device applied to the QUANTILE
+    member): any output key that is a function of the stored keys (a
+    date truncation, a bucketing, a dim attribute joined onto the
+    states — the join is |grid×groups|-sized, broadcastable) yields an
+    exact coarser histogram by one merge, because histograms over a
+    SHARED quantized grid are monoids under per-value count addition.
+    Feed the result to quantiles_from_hist_frame / any histogram
+    reader: coarser-grain quantiles, top-k, and range-mass queries all
+    serve from one maintained fine grain with no fact re-read."""
+    out_keys = [expr.alias(name) for name, expr in regroup.items()]
+    return states.groupBy(*out_keys, F.col("v")).agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+
+
+def quantiles_from_hist_frame(
+    hist: DataFrame,
+    key_names: "tuple[str, ...] | list[str]",
+    percentiles: dict[str, tuple[int, int]],
+) -> DataFrame:
+    """The rank-arithmetic core of quantiles_from_hist over an
+    explicit (keys..., v, cnt) state frame — so view-matched
+    (coarsened) histograms serve through the identical arithmetic as
+    the stored grain (the rollup_view_match_frame device)."""
     from pyspark.sql import Window
 
-    hist = read_hist(spark, path)
-    keys = [F.col(c) for c in spec.keys]
+    keys = [F.col(c) for c in key_names]
     w = Window.partitionBy(*keys).orderBy("v")
     tot = Window.partitionBy(*keys)
     cum = hist.select(

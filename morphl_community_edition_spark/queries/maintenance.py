@@ -926,3 +926,85 @@ def q172_rollup_lattice_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice_sum").alias("price_sum"),
         F.col("l_extendedprice_avg").alias("price_avg"),
     ).orderBy("nation", "ship_year", "ship_quarter")
+
+
+def _q173_oracle() -> str:
+    from morphl_community_edition_spark.functions.rounding import sql_scaled_long
+
+    v = sql_scaled_long("l.l_extendedprice", _Q168_SCALE)
+    cols = ",\n           ".join(
+        f"CAST(quantile_disc({v}, {num}/{den}) AS BIGINT) AS {name}"
+        for name, (num, den) in _Q168_PCTS.items()
+    )
+    return f"""
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           {cols}
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY 1
+    ORDER BY nation
+    """
+
+
+@query("q173_hist_view_match", oracle=_q173_oracle())
+def q173_hist_view_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View-matched QUANTILES (round 13): nation-grain price
+    percentiles served from the SUPPLIER-grain histogram states of
+    the q168 rollup — the q170 dim-coarsening device applied to the
+    quantile member. Sums/counts/extrema coarsen trivially (q170–
+    q172); quantiles cannot (a quantile is not a monoid) — but the
+    HISTOGRAM is: per-value counts over a shared quantized grid
+    re-add under any key coarsening, so the nation histogram is one
+    |grid×suppliers|-sized merge (operators/incremental_agg.
+    hist_view_match) and the identical integer rank arithmetic then
+    extracts p50/p90/p99. The oracle recomputes quantile_disc over
+    the identically quantized value on the raw three-table join —
+    hash-equality proves coarsen-then-rank == recompute.
+
+    Scale shape at 100 TB: the dim join touches histogram rows (grid-
+    bounded per supplier), the merge output is |grid×nations|, and the
+    fact table is read only at q168's build/folds — one maintained
+    fine-grain histogram answers every dashboard grain's percentile
+    question (plan-gated: tests/test_plans.py::
+    test_q173_hist_view_match_serves_from_states)."""
+    import os as _os
+
+    from morphl_community_edition_spark.operators.incremental_agg import (
+        HistSpec,
+        append_hist_rollup,
+        build_hist_rollup,
+        hist_view_match,
+        quantiles_from_hist_frame,
+        read_hist,
+    )
+    from morphl_community_edition_spark.catalog import table_path
+    from morphl_community_edition_spark.plans.hints import (
+        broadcast_if_small,
+        dataset_file_bytes,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hex1 = F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 1)
+    spec = HistSpec(keys=("l_suppkey",), value="l_extendedprice", scale=_Q168_SCALE)
+    path = _per_app_path(spark, sf_dir, "morphl_hist_rollup")  # shared with q168/q169
+    if not _os.path.isdir(path):
+        build_hist_rollup(li.filter(hex1 < "e"), spec, path)
+        append_hist_rollup(li.filter(hex1 == "e"), path, sid="batch-e")
+        append_hist_rollup(li.filter(hex1 == "f"), path, sid="batch-f")
+    states = read_hist(spark, path)
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("nation")
+    )
+    dim = broadcast_if_small(
+        supp.join(nat, "s_nationkey"),
+        dataset_file_bytes(table_path(sf_dir, "supplier")),
+    )
+    coarse = hist_view_match(
+        states.join(dim, "l_suppkey"), {"nation": F.col("nation")}
+    )
+    return quantiles_from_hist_frame(coarse, ("nation",), _Q168_PCTS).orderBy("nation")

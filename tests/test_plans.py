@@ -1472,6 +1472,21 @@ def test_q172_cross_lattice_serves_from_states(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_q173_hist_view_match_serves_from_states(spark):
+    """q173's plan must scan the persisted histogram slices + the two
+    dim tables broadcast, never lineitem — view matching applied to
+    the QUANTILE member: the nation histogram is a merge of supplier-
+    grain (v, cnt) states, and rank arithmetic runs on the merged
+    grid."""
+    from morphl_community_edition_spark.queries import QUERIES
+
+    df = QUERIES["q173_hist_view_match"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in plan, "histogram view-match re-read the fact table"
+    assert "morphl_hist_rollup" in plan or "states" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_capped_order_plans_topk_and_preserves_result(spark):
     """plans/hints.capped_order (round 13): orderBy+limit at a proven
     row bound must (a) plan TakeOrderedAndProject — no RangeExchange,
