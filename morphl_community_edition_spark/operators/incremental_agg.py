@@ -604,6 +604,39 @@ def topk_values_from_hist(
     )
 
 
+def range_mass_from_hist(
+    spark: SparkSession, path: str, bands: dict[str, tuple]
+) -> DataFrame:
+    """The fourth serve shape over the SAME persisted histogram
+    (round 13 — closing this module's "any value-range mass query"
+    claim with an executed, oracle-checked reader): per group, the
+    exact row count inside each half-open band [lo, hi) of QUANTIZED
+    values, plus the group total. Band membership is decided on the
+    stored grid keys (BIGINT compares — no float boundary ambiguity;
+    a band over raw values quantizes its endpoints the same way the
+    fold quantized the data). ``bands`` maps output column name ->
+    (lo, hi) with either endpoint None for unbounded.
+
+    Plan shape: one conditional-sum aggregate over histogram rows —
+    |grid×groups|-bounded, never fact-sized, no window needed."""
+    hist = read_hist(spark, path)
+    spec = hist_spec(path)
+    keys = [F.col(c) for c in spec.keys]
+    aggs = [F.sum("cnt").cast("bigint").alias("n_rows")]
+    for name, (lo, hi) in bands.items():
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("v") >= F.lit(int(lo)))
+        if hi is not None:
+            cond = cond & (F.col("v") < F.lit(int(hi)))
+        aggs.append(
+            F.sum(F.when(cond, F.col("cnt")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias(name)
+        )
+    return hist.groupBy(*keys).agg(*aggs)
+
+
 def rollup_view_match(
     spark: SparkSession,
     path: str,

@@ -1008,3 +1008,70 @@ def q173_hist_view_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         states.join(dim, "l_suppkey"), {"nation": F.col("nation")}
     )
     return quantiles_from_hist_frame(coarse, ("nation",), _Q168_PCTS).orderBy("nation")
+
+
+_Q174_BANDS = {"lo_band": (None, 200), "mid_band": (200, 500), "hi_band": (500, None)}
+
+
+def _q174_oracle() -> str:
+    from morphl_community_edition_spark.functions.rounding import sql_scaled_long
+
+    v = sql_scaled_long("l_extendedprice", _Q168_SCALE)
+    cols = []
+    for name, (lo, hi) in _Q174_BANDS.items():
+        conds = []
+        if lo is not None:
+            conds.append(f"{v} >= {lo}")
+        if hi is not None:
+            conds.append(f"{v} < {hi}")
+        cond = " AND ".join(conds) or "TRUE"
+        cols.append(
+            f"CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS {name}"
+        )
+    bands = ",\n           ".join(cols)
+    return f"""
+    SELECT l_suppkey,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           {bands}
+    FROM lineitem
+    GROUP BY l_suppkey
+    ORDER BY l_suppkey
+    """
+
+
+@query("q174_hist_range_mass", oracle=_q174_oracle())
+def q174_hist_range_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FOURTH serve shape over the q168 persisted histogram
+    (round 13): per-supplier row mass inside price bands — the
+    "value-range mass query" the histogram module's docstring has
+    claimed since round 12, now executed and oracle-checked. Bands
+    are half-open intervals on the quantized hundred-dollar grid
+    (BIGINT compares, no float boundaries); the oracle recomputes the
+    same bands with CASE sums over the identically quantized raw
+    fact, so hash-equality proves band-mass-from-states == recompute.
+    With q168 (quantiles), q169 (top-k/modes), and q173 (view-matched
+    coarser-grain quantiles), one maintained |grid×groups| state now
+    demonstrably serves four distinct dashboard shapes.
+
+    Scale shape: one conditional-sum aggregate over histogram rows —
+    grid-bounded per supplier, never fact rows; no window, no
+    shuffle beyond the |states|-sized merge (plan-gated:
+    tests/test_plans.py::test_q174_range_mass_serves_from_histogram)."""
+    import os as _os
+
+    from morphl_community_edition_spark.operators.incremental_agg import (
+        HistSpec,
+        append_hist_rollup,
+        build_hist_rollup,
+        range_mass_from_hist,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hex1 = F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 1)
+    spec = HistSpec(keys=("l_suppkey",), value="l_extendedprice", scale=_Q168_SCALE)
+    path = _per_app_path(spark, sf_dir, "morphl_hist_rollup")  # shared with q168/q169/q173
+    if not _os.path.isdir(path):
+        build_hist_rollup(li.filter(hex1 < "e"), spec, path)
+        append_hist_rollup(li.filter(hex1 == "e"), path, sid="batch-e")
+        append_hist_rollup(li.filter(hex1 == "f"), path, sid="batch-f")
+    return range_mass_from_hist(spark, path, _Q174_BANDS).orderBy("l_suppkey")

@@ -1487,6 +1487,18 @@ def test_q173_hist_view_match_serves_from_states(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_q174_range_mass_serves_from_histogram(spark):
+    """q174's plan must scan only the persisted histogram slices —
+    the fourth serve shape (band mass) over the same state the
+    quantile/top-k/view-match readers use; no window, no fact scan."""
+    from morphl_community_edition_spark.queries import QUERIES
+
+    df = QUERIES["q174_hist_range_mass"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in plan, "range-mass serve re-read the fact table"
+    assert "morphl_hist_rollup" in plan or "states" in plan
+
+
 def test_capped_order_plans_topk_and_preserves_result(spark):
     """plans/hints.capped_order (round 13): orderBy+limit at a proven
     row bound must (a) plan TakeOrderedAndProject — no RangeExchange,
