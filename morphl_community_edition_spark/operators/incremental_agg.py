@@ -29,11 +29,20 @@ aggregate on both engines.
 
 Honest contract note: min/max are monoids under APPEND-ONLY
 maintenance. Deletes or updates would need per-group re-aggregation
-(or a two-level structure); this module's contract is append-only
-folds — the same contract as the persisted dedup index family, whose
-slice/manifest commit protocol (operators/manifest.py, including the
-round-11 versioned no-rename mode for object stores) it reuses
-verbatim. Crash mid-fold ⇒ the slice is uncommitted and invisible;
+(or a two-level structure); the (sum, cnt, min, max) rollup's
+contract is append-only folds — the same contract as the persisted
+dedup index family, whose slice/manifest commit protocol
+(operators/manifest.py, including the round-11 versioned no-rename
+mode for object stores) it reuses verbatim. The HISTOGRAM rollup
+(HistSpec, round 12) is strictly stronger: per-value counts form an
+abelian GROUP, not just a monoid — every element has an inverse — so
+late-arriving corrections and deletes fold exactly
+(retract_hist_rollup, round 13), and every histogram reader
+(quantiles, top-k, band mass, view matching) stays exact after
+retraction, extremes included (min = first value with cnt > 0). This
+is why a warehouse that must absorb corrections maintains the
+distribution, not the summary: the summary's extremes are not
+invertible, the distribution is. Crash mid-fold ⇒ the slice is uncommitted and invisible;
 replay of a fold rewrites the same slice id wholesale (mode =
 overwrite) and re-commits — idempotent by construction.
 
@@ -149,10 +158,25 @@ def rollup_spec(path: str) -> RollupSpec:
     compaction replacing the base slice (the fold API must not let a
     caller fold a delta with a DIFFERENT shape than the maintained
     states)."""
+    p = _spec_payload(path)
+    if p is None:
+        raise ValueError(f"no committed rollup base at {path} — run build_rollup first")
+    if p.get("kind") == "hist":
+        raise ValueError(
+            f"{path} is a HISTOGRAM rollup — use hist_spec / the histogram readers"
+        )
+    return RollupSpec.from_payload(p)
+
+
+def _spec_payload(path: str) -> dict | None:
+    """The raw spec payload of whichever rollup kind lives at ``path``
+    (RollupSpec payloads carry no 'kind'; HistSpec payloads say
+    'hist') — the dispatch point for kind-generic maintenance like
+    compaction."""
     for rec in manifest.committed_slices(path):
         if "spec" in rec:
-            return RollupSpec.from_payload(rec["spec"])
-    raise ValueError(f"no committed rollup base at {path} — run build_rollup first")
+            return rec["spec"]
+    return None
 
 
 def append_rollup(
@@ -202,7 +226,7 @@ def compact_rollup(spark: SparkSession, path: str) -> int:
     """Merge every committed state slice into one (the long-lived
     stream's answer to slice-count growth — the compact_index shape,
     radically simpler here because the monoid merge IS the read path:
-    the compacted slice is just _merge_states over the snapshot,
+    the compacted slice is just the kind's merge over the snapshot,
     bit-identical to what any read would serve). Returns the number
     of slices merged away (0 = nothing to do).
 
@@ -218,13 +242,29 @@ def compact_rollup(spark: SparkSession, path: str) -> int:
     - ghost tombstones (sids replaced by records we now replace whose
       manifest a crashed GC left behind) are carried forward, and sid
       uniqueness is checked against live + tombstoned + leftover
-      manifests so a reused sid can never self-tombstone the rollup."""
+      manifests so a reused sid can never self-tombstone the rollup.
+
+    Kind-generic (round 13): dispatches on the committed spec payload,
+    so it compacts HISTOGRAM rollups too — where it additionally does
+    real garbage collection: net-zero value rows (appends exactly
+    cancelled by retract_hist_rollup retractions) are dropped by the
+    merge, so the compacted slice physically sheds the retracted mass
+    instead of carrying a +n/−n pair forever. Under churn (folds +
+    corrections) compaction is what keeps the state
+    |grid×groups|-bounded rather than growing with the retraction
+    history."""
     import shutil
 
     recs = manifest.committed_slices(path)
     if len(recs) <= 1:
         return 0
-    spec = rollup_spec(path)
+    payload = _spec_payload(path)
+    if payload is not None and payload.get("kind") == "hist":
+        hspec = HistSpec.from_payload(payload)
+        spec, merge = hspec, (lambda s: _merge_hist(s, hspec))
+    else:
+        rspec = rollup_spec(path)
+        spec, merge = rspec, (lambda s: _merge_states(s, rspec))
     old_sids = [r["sid"] for r in recs]
     mdir = os.path.join(path, manifest.MANIFEST_DIR)
     all_tombstoned = {s for r in recs for s in r.get("replaces", [])}
@@ -242,7 +282,7 @@ def compact_rollup(spark: SparkSession, path: str) -> int:
     states = spark.read.parquet(_states_dir(path, old_sids[0]))
     for s in old_sids[1:]:
         states = states.unionByName(spark.read.parquet(_states_dir(path, s)))
-    _merge_states(states, spec).write.mode("overwrite").parquet(_states_dir(path, sid))
+    merge(states).write.mode("overwrite").parquet(_states_dir(path, sid))
     _fsync_states(path, sid)
     manifest.commit_slice(
         path,
@@ -408,10 +448,20 @@ def hist_states(df: DataFrame, spec: HistSpec) -> DataFrame:
     )
 
 
-def _merge_hist(states: DataFrame, spec: HistSpec) -> DataFrame:
-    return states.groupBy(*[F.col(c) for c in spec.keys], F.col("v")).agg(
+def _merge_hist(
+    states: DataFrame, spec: HistSpec, drop_zero: bool = True
+) -> DataFrame:
+    """Per-value count addition across slices. Net-zero rows (a value
+    whose appends were exactly retracted) are dropped by default: they
+    carry no mass, and serving them would be wrong at the edges — an
+    emptied group must VANISH from quantile/top-k output, not surface
+    a cnt=0 mode. ``drop_zero=False`` is the validation path
+    (validate_hist needs to see negative nets, and a negative net is
+    only distinguishable from absent when nothing is filtered)."""
+    merged = states.groupBy(*[F.col(c) for c in spec.keys], F.col("v")).agg(
         F.sum("cnt").cast("bigint").alias("cnt")
     )
+    return merged.filter(F.col("cnt") != 0) if drop_zero else merged
 
 
 def build_hist_rollup(df: DataFrame, spec: HistSpec, path: str) -> None:
@@ -432,12 +482,9 @@ def hist_spec(path: str) -> HistSpec:
     raise ValueError(f"no committed histogram rollup at {path} — run build_hist_rollup")
 
 
-def append_hist_rollup(
-    delta: DataFrame, path: str, sid: str, on_tombstoned: str = "error"
+def _fold_hist(
+    delta: DataFrame, path: str, sid: str, sign: int, on_tombstoned: str
 ) -> None:
-    """Fold one delta batch — append_rollup's contract verbatim
-    (replay-idempotent per sid; tombstoned-sid behavior selectable for
-    replay-safe streaming callers)."""
     if sid == "base":
         raise ValueError("sid 'base' is reserved for build_hist_rollup")
     if on_tombstoned not in ("error", "skip"):
@@ -453,9 +500,75 @@ def append_hist_rollup(
             f"slice id {sid!r} was compacted away at {path} — folding under "
             "it would be invisible; use a fresh sid"
         )
-    hist_states(delta, spec).write.mode("overwrite").parquet(_states_dir(path, sid))
+    states = hist_states(delta, spec)
+    if sign < 0:
+        states = states.withColumn("cnt", (-F.col("cnt")).cast("bigint"))
+    states.write.mode("overwrite").parquet(_states_dir(path, sid))
     _fsync_states(path, sid)
-    manifest.commit_slice(path, sid, {"spec": spec.to_payload()})
+    payload = {"spec": spec.to_payload()}
+    if sign < 0:
+        payload["retract"] = True  # observability only; merge math is uniform
+    manifest.commit_slice(path, sid, payload)
+
+
+def append_hist_rollup(
+    delta: DataFrame, path: str, sid: str, on_tombstoned: str = "error"
+) -> None:
+    """Fold one delta batch — append_rollup's contract verbatim
+    (replay-idempotent per sid; tombstoned-sid behavior selectable for
+    replay-safe streaming callers)."""
+    _fold_hist(delta, path, sid, sign=1, on_tombstoned=on_tombstoned)
+
+
+def retract_hist_rollup(
+    delta: DataFrame, path: str, sid: str, on_tombstoned: str = "error"
+) -> None:
+    """Fold one RETRACTION batch — the exact inverse of an append
+    (round 13). ``delta`` is the rows to back OUT of the maintained
+    distribution: late-arriving corrections, a bad upstream batch, a
+    right-to-be-forgotten delete. The slice persists NEGATED per-value
+    counts; the read-side merge is the same per-value sum, so after
+    retraction every reader (quantiles_from_hist, topk_values_from_hist,
+    range_mass_from_hist, hist_view_match) serves exactly what a
+    from-scratch rebuild on the corrected fact would — no
+    approximation, no rebuild, cost O(|delta|) like any fold.
+
+    Contract: retract only rows that were previously folded (multiset
+    semantics — retracting 2 copies of a value that was appended once
+    leaves a negative net, which is a caller error, not a state the
+    readers define; the rows retracted need not arrive in the same
+    batch shapes they were appended in). ``validate_hist`` detects
+    violations; readers drop net-ZERO rows (a fully-retracted value
+    vanishes, emptied groups disappear from output — the correct
+    serve), they do not repair negative nets. Replay-idempotent per
+    sid and tombstone-aware exactly like append_hist_rollup, so a
+    streaming CDC consumer can fold deletes with batch-id sids under
+    the same exactly-once protocol.
+
+    Why only the histogram member: (sum, cnt) would retract fine, but
+    stored min/max are not invertible — a summary rollup cannot serve
+    extremes after a delete without re-reading the fact. The histogram
+    IS the two-level structure the module docstring's append-only note
+    promises: it serves min/max/quantiles exactly under retraction
+    because it never forgot the distribution."""
+    _fold_hist(delta, path, sid, sign=-1, on_tombstoned=on_tombstoned)
+
+
+def validate_hist(spark: SparkSession, path: str) -> DataFrame:
+    """Rows of the merged histogram with NEGATIVE net counts — i.e.
+    retractions of mass that was never appended. Empty ⇔ healthy.
+    A maintenance job runs this after a correction fold the same way
+    it runs a row-count reconciliation; it is a full merge of the
+    |grid×groups|-bounded state (never fact-sized), not a fact scan."""
+    recs = manifest.committed_slices(path)
+    if not recs:
+        raise ValueError(f"no committed histogram rollup at {path} — run build_hist_rollup")
+    spec = hist_spec(path)
+    frames = [spark.read.parquet(_states_dir(path, r["sid"])) for r in recs]
+    states = frames[0]
+    for f in frames[1:]:
+        states = states.unionByName(f)
+    return _merge_hist(states, spec, drop_zero=False).filter(F.col("cnt") < 0)
 
 
 def read_hist(spark: SparkSession, path: str) -> DataFrame:

@@ -1075,3 +1075,68 @@ def q174_hist_range_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_hist_rollup(li.filter(hex1 == "e"), path, sid="batch-e")
         append_hist_rollup(li.filter(hex1 == "f"), path, sid="batch-f")
     return range_mass_from_hist(spark, path, _Q174_BANDS).orderBy("l_suppkey")
+
+
+def _q175_oracle() -> str:
+    from morphl_community_edition_spark.functions.rounding import sql_scaled_long
+
+    v = sql_scaled_long("l_extendedprice", _Q168_SCALE)
+    cols = ",\n           ".join(
+        f"CAST(quantile_disc({v}, {num}/{den}) AS BIGINT) AS {name}"
+        for name, (num, den) in _Q168_PCTS.items()
+    )
+    return f"""
+    SELECT l_suppkey,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           {cols}
+    FROM lineitem
+    WHERE substr(md5(CAST(l_orderkey AS VARCHAR)), 2, 1) <> '0'
+    GROUP BY l_suppkey
+    ORDER BY l_suppkey
+    """
+
+
+@query("q175_hist_retraction", oracle=_q175_oracle())
+def q175_hist_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT RETRACTION on the maintained quantile histogram
+    (round 13) — the correction fold the append-only rollup contract
+    cannot express. The full fact table is folded in (q168's
+    build + two delta batches), then a correction batch — every row
+    with md5(l_orderkey) hex digit 2 = '0', ~1/16 of the fact,
+    standing in for a bad upstream load being backed out — is
+    RETRACTED (operators/incremental_agg.retract_hist_rollup: a slice
+    of negated per-value counts; counts form an abelian group, so the
+    inverse element is a fold, not a rebuild). compact_rollup then
+    merges the five slices into one, physically dropping net-zero
+    rows (the kind-dispatched histogram compaction, also round 13).
+    Serving p50/p90/p99 per supplier from the compacted state must
+    hash-match DuckDB's quantile_disc over the fact table WITH THE
+    CORRECTION PREDICATE APPLIED — proving fold∘retract∘compact ==
+    recompute-on-corrected-fact, extremes and all, with the fact
+    never re-read.
+
+    Scale shape: the retraction costs O(|correction batch|) with
+    map-side combine — at 100 TB a correction touches the states it
+    maps to, not the warehouse; compaction is |grid×groups|-bounded;
+    the serve window runs over histogram rows only (plan-gated:
+    tests/test_plans.py::test_q175_retraction_serves_from_histogram)."""
+    from morphl_community_edition_spark.operators.incremental_agg import (
+        HistSpec,
+        append_hist_rollup,
+        build_hist_rollup,
+        compact_rollup,
+        quantiles_from_hist,
+        retract_hist_rollup,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    md5 = F.md5(F.col("l_orderkey").cast("string"))
+    hex1, hex2 = F.substring(md5, 1, 1), F.substring(md5, 2, 1)
+    spec = HistSpec(keys=("l_suppkey",), value="l_extendedprice", scale=_Q168_SCALE)
+    path = _per_app_path(spark, sf_dir, "morphl_hist_retract")
+    build_hist_rollup(li.filter(hex1 < "e"), spec, path)
+    append_hist_rollup(li.filter(hex1 == "e"), path, sid="batch-e")
+    append_hist_rollup(li.filter(hex1 == "f"), path, sid="batch-f")
+    retract_hist_rollup(li.filter(hex2 == "0"), path, sid="correction-0")
+    compact_rollup(spark, path)
+    return quantiles_from_hist(spark, path, _Q168_PCTS).orderBy("l_suppkey")

@@ -530,3 +530,145 @@ def test_hist_rollup_serve_never_rereads_fact(spark, tmp_path):
     locs = [ln for ln in plan.splitlines() if "Location" in ln or "FileScan" in ln]
     assert locs and all("/hq/" in ln for ln in locs), locs  # Spark elides long paths
     assert served.count() == 3
+
+
+def test_hist_retraction_is_exact_inverse(spark, tmp_path):
+    """retract_hist_rollup (round 13): the group inverse law, served.
+    append(b) then retract(b) must serve BYTE-EQUAL to never having
+    folded b — quantiles, top-k, and band mass alike — and
+    re-appending b under a fresh sid restores the post-append serve.
+    validate_hist stays empty throughout (no negative nets)."""
+    from morphl_community_edition_spark.operators.incremental_agg import (
+        HistSpec,
+        append_hist_rollup,
+        build_hist_rollup,
+        quantiles_from_hist,
+        retract_hist_rollup,
+        topk_values_from_hist,
+        validate_hist,
+    )
+
+    def vals(lo, hi):
+        return [(i % 5, float((i * 37) % 200) / 10.0) for i in range(lo, hi)]
+
+    spec = HistSpec(keys=("g",), value="x", scale=1)
+    path = str(tmp_path / "hr")
+    mk = lambda lo, hi: spark.createDataFrame(vals(lo, hi), "g int, x double")
+    pcts = {"p50": (1, 2), "p90": (9, 10)}
+    serve = lambda: sorted(
+        tuple(r) for r in quantiles_from_hist(spark, path, pcts).collect()
+    )
+    build_hist_rollup(mk(0, 700), spec, path)
+    before = serve()
+    topk_before = sorted(
+        tuple(r) for r in topk_values_from_hist(spark, path, k=2).collect()
+    )
+    append_hist_rollup(mk(700, 1000), path, sid="b1")
+    after_append = serve()
+    assert after_append != before  # the batch actually moved the serve
+    retract_hist_rollup(mk(700, 1000), path, sid="undo-b1")
+    assert serve() == before
+    assert (
+        sorted(tuple(r) for r in topk_values_from_hist(spark, path, k=2).collect())
+        == topk_before
+    )
+    assert validate_hist(spark, path).count() == 0
+    append_hist_rollup(mk(700, 1000), path, sid="b1-again")
+    assert serve() == after_append
+    # retraction slices honor the same sid rules as appends
+    with pytest.raises(ValueError, match="reserved"):
+        retract_hist_rollup(mk(0, 1), path, sid="base")
+
+
+def test_hist_retraction_empties_groups_and_flags_overretraction(spark, tmp_path):
+    """A fully-retracted group VANISHES from every reader (net-zero
+    rows are dropped at merge — an emptied group must not surface a
+    cnt=0 mode or a 0-row quantile), and retracting mass that was
+    never appended is caught by validate_hist as negative net rows."""
+    from morphl_community_edition_spark.operators.incremental_agg import (
+        HistSpec,
+        build_hist_rollup,
+        quantiles_from_hist,
+        read_hist,
+        retract_hist_rollup,
+        validate_hist,
+    )
+
+    spec = HistSpec(keys=("g",), value="x", scale=0)
+    path = str(tmp_path / "hrg")
+    rows = [(g, float(v)) for g in (0, 1) for v in (1, 2, 2, 3)]
+    build_hist_rollup(spark.createDataFrame(rows, "g int, x double"), spec, path)
+    # back out EVERY group-1 row
+    retract_hist_rollup(
+        spark.createDataFrame(
+            [(1, float(v)) for v in (1, 2, 2, 3)], "g int, x double"
+        ),
+        path,
+        sid="drop-g1",
+    )
+    assert validate_hist(spark, path).count() == 0
+    served = quantiles_from_hist(spark, path, {"p50": (1, 2)}).collect()
+    assert [r["g"] for r in served] == [0]
+    assert read_hist(spark, path).filter("g = 1").count() == 0
+    # now over-retract: one (g=0, x=9) row that never existed
+    retract_hist_rollup(
+        spark.createDataFrame([(0, 9.0)], "g int, x double"), path, sid="bogus"
+    )
+    bad = validate_hist(spark, path).collect()
+    assert [(r["g"], r["v"], r["cnt"]) for r in bad] == [(0, 9, -1)]
+
+
+def test_hist_compaction_drops_retracted_mass(spark, tmp_path):
+    """compact_rollup on a HISTOGRAM rollup (kind dispatch, round 13):
+    slice census collapses to 1, the served quantiles are identical
+    before/after, and the compacted slice physically contains no
+    net-zero rows — the retracted mass is garbage-collected, not
+    carried as +n/−n pairs. rollup_spec on a hist path fails loudly
+    instead of misparsing."""
+    from morphl_community_edition_spark.operators import manifest
+    from morphl_community_edition_spark.operators.incremental_agg import (
+        HistSpec,
+        append_hist_rollup,
+        build_hist_rollup,
+        compact_rollup,
+        hist_spec,
+        quantiles_from_hist,
+        retract_hist_rollup,
+        rollup_spec,
+        _states_dir,
+    )
+
+    def mk(lo, hi):
+        return spark.createDataFrame(
+            [(i % 3, float((i * 7) % 50)) for i in range(lo, hi)], "g int, x double"
+        )
+
+    spec = HistSpec(keys=("g",), value="x", scale=0)
+    path = str(tmp_path / "hc")
+    build_hist_rollup(mk(0, 300), spec, path)
+    append_hist_rollup(mk(300, 500), path, sid="b1")
+    retract_hist_rollup(mk(300, 500), path, sid="undo-b1")  # nets to zero
+    append_hist_rollup(mk(500, 600), path, sid="b2")
+    pcts = {"p50": (1, 2), "p99": (99, 100)}
+    before = sorted(tuple(r) for r in quantiles_from_hist(spark, path, pcts).collect())
+    assert compact_rollup(spark, path) == 4
+    assert len(manifest.committed_slices(path)) == 1
+    after = sorted(tuple(r) for r in quantiles_from_hist(spark, path, pcts).collect())
+    assert after == before
+    sid = manifest.committed_slices(path)[0]["sid"]
+    compacted = spark.read.parquet(_states_dir(path, sid))
+    assert compacted.filter("cnt <= 0").count() == 0
+    # the b1 mass nets to zero against undo-b1: the compacted state must
+    # equal a build over [0,300)+[500,600) alone, row for row
+    fresh = str(tmp_path / "hc_fresh")
+    build_hist_rollup(mk(0, 300).unionByName(mk(500, 600)), spec, fresh)
+    fresh_rows = sorted(
+        tuple(r) for r in spark.read.parquet(_states_dir(fresh, "base")).collect()
+    )
+    assert sorted(tuple(r) for r in compacted.collect()) == fresh_rows
+    assert hist_spec(path).keys == ("g",)
+    with pytest.raises(ValueError, match="HISTOGRAM"):
+        rollup_spec(path)
+    # folding after compaction still works and the serve reflects it
+    append_hist_rollup(mk(600, 650), path, sid="b3")
+    assert len(manifest.committed_slices(path)) == 2

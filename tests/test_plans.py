@@ -1521,3 +1521,15 @@ def test_capped_order_plans_topk_and_preserves_result(spark):
     want = [tuple(r) for r in df.orderBy(F.col("n_regionkey").desc(), "n_name").collect()]
     got = [tuple(r) for r in capped.collect()]
     assert got == want and len(got) == 25
+
+
+def test_q175_retraction_serves_from_histogram(spark):
+    """q175's serve plan must scan only the (compacted) persisted
+    histogram — retraction and compaction happen at fold time; the
+    serve never re-reads the fact table."""
+    from morphl_community_edition_spark.queries import QUERIES
+
+    df = QUERIES["q175_hist_retraction"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in plan, "retraction serve re-read the fact table"
+    assert "morphl_hist_retract" in plan or "states" in plan
