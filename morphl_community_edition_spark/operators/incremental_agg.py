@@ -482,9 +482,10 @@ def hist_spec(path: str) -> HistSpec:
     raise ValueError(f"no committed histogram rollup at {path} — run build_hist_rollup")
 
 
-def _fold_hist(
-    delta: DataFrame, path: str, sid: str, sign: int, on_tombstoned: str
-) -> None:
+def _guard_hist_sid(path: str, sid: str, on_tombstoned: str) -> HistSpec | None:
+    """Shared fold-entry protocol: sid rules + tombstone behavior.
+    Returns the spec to fold under, or None when the fold must no-op
+    (tombstoned sid with on_tombstoned='skip')."""
     if sid == "base":
         raise ValueError("sid 'base' is reserved for build_hist_rollup")
     if on_tombstoned not in ("error", "skip"):
@@ -495,20 +496,70 @@ def _fold_hist(
     }
     if sid in tombstoned:
         if on_tombstoned == "skip":
-            return
+            return None
         raise ValueError(
             f"slice id {sid!r} was compacted away at {path} — folding under "
             "it would be invisible; use a fresh sid"
         )
-    states = hist_states(delta, spec)
-    if sign < 0:
-        states = states.withColumn("cnt", (-F.col("cnt")).cast("bigint"))
+    return spec
+
+
+def _commit_hist_slice(
+    states: DataFrame, path: str, sid: str, spec: HistSpec, extra: dict | None = None
+) -> None:
     states.write.mode("overwrite").parquet(_states_dir(path, sid))
     _fsync_states(path, sid)
     payload = {"spec": spec.to_payload()}
-    if sign < 0:
-        payload["retract"] = True  # observability only; merge math is uniform
+    if extra:
+        payload.update(extra)
     manifest.commit_slice(path, sid, payload)
+
+
+def _fold_hist(
+    delta: DataFrame, path: str, sid: str, sign: int, on_tombstoned: str
+) -> None:
+    spec = _guard_hist_sid(path, sid, on_tombstoned)
+    if spec is None:
+        return
+    states = hist_states(delta, spec)
+    if sign < 0:
+        states = states.withColumn("cnt", (-F.col("cnt")).cast("bigint"))
+    # "retract" is observability only; merge math is uniform
+    _commit_hist_slice(states, path, sid, spec, {"retract": True} if sign < 0 else None)
+
+
+def cdc_fold_hist(
+    batch: DataFrame,
+    path: str,
+    sid: str,
+    op_col: str,
+    delete_op: str = "D",
+    on_tombstoned: str = "error",
+) -> None:
+    """Fold one MIXED change batch — inserts and deletes together, the
+    shape a CDC feed (Debezium-style op column) actually delivers.
+    Rows whose ``op_col`` equals ``delete_op`` count −1, every other
+    row counts +1; the batch lands as ONE signed slice, so the
+    insert/delete pair of a batch commits ATOMICALLY (no crash window
+    where a reader sees a batch's inserts without its deletes — the
+    reason this is not append+retract called twice). Within-batch
+    net-zero values are dropped before the write; the slice is exactly
+    the batch's net effect on the distribution. Same sid/idempotence/
+    tombstone contract as append_hist_rollup, so streaming replays are
+    safe."""
+    spec = _guard_hist_sid(path, sid, on_tombstoned)
+    if spec is None:
+        return
+    sign = F.when(F.col(op_col) == F.lit(delete_op), F.lit(-1)).otherwise(F.lit(1))
+    v = to_scaled_long(F.col(spec.value).cast("double"), spec.scale).alias("v")
+    states = (
+        batch.select(*[F.col(c) for c in spec.keys], v, sign.alias("_sign"))
+        .filter(F.col("v").isNotNull())
+        .groupBy(*[F.col(c) for c in spec.keys], F.col("v"))
+        .agg(F.sum("_sign").cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") != 0)
+    )
+    _commit_hist_slice(states, path, sid, spec, {"cdc": True})
 
 
 def append_hist_rollup(
@@ -655,7 +706,11 @@ def quantiles_from_hist_frame(
 
 
 def streaming_hist_ingest(
-    stream_facts: DataFrame, path: str, checkpoint_path: str
+    stream_facts: DataFrame,
+    path: str,
+    checkpoint_path: str,
+    op_col: str | None = None,
+    delete_op: str = "D",
 ):
     """Continuous quantile-histogram maintenance — streaming_rollup_
     ingest's contract applied to the histogram member: each
@@ -664,7 +719,15 @@ def streaming_hist_ingest(
     re-commits; a tombstoned replay no-ops), and the checkpoint-tag
     guard rejects a second checkpoint sequence whose batch ids would
     collide. Serving any percentile between micro-batches reads only
-    committed slices."""
+    committed slices.
+
+    CDC mode (round 13): pass ``op_col`` when the stream carries
+    changes rather than facts — rows with ``op_col == delete_op``
+    RETRACT their value, all others insert. Each micro-batch still
+    lands as one atomic signed slice (cdc_fold_hist), so the
+    exactly-once replay protocol is unchanged and a quiesced stream
+    serves precisely the corrected distribution — the streaming
+    materialized-view maintenance loop, deletes included."""
     import hashlib
 
     tag = hashlib.md5(checkpoint_path.encode()).hexdigest()[:12]
@@ -681,7 +744,13 @@ def streaming_hist_ingest(
         manifest.write_json_record(meta_path, {"ckpt_tag": tag}, root=path)
 
     def handle(batch: DataFrame, batch_id: int) -> None:
-        append_hist_rollup(batch, path, sid=f"b{batch_id:09d}", on_tombstoned="skip")
+        sid = f"b{batch_id:09d}"
+        if op_col is None:
+            append_hist_rollup(batch, path, sid=sid, on_tombstoned="skip")
+        else:
+            cdc_fold_hist(
+                batch, path, sid, op_col, delete_op=delete_op, on_tombstoned="skip"
+            )
 
     return (
         stream_facts.writeStream.foreachBatch(handle)

@@ -1178,3 +1178,93 @@ def test_s16_compaction_crash_replay_skips_tombstoned_fold(spark, tmp_path):
     got = {tuple(r) for r in read_rollup(spark, path).collect()}
     want = {tuple(r) for r in read_rollup(spark, twin).collect()}
     assert got == want and want, "replayed rollup diverged from batch twin"
+
+
+def test_s17_streaming_cdc_hist_ingest(spark, tmp_path):
+    """CDC-mode streaming histogram maintenance (round 13): a change
+    stream whose rows carry an op column — inserts AND deletes — is
+    folded one atomic signed slice per micro-batch. After the stream
+    quiesces the served quantiles must equal a from-scratch build over
+    base + inserts − deletes (the corrected fact), a checkpoint
+    restart folds nothing twice, and no negative nets remain."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from morphl_community_edition_spark.operators.incremental_agg import (
+        HistSpec,
+        build_hist_rollup,
+        quantiles_from_hist,
+        streaming_hist_ingest,
+        validate_hist,
+    )
+
+    spec = HistSpec(keys=("g",), value="x", scale=0)
+    rows0 = [(i % 3, float(i % 20)) for i in range(200)]
+    rows1 = [(i % 3, float((i * 3) % 20)) for i in range(200, 350)]
+    rows2 = [(i % 3, float((i * 7) % 20)) for i in range(350, 400)]
+    del0 = [r for i, r in enumerate(rows0) if i % 2 == 0]   # correct half the base
+    del1 = [r for i, r in enumerate(rows1) if i % 5 == 0]   # and a fifth of batch 1
+    chunks = [
+        [(g, x, "I") for g, x in rows1],
+        [(g, x, "I") for g, x in rows2] + [(g, x, "D") for g, x in del0],
+        # one within-batch net-zero pair: inserted and deleted in the
+        # same change batch — must leave no trace in the slice
+        [(g, x, "D") for g, x in del1] + [(9, 99.0, "I"), (9, 99.0, "D")],
+    ]
+    staged = str(tmp_path / "cdc")
+    os.makedirs(staged)
+    now = time.time()
+    for i, rows in enumerate(chunks):
+        tmp = tempfile.mkdtemp(prefix="cdcchunk_")
+        spark.createDataFrame(rows, "g int, x double, op string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+        dst = os.path.join(staged, f"part-{i:02d}.parquet")
+        shutil.copy(os.path.join(tmp, part), dst)
+        os.utime(dst, (now + 2 * i, now + 2 * i))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    path = str(tmp_path / "hist")
+    build_hist_rollup(
+        spark.createDataFrame(rows0, "g int, x double"), spec, path
+    )
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("g int, x double, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    q = streaming_hist_ingest(stream, path, ckpt, op_col="op")
+    q.awaitTermination(600)
+    assert q.exception() is None
+
+    pcts = {"p50": (1, 2), "p95": (19, 20)}
+
+    def served():
+        return {tuple(r) for r in quantiles_from_hist(spark, path, pcts).collect()}
+
+    corrected = list(rows0) + rows1 + rows2
+    for r in del0 + del1:
+        corrected.remove(r)
+    twin = str(tmp_path / "twin")
+    build_hist_rollup(
+        spark.createDataFrame(corrected, "g int, x double"), spec, twin
+    )
+    want = {tuple(r) for r in quantiles_from_hist(spark, twin, pcts).collect()}
+    assert served() == want and want
+    assert validate_hist(spark, path).count() == 0
+
+    # restart on the committed checkpoint: no re-folds, serve unchanged
+    before = served()
+    stream2 = (
+        spark.readStream.schema("g int, x double, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    q2 = streaming_hist_ingest(stream2, path, ckpt, op_col="op")
+    q2.awaitTermination(600)
+    assert q2.exception() is None
+    assert served() == before
