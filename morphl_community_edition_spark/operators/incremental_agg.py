@@ -601,7 +601,12 @@ def retract_hist_rollup(
     extremes after a delete without re-reading the fact. The histogram
     IS the two-level structure the module docstring's append-only note
     promises: it serves min/max/quantiles exactly under retraction
-    because it never forgot the distribution."""
+    because it never forgot the distribution. (This is the classic
+    counting-algorithm insight from the materialized-view-maintenance
+    literature — Gupta & Mumick, "Maintenance of Materialized Views:
+    Problems, Techniques, and Applications", IEEE Data Eng. Bull. 1995:
+    maintain multiplicities, and deletions become decrements, with
+    count-0 tuples leaving the view.)"""
     _fold_hist(delta, path, sid, sign=-1, on_tombstoned=on_tombstoned)
 
 
