@@ -222,7 +222,7 @@ def append_rollup(
     manifest.commit_slice(path, sid, {"spec": spec.to_payload()})
 
 
-def compact_rollup(spark: SparkSession, path: str) -> int:
+def compact_rollup(spark: SparkSession, path: str, gc: bool = True) -> int:
     """Merge every committed state slice into one (the long-lived
     stream's answer to slice-count growth — the compact_index shape,
     radically simpler here because the monoid merge IS the read path:
@@ -252,7 +252,17 @@ def compact_rollup(spark: SparkSession, path: str) -> int:
     instead of carrying a +n/−n pair forever. Under churn (folds +
     corrections) compaction is what keeps the state
     |grid×groups|-bounded rather than growing with the retraction
-    history."""
+    history.
+
+    ``gc=False`` (round 13) tombstones the merged-away slices in the
+    manifest — live reads cut over atomically exactly as before — but
+    RETAINS their files, so hist_snapshot pins taken before the
+    compaction stay serveable (time travel). This is the
+    retention-window split every production table format makes
+    (Delta/Iceberg: commit and compaction are logical, file deletion
+    is a separate vacuum after the snapshot-retention period);
+    vacuum_rollup is the physical deletion. The default gc=True
+    compacts-and-vacuums in one step, the round-10 behavior."""
     import shutil
 
     recs = manifest.committed_slices(path)
@@ -290,12 +300,39 @@ def compact_rollup(spark: SparkSession, path: str) -> int:
         {"spec": spec.to_payload(), "replaces": sorted(set(old_sids) | inherited)},
     )
     # --- GC: invisible already; crash-safe to stop anywhere below ---
-    for s in sorted(set(old_sids) | inherited):
+    if gc:
+        for s in sorted(set(old_sids) | inherited):
+            d = _states_dir(path, s)
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+            manifest.delete_record(os.path.join(mdir, f"{s}.json"))
+    return len(old_sids)
+
+
+def vacuum_rollup(path: str) -> int:
+    """Physically delete every TOMBSTONED slice (replaced by a
+    committed compaction record) — the deferred half of
+    compact_rollup(gc=False). Returns the number of slice state dirs
+    removed. After a vacuum, hist_snapshot pins that referenced the
+    tombstoned sids fail loudly on read (the snapshot-retention window
+    has ended); live reads never reference tombstoned sids and are
+    unaffected. Kind-generic and metadata-only in cost: it lists the
+    manifest, never opens state files. Crash-safe to stop anywhere —
+    each deletion is independently idempotent, exactly like the
+    gc=True loop it defers."""
+    import shutil
+
+    recs = manifest.committed_slices(path)
+    tombstoned = sorted({s for r in recs for s in r.get("replaces", [])})
+    mdir = os.path.join(path, manifest.MANIFEST_DIR)
+    removed = 0
+    for s in tombstoned:
         d = _states_dir(path, s)
         if os.path.isdir(d):
             shutil.rmtree(d)
+            removed += 1
         manifest.delete_record(os.path.join(mdir, f"{s}.json"))
-    return len(old_sids)
+    return removed
 
 
 def streaming_rollup_ingest(
@@ -627,13 +664,56 @@ def validate_hist(spark: SparkSession, path: str) -> DataFrame:
     return _merge_hist(states, spec, drop_zero=False).filter(F.col("cnt") < 0)
 
 
-def read_hist(spark: SparkSession, path: str) -> DataFrame:
-    """The merged histogram (keys..., v, cnt) across committed slices."""
+def hist_snapshot(path: str) -> tuple[str, ...]:
+    """Pin the CURRENT committed slice set — the time-travel handle
+    (round 13). The returned sid tuple is a complete, immutable
+    description of what a read at this moment serves: later folds,
+    retractions, and compactions add/replace OTHER sids, never mutate
+    these slices' contents (folds rewrite only their own sid; a
+    replay of a pinned sid rewrites it with identical bytes). Feed it
+    to read_hist/quantiles_from_hist ``sids=`` for an as-of serve —
+    the audit read a correction pipeline needs: 'what did the
+    dashboard say before the correction landed?'"""
     recs = manifest.committed_slices(path)
     if not recs:
         raise ValueError(f"no committed histogram rollup at {path} — run build_hist_rollup")
+    return tuple(r["sid"] for r in recs)
+
+
+def read_hist(
+    spark: SparkSession, path: str, sids: "tuple[str, ...] | None" = None
+) -> DataFrame:
+    """The merged histogram (keys..., v, cnt) across committed slices.
+
+    ``sids`` (round 13) pins the read to an explicit slice set — a
+    hist_snapshot taken earlier — BYPASSING the live manifest: a
+    snapshot stays serveable after later folds, retractions, and even
+    a compaction that tombstoned its sids, as long as the slice files
+    themselves survive (compact_rollup ``gc=False`` retains them;
+    vacuum_rollup is the physical deletion, after which a pinned read
+    fails loudly instead of serving a partial snapshot)."""
     spec = hist_spec(path)
-    frames = [spark.read.parquet(_states_dir(path, r["sid"])) for r in recs]
+    if sids is None:
+        recs = manifest.committed_slices(path)
+        if not recs:
+            raise ValueError(
+                f"no committed histogram rollup at {path} — run build_hist_rollup"
+            )
+        dirs = [_states_dir(path, r["sid"]) for r in recs]
+    else:
+        if not sids:
+            raise ValueError("empty snapshot: pass sids from hist_snapshot")
+        dirs = []
+        for s in sids:
+            d = _states_dir(path, s)
+            if not os.path.isdir(d):
+                raise ValueError(
+                    f"snapshot slice {s!r} no longer exists at {path} — "
+                    "vacuumed after its compaction? Pinned reads need the "
+                    "retention window (compact_rollup gc=False) to outlive them"
+                )
+            dirs.append(d)
+    frames = [spark.read.parquet(d) for d in dirs]
     states = frames[0]
     for f in frames[1:]:
         states = states.unionByName(f)
@@ -641,7 +721,10 @@ def read_hist(spark: SparkSession, path: str) -> DataFrame:
 
 
 def quantiles_from_hist(
-    spark: SparkSession, path: str, percentiles: dict[str, tuple[int, int]]
+    spark: SparkSession,
+    path: str,
+    percentiles: dict[str, tuple[int, int]],
+    sids: "tuple[str, ...] | None" = None,
 ) -> DataFrame:
     """Serve discrete percentiles from the persisted histogram:
     for each group and each requested p = num/den, the value at rank
@@ -658,7 +741,9 @@ def quantiles_from_hist(
     percentile. No fact-table access; the rank thresholds ride as
     integer expressions."""
     spec = hist_spec(path)
-    return quantiles_from_hist_frame(read_hist(spark, path), spec.keys, percentiles)
+    return quantiles_from_hist_frame(
+        read_hist(spark, path, sids=sids), spec.keys, percentiles
+    )
 
 
 def hist_view_match(states: DataFrame, regroup: dict[str, "F.Column"]) -> DataFrame:

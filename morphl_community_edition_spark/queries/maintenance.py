@@ -1140,3 +1140,91 @@ def q175_hist_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     retract_hist_rollup(li.filter(hex2 == "0"), path, sid="correction-0")
     compact_rollup(spark, path)
     return quantiles_from_hist(spark, path, _Q168_PCTS).orderBy("l_suppkey")
+
+
+_Q176_ASOF = {"p50_asof": (1, 2), "p90_asof": (9, 10)}
+_Q176_NOW = {"p50_now": (1, 2), "p90_now": (9, 10)}
+
+
+def _q176_oracle() -> str:
+    from morphl_community_edition_spark.functions.rounding import sql_scaled_long
+
+    v = sql_scaled_long("l_extendedprice", _Q168_SCALE)
+
+    def tier(pcts: dict, n_name: str, where: str) -> str:
+        cols = ",\n                 ".join(
+            f"CAST(quantile_disc({v}, {num}/{den}) AS BIGINT) AS {name}"
+            for name, (num, den) in pcts.items()
+        )
+        return f"""SELECT l_suppkey, CAST(count(*) AS BIGINT) AS {n_name},
+                 {cols}
+          FROM lineitem{where}
+          GROUP BY l_suppkey"""
+
+    asof = tier(_Q176_ASOF, "n_asof", "")
+    now = tier(
+        _Q176_NOW,
+        "n_now",
+        "\n          WHERE substr(md5(CAST(l_orderkey AS VARCHAR)), 2, 1) <> '0'",
+    )
+    return f"""
+    SELECT a.l_suppkey, a.n_asof, a.p50_asof, a.p90_asof,
+           b.n_now, b.p50_now, b.p90_now
+    FROM ({asof}) a
+    JOIN ({now}) b ON a.l_suppkey = b.l_suppkey
+    ORDER BY a.l_suppkey
+    """
+
+
+@query("q176_hist_time_travel", oracle=_q176_oracle())
+def q176_hist_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT-PINNED (time-travel) serving on the maintained
+    histogram (round 13): the audit read a correction pipeline owes
+    its consumers. The full fact folds in (q168's build + two
+    batches); hist_snapshot PINS the committed slice set; then a
+    correction batch (md5 hex-2 = '0', the q175 device) is RETRACTED
+    and the rollup is compacted with ``gc=False`` — the compaction
+    cuts live reads over atomically but RETAINS the tombstoned slice
+    files (the Delta/Iceberg retention-window split: logical compact
+    now, physical vacuum_rollup later). One result frame joins the
+    PINNED serve (exactly what a dashboard read before the correction
+    — the uncorrected fact's quantiles) against the LIVE serve (the
+    corrected fact's) per supplier; the oracle recomputes both tiers
+    from the raw fact with and without the correction predicate, so
+    one hash certifies snapshot isolation AND correction visibility
+    simultaneously — before/after answers from ONE state, no fact
+    re-read, both exact.
+
+    Scale shape: both serves are |grid×groups|-bounded histogram
+    reads (the pinned one over the retained pre-compaction slices,
+    the live one over the compacted slice); the join is
+    |groups|-sized. Plan-gated to never touch the fact table:
+    tests/test_plans.py::test_q176_time_travel_serves_from_histogram."""
+    from morphl_community_edition_spark.operators.incremental_agg import (
+        HistSpec,
+        append_hist_rollup,
+        build_hist_rollup,
+        compact_rollup,
+        hist_snapshot,
+        quantiles_from_hist,
+        retract_hist_rollup,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    md5 = F.md5(F.col("l_orderkey").cast("string"))
+    hex1, hex2 = F.substring(md5, 1, 1), F.substring(md5, 2, 1)
+    spec = HistSpec(keys=("l_suppkey",), value="l_extendedprice", scale=_Q168_SCALE)
+    path = _per_app_path(spark, sf_dir, "morphl_hist_timetravel")
+    build_hist_rollup(li.filter(hex1 < "e"), spec, path)
+    append_hist_rollup(li.filter(hex1 == "e"), path, sid="batch-e")
+    append_hist_rollup(li.filter(hex1 == "f"), path, sid="batch-f")
+    snap = hist_snapshot(path)  # pin BEFORE the correction lands
+    retract_hist_rollup(li.filter(hex2 == "0"), path, sid="correction-0")
+    compact_rollup(spark, path, gc=False)  # retain the pinned slices
+    asof = quantiles_from_hist(spark, path, _Q176_ASOF, sids=snap).withColumnRenamed(
+        "n_rows", "n_asof"
+    )
+    now = quantiles_from_hist(spark, path, _Q176_NOW).withColumnRenamed(
+        "n_rows", "n_now"
+    )
+    return asof.join(now, "l_suppkey").orderBy("l_suppkey")

@@ -672,3 +672,64 @@ def test_hist_compaction_drops_retracted_mass(spark, tmp_path):
     # folding after compaction still works and the serve reflects it
     append_hist_rollup(mk(600, 650), path, sid="b3")
     assert len(manifest.committed_slices(path)) == 2
+
+
+def test_hist_snapshot_time_travel_and_vacuum(spark, tmp_path):
+    """Snapshot-pinned reads (round 13): a hist_snapshot taken before
+    later folds/retractions/compaction serves EXACTLY the state at
+    pin time; compact_rollup(gc=False) tombstones but retains the
+    pinned slices (live reads cut over, the pin keeps working);
+    vacuum_rollup ends the retention window — the pinned read then
+    fails loudly, live reads are untouched, and a later compaction
+    sweeps any ghost manifests."""
+    from morphl_community_edition_spark.operators import manifest
+    from morphl_community_edition_spark.operators.incremental_agg import (
+        HistSpec,
+        append_hist_rollup,
+        build_hist_rollup,
+        compact_rollup,
+        hist_snapshot,
+        quantiles_from_hist,
+        retract_hist_rollup,
+        vacuum_rollup,
+    )
+
+    def mk(lo, hi):
+        return spark.createDataFrame(
+            [(i % 3, float((i * 7) % 50)) for i in range(lo, hi)], "g int, x double"
+        )
+
+    spec = HistSpec(keys=("g",), value="x", scale=0)
+    path = str(tmp_path / "tt")
+    pcts = {"p50": (1, 2), "p90": (9, 10)}
+    serve = lambda sids=None: sorted(
+        tuple(r) for r in quantiles_from_hist(spark, path, pcts, sids=sids).collect()
+    )
+    build_hist_rollup(mk(0, 300), spec, path)
+    append_hist_rollup(mk(300, 500), path, sid="b1")
+    snap = hist_snapshot(path)
+    assert snap == ("b1", "base")
+    at_pin = serve()
+    # later folds don't move the pin
+    append_hist_rollup(mk(500, 600), path, sid="b2")
+    retract_hist_rollup(mk(0, 100), path, sid="undo-part")
+    assert serve(snap) == at_pin
+    live_now = serve()
+    assert live_now != at_pin
+    # logical compaction retains the pinned slices
+    assert compact_rollup(spark, path, gc=False) == 4
+    assert len(manifest.committed_slices(path)) == 1
+    assert serve(snap) == at_pin       # time travel across compaction
+    assert serve() == live_now         # live read identical post-compaction
+    # retention window ends: physical deletion
+    assert vacuum_rollup(path) == 4
+    assert vacuum_rollup(path) == 0    # idempotent
+    with pytest.raises(ValueError, match="no longer exists"):
+        serve(snap)
+    assert serve() == live_now         # live serve survives the vacuum
+    # folds and (default-gc) compaction keep working after a vacuum
+    append_hist_rollup(mk(600, 650), path, sid="b3")
+    assert compact_rollup(spark, path) == 2
+    assert serve() != live_now
+    with pytest.raises(ValueError, match="empty snapshot"):
+        serve(())

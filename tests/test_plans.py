@@ -1533,3 +1533,16 @@ def test_q175_retraction_serves_from_histogram(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "lineitem" not in plan, "retraction serve re-read the fact table"
     assert "morphl_hist_retract" in plan or "states" in plan
+
+
+def test_q176_time_travel_serves_from_histogram(spark):
+    """q176's serve plan must scan only persisted histogram slices —
+    BOTH tiers: the snapshot-pinned read (retained pre-compaction
+    slices) and the live read (compacted slice); the fact table is
+    never touched at serve."""
+    from morphl_community_edition_spark.queries import QUERIES
+
+    df = QUERIES["q176_hist_time_travel"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in plan, "time-travel serve re-read the fact table"
+    assert "morphl_hist_timetravel" in plan or "states" in plan
