@@ -126,11 +126,19 @@ def rollup_states(df: DataFrame, spec: RollupSpec) -> DataFrame:
     return df.groupBy(*[F.col(c) for c in spec.keys]).agg(*aggs)
 
 
-def _merge_states(states: DataFrame, spec: RollupSpec) -> DataFrame:
+def _merge_states(
+    states: DataFrame, spec: RollupSpec, drop_zero: bool = True
+) -> DataFrame:
     """Merge state rows across slices: sums add, counts add, extrema
     re-extremize. Same output schema as rollup_states, so merging is
     closed (a merged frame can be merged again — the monoid law the
-    whole design rests on)."""
+    whole design rests on). Groups whose net ``n_rows`` is 0 (every
+    appended row retracted — only reachable via retract_rollup, since
+    append slices always carry positive counts) are dropped by
+    default: an emptied group must vanish from the serve, exactly as
+    it would from a recompute on the corrected fact. ``drop_zero=
+    False`` is the validation path (validate_rollup must see negative
+    nets)."""
     aggs = [F.sum("n_rows").cast("bigint").alias("n_rows")]
     for m in spec.measures:
         aggs.append(F.sum(f"{m}_sum").cast("bigint").alias(f"{m}_sum"))
@@ -138,7 +146,8 @@ def _merge_states(states: DataFrame, spec: RollupSpec) -> DataFrame:
     for e in spec.extrema:
         aggs.append(F.min(f"{e}_min").alias(f"{e}_min"))
         aggs.append(F.max(f"{e}_max").alias(f"{e}_max"))
-    return states.groupBy(*[F.col(c) for c in spec.keys]).agg(*aggs)
+    merged = states.groupBy(*[F.col(c) for c in spec.keys]).agg(*aggs)
+    return merged.filter(F.col("n_rows") != 0) if drop_zero else merged
 
 
 def build_rollup(df: DataFrame, spec: RollupSpec, path: str) -> None:
@@ -201,25 +210,98 @@ def append_rollup(
       error. Without this a stream crashing between fold-commit and
       checkpoint advance, with a compact_rollup in between, would
       crash-loop forever on restart (round-11 advice item)."""
+    spec = _guard_rollup_sid(path, sid, on_tombstoned)
+    if spec is None:
+        return
+    rollup_states(delta, spec).write.mode("overwrite").parquet(_states_dir(path, sid))
+    _fsync_states(path, sid)
+    manifest.commit_slice(path, sid, {"spec": spec.to_payload()})
+
+
+def _guard_rollup_sid(path: str, sid: str, on_tombstoned: str) -> "RollupSpec | None":
+    """Shared fold-entry protocol (the _guard_hist_sid shape for the
+    summary kind): sid rules + tombstone behavior. Returns the spec,
+    or None when the fold must no-op (tombstoned sid with
+    on_tombstoned='skip'). Replays of a LIVE sid remain allowed
+    (idempotence)."""
     if sid == "base":
         raise ValueError("sid 'base' is reserved for build_rollup")
     if on_tombstoned not in ("error", "skip"):
         raise ValueError(f"on_tombstoned must be 'error' or 'skip', got {on_tombstoned!r}")
     spec = rollup_spec(path)
-    # replays of a LIVE sid remain allowed (idempotence)
     tombstoned = {
         s for r in manifest.committed_slices(path) for s in r.get("replaces", [])
     }
     if sid in tombstoned:
         if on_tombstoned == "skip":
-            return
+            return None
         raise ValueError(
             f"slice id {sid!r} was compacted away at {path} — folding under "
             "it would be invisible; use a fresh sid"
         )
-    rollup_states(delta, spec).write.mode("overwrite").parquet(_states_dir(path, sid))
+    return spec
+
+
+def retract_rollup(
+    delta: DataFrame, path: str, sid: str, on_tombstoned: str = "error"
+) -> None:
+    """Correction fold for the SUMMARY rollup (round 13): back the
+    delta's rows out of the maintained sums and counts by persisting a
+    slice of NEGATED states — (n_rows, m_sum, m_cnt) are abelian-group
+    elements, so the inverse is a fold, exactly the Gupta-Mumick
+    counting algorithm applied to partial aggregates. Refuses LOUDLY
+    when the spec declares extrema: stored min/max are not invertible
+    (retracting the current minimum cannot recover the runner-up from
+    a summary), and serving a stale extreme after a delete would be
+    silently wrong — maintain the distribution instead
+    (retract_hist_rollup serves exact extremes and quantiles under
+    retraction because the histogram never forgot it). Same contract
+    surface as retract_hist_rollup otherwise: multiset semantics,
+    replay-idempotent per sid, tombstone-aware, emptied groups vanish
+    from the serve, validate_rollup detects over-retraction."""
+    spec = _guard_rollup_sid(path, sid, on_tombstoned)
+    if spec is None:
+        return
+    if spec.extrema:
+        raise ValueError(
+            f"rollup at {path} maintains extrema {spec.extrema} — min/max are "
+            "not invertible under deletes; rebuild, or maintain a histogram "
+            "rollup (retract_hist_rollup) which serves exact extremes "
+            "under retraction"
+        )
+    states = rollup_states(delta, spec)
+    neg = [(-F.col("n_rows")).cast("bigint").alias("n_rows")]
+    for m in spec.measures:
+        neg.append((-F.col(f"{m}_sum")).cast("bigint").alias(f"{m}_sum"))
+        neg.append((-F.col(f"{m}_cnt")).cast("bigint").alias(f"{m}_cnt"))
+    states = states.select(*[F.col(c) for c in spec.keys], *neg)
+    states.write.mode("overwrite").parquet(_states_dir(path, sid))
     _fsync_states(path, sid)
-    manifest.commit_slice(path, sid, {"spec": spec.to_payload()})
+    manifest.commit_slice(path, sid, {"spec": spec.to_payload(), "retract": True})
+
+
+def validate_rollup(spark: SparkSession, path: str) -> DataFrame:
+    """Merged groups with a NEGATIVE net n_rows or measure count —
+    retractions of rows never appended. Empty ⇔ healthy (the
+    validate_hist device for the summary kind; |groups|-sized, never
+    a fact scan). Honest granularity note: a summary state can only
+    detect violations at the AGGREGATE level (counts driven below
+    zero) — retracting the wrong VALUES in the right quantity is
+    invisible here, while validate_hist catches it per value, one
+    more reason the histogram is the stronger correction substrate."""
+    recs = manifest.committed_slices(path)
+    if not recs:
+        raise ValueError(f"no committed rollup base at {path} — run build_rollup first")
+    spec = rollup_spec(path)
+    frames = [spark.read.parquet(_states_dir(path, r["sid"])) for r in recs]
+    states = frames[0]
+    for f in frames[1:]:
+        states = states.unionByName(f)
+    merged = _merge_states(states, spec, drop_zero=False)
+    bad = F.col("n_rows") < 0
+    for m in spec.measures:
+        bad = bad | (F.col(f"{m}_cnt") < 0)
+    return merged.filter(bad)
 
 
 def compact_rollup(spark: SparkSession, path: str, gc: bool = True) -> int:

@@ -1228,3 +1228,69 @@ def q176_hist_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows", "n_now"
     )
     return asof.join(now, "l_suppkey").orderBy("l_suppkey")
+
+
+@query(
+    "q177_rollup_retraction",
+    oracle=f"""
+    SELECT l_suppkey,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           {sql_dsum('l_quantity')} AS qty_sum,
+           {sql_davg('l_quantity')} AS qty_avg,
+           {sql_dsum('l_extendedprice')} AS price_sum,
+           {sql_davg('l_extendedprice')} AS price_avg
+    FROM lineitem
+    WHERE substr(md5(CAST(l_orderkey AS VARCHAR)), 2, 1) <> '0'
+    GROUP BY l_suppkey
+    ORDER BY l_suppkey
+    """,
+)
+def q177_rollup_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correction fold on the SUMMARY rollup (round 13 — the
+    Gupta-Mumick counting algorithm on partial-aggregate states):
+    q159's supplier sales rollup, but sums/counts only (no extrema —
+    retract_rollup refuses specs with min/max, which are not
+    invertible; the histogram member q175 covers those). The full
+    fact folds in, the q175 correction batch (md5 hex-2 = '0') is
+    retracted as one negated-states slice, compaction garbage-collects
+    the cancelled mass, and the served sums/averages must hash-match
+    a from-scratch aggregate over the CORRECTED fact — exact to the
+    last bit because the states are scaled integers (the rounding
+    device), so subtraction is as lossless as addition.
+
+    Scale shape: identical to q159's (the retraction IS an append
+    fold with negated outputs — O(|correction|), |groups|-sized
+    write); serve-plan-gated to never re-read the fact
+    (tests/test_plans.py::test_q177_rollup_retraction_serves_from_states)."""
+    from morphl_community_edition_spark.operators.incremental_agg import (
+        RollupSpec,
+        append_rollup,
+        build_rollup,
+        compact_rollup,
+        read_rollup,
+        retract_rollup,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    md5 = F.md5(F.col("l_orderkey").cast("string"))
+    hex1, hex2 = F.substring(md5, 1, 1), F.substring(md5, 2, 1)
+    spec = RollupSpec(
+        keys=("l_suppkey",),
+        measures={"l_quantity": 2, "l_extendedprice": 2},
+        extrema=(),
+    )
+    path = _per_app_path(spark, sf_dir, "morphl_rollup_retract")
+    build_rollup(li.filter(hex1 < "e"), spec, path)
+    append_rollup(li.filter(hex1 == "e"), path, sid="batch-e")
+    append_rollup(li.filter(hex1 == "f"), path, sid="batch-f")
+    retract_rollup(li.filter(hex2 == "0"), path, sid="correction-0")
+    compact_rollup(spark, path)
+    served = read_rollup(spark, path)
+    return served.select(
+        "l_suppkey",
+        "n_rows",
+        F.col("l_quantity_sum").alias("qty_sum"),
+        F.col("l_quantity_avg").alias("qty_avg"),
+        F.col("l_extendedprice_sum").alias("price_sum"),
+        F.col("l_extendedprice_avg").alias("price_avg"),
+    ).orderBy("l_suppkey")

@@ -733,3 +733,61 @@ def test_hist_snapshot_time_travel_and_vacuum(spark, tmp_path):
     assert serve() != live_now
     with pytest.raises(ValueError, match="empty snapshot"):
         serve(())
+
+
+def test_rollup_retraction_inverse_refusal_and_validation(spark, tmp_path):
+    """retract_rollup (round 13): inverse law on sums/counts, loud
+    refusal when the spec maintains extrema, emptied groups vanish,
+    and validate_rollup flags over-retraction as negative nets."""
+    from morphl_community_edition_spark.operators.incremental_agg import (
+        RollupSpec,
+        append_rollup,
+        build_rollup,
+        read_rollup,
+        retract_rollup,
+        validate_rollup,
+    )
+
+    def mk(lo, hi):
+        return spark.createDataFrame(
+            [(i % 3, float((i * 7) % 50)) for i in range(lo, hi)], "g int, x double"
+        )
+
+    spec = RollupSpec(keys=("g",), measures={"x": 2}, extrema=())
+    path = str(tmp_path / "rr")
+    serve = lambda: sorted(tuple(r) for r in read_rollup(spark, path).collect())
+    build_rollup(mk(0, 300), spec, path)
+    before = serve()
+    append_rollup(mk(300, 500), path, sid="b1")
+    after = serve()
+    assert after != before
+    retract_rollup(mk(300, 500), path, sid="undo-b1")
+    assert serve() == before
+    assert validate_rollup(spark, path).count() == 0
+    # back out group 2 entirely: it must vanish from the serve
+    g2_rows = [(2, float((i * 7) % 50)) for i in range(0, 300) if i % 3 == 2]
+    retract_rollup(
+        spark.createDataFrame(g2_rows, "g int, x double"), path, sid="drop-g2"
+    )
+    assert sorted(r[0] for r in read_rollup(spark, path).collect()) == [0, 1]
+    # over-retraction: flagged, not served silently
+    retract_rollup(
+        spark.createDataFrame([(1, 1.0)] * 5, "g int, x double"), path, sid="bogus"
+    )
+    bad = validate_rollup(spark, path).collect()
+    assert len(bad) == 0  # n_rows still positive for g=1...
+    # ...so over-retract PAST zero to force a negative net
+    n1 = dict((r["g"], r["n_rows"]) for r in read_rollup(spark, path).collect())[1]
+    retract_rollup(
+        spark.createDataFrame([(1, 1.0)] * (n1 + 3), "g int, x double"),
+        path,
+        sid="bogus2",
+    )
+    assert validate_rollup(spark, path).count() == 1
+    # extrema refusal is loud and names the histogram alternative
+    epath = str(tmp_path / "re")
+    build_rollup(
+        mk(0, 50), RollupSpec(keys=("g",), measures={}, extrema=("x",)), epath
+    )
+    with pytest.raises(ValueError, match="not invertible"):
+        retract_rollup(mk(0, 10), epath, sid="c1")

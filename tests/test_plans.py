@@ -1546,3 +1546,14 @@ def test_q176_time_travel_serves_from_histogram(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "lineitem" not in plan, "time-travel serve re-read the fact table"
     assert "morphl_hist_timetravel" in plan or "states" in plan
+
+
+def test_q177_rollup_retraction_serves_from_states(spark):
+    """q177's serve plan must scan only the compacted rollup states —
+    the correction happened at fold time; no fact re-read."""
+    from morphl_community_edition_spark.queries import QUERIES
+
+    df = QUERIES["q177_rollup_retraction"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in plan, "rollup-retraction serve re-read the fact table"
+    assert "morphl_rollup_retract" in plan or "states" in plan
