@@ -417,8 +417,58 @@ def vacuum_rollup(path: str) -> int:
     return removed
 
 
+def cdc_fold_rollup(
+    batch: DataFrame,
+    path: str,
+    sid: str,
+    op_col: str,
+    delete_op: str = "D",
+    on_tombstoned: str = "error",
+) -> None:
+    """cdc_fold_hist's contract for the SUMMARY kind: one MIXED
+    insert/delete change batch lands as ONE signed slice — rows with
+    ``op_col == delete_op`` contribute −1 to every count and negated
+    values to every sum, all others +1 — so a CDC batch's inserts and
+    deletes commit ATOMICALLY. Refuses extrema specs for the same
+    reason retract_rollup does (min/max are not invertible). Groups
+    whose within-batch net is entirely zero still write a state row
+    (all-zero); the merge's drop-zero filter removes them at read and
+    compaction discards them physically."""
+    spec = _guard_rollup_sid(path, sid, on_tombstoned)
+    if spec is None:
+        return
+    if spec.extrema:
+        raise ValueError(
+            f"rollup at {path} maintains extrema {spec.extrema} — min/max are "
+            "not invertible under deletes; use a histogram rollup for CDC "
+            "feeds that must serve extremes"
+        )
+    sign = F.when(F.col(op_col) == F.lit(delete_op), F.lit(-1)).otherwise(F.lit(1))
+    signed = batch.withColumn("_sign", sign)
+    aggs = [F.sum("_sign").cast("bigint").alias("n_rows")]
+    for m, k in spec.measures.items():
+        aggs.append(
+            F.sum(F.col("_sign") * to_scaled_long(F.col(m), k))
+            .cast("bigint")
+            .alias(f"{m}_sum")
+        )
+        aggs.append(
+            F.sum(F.when(F.col(m).isNotNull(), F.col("_sign")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias(f"{m}_cnt")
+        )
+    states = signed.groupBy(*[F.col(c) for c in spec.keys]).agg(*aggs)
+    states.write.mode("overwrite").parquet(_states_dir(path, sid))
+    _fsync_states(path, sid)
+    manifest.commit_slice(path, sid, {"spec": spec.to_payload(), "cdc": True})
+
+
 def streaming_rollup_ingest(
-    stream_facts: DataFrame, path: str, checkpoint_path: str
+    stream_facts: DataFrame,
+    path: str,
+    checkpoint_path: str,
+    op_col: str | None = None,
+    delete_op: str = "D",
 ):
     """Continuous rollup maintenance (the I8 × this-module composite):
     each micro-batch folds into the persisted rollup via foreachBatch.
@@ -434,7 +484,12 @@ def streaming_rollup_ingest(
     second checkpoint feeding the same rollup restarts ids at 0 and
     would silently OVERWRITE slice b0 with different data — so the
     first fold records a checkpoint tag in the rollup meta and any
-    later stream with a different tag fails loudly at start."""
+    later stream with a different tag fails loudly at start.
+
+    CDC mode (round 13, the streaming_hist_ingest device): pass
+    ``op_col`` when the stream carries changes — deletes retract,
+    inserts append, one atomic signed slice per micro-batch
+    (cdc_fold_rollup); requires an extrema-free spec."""
     import hashlib
 
     tag = hashlib.md5(checkpoint_path.encode()).hexdigest()[:12]
@@ -450,11 +505,23 @@ def streaming_rollup_ingest(
     if rec is None:
         manifest.write_json_record(meta_path, {"ckpt_tag": tag}, root=path)
 
+    if op_col is not None and rollup_spec(path).extrema:
+        raise ValueError(
+            f"rollup at {path} maintains extrema — CDC mode (deletes) needs an "
+            "extrema-free spec or a histogram rollup"
+        )
+
     def handle(batch: DataFrame, batch_id: int) -> None:
         # on_tombstoned="skip": batch-id-derived sids are replay-safe —
         # a tombstoned sid means this batch's fold already reached the
         # compacted slice, so the replay must no-op, not crash-loop
-        append_rollup(batch, path, sid=f"b{batch_id:09d}", on_tombstoned="skip")
+        sid = f"b{batch_id:09d}"
+        if op_col is None:
+            append_rollup(batch, path, sid=sid, on_tombstoned="skip")
+        else:
+            cdc_fold_rollup(
+                batch, path, sid, op_col, delete_op=delete_op, on_tombstoned="skip"
+            )
 
     return (
         stream_facts.writeStream.foreachBatch(handle)

@@ -1268,3 +1268,89 @@ def test_s17_streaming_cdc_hist_ingest(spark, tmp_path):
     q2.awaitTermination(600)
     assert q2.exception() is None
     assert served() == before
+
+
+def test_s18_streaming_cdc_rollup_ingest(spark, tmp_path):
+    """CDC-mode streaming SUMMARY-rollup maintenance (round 13 — the
+    S17 contract for the sums/counts kind): a change stream with an op
+    column folds one atomic signed slice per micro-batch; after
+    quiescence the served sums/averages equal a from-scratch build
+    over base + inserts − deletes; restart folds nothing twice; an
+    extrema spec is refused at stream start."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from morphl_community_edition_spark.operators.incremental_agg import (
+        RollupSpec,
+        build_rollup,
+        read_rollup,
+        streaming_rollup_ingest,
+        validate_rollup,
+    )
+
+    spec = RollupSpec(keys=("g",), measures={"x": 2}, extrema=())
+    rows0 = [(i % 3, float(i % 20)) for i in range(200)]
+    rows1 = [(i % 3, float((i * 3) % 20)) for i in range(200, 350)]
+    del0 = [r for i, r in enumerate(rows0) if i % 2 == 0]
+    chunks = [
+        [(g, x, "I") for g, x in rows1],
+        [(g, x, "D") for g, x in del0] + [(9, 99.0, "I"), (9, 99.0, "D")],
+    ]
+    staged = str(tmp_path / "cdc")
+    os.makedirs(staged)
+    now = time.time()
+    for i, rows in enumerate(chunks):
+        tmp = tempfile.mkdtemp(prefix="cdcchunk_")
+        spark.createDataFrame(rows, "g int, x double, op string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+        dst = os.path.join(staged, f"part-{i:02d}.parquet")
+        shutil.copy(os.path.join(tmp, part), dst)
+        os.utime(dst, (now + 2 * i, now + 2 * i))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    path = str(tmp_path / "rollup")
+    build_rollup(spark.createDataFrame(rows0, "g int, x double"), spec, path)
+    ckpt = str(tmp_path / "ckpt")
+
+    def stream():
+        return (
+            spark.readStream.schema("g int, x double, op string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged)
+        )
+
+    q = streaming_rollup_ingest(stream(), path, ckpt, op_col="op")
+    q.awaitTermination(600)
+    assert q.exception() is None
+
+    def served():
+        return {tuple(r) for r in read_rollup(spark, path).collect()}
+
+    corrected = list(rows0) + rows1
+    for r in del0:
+        corrected.remove(r)
+    twin = str(tmp_path / "twin")
+    build_rollup(spark.createDataFrame(corrected, "g int, x double"), spec, twin)
+    want = {tuple(r) for r in read_rollup(spark, twin).collect()}
+    assert served() == want and want
+    assert validate_rollup(spark, path).count() == 0
+
+    before = served()
+    q2 = streaming_rollup_ingest(stream(), path, ckpt, op_col="op")
+    q2.awaitTermination(600)
+    assert q2.exception() is None
+    assert served() == before
+
+    # CDC refuses an extrema-maintaining rollup at stream start
+    epath = str(tmp_path / "er")
+    build_rollup(
+        spark.createDataFrame(rows0, "g int, x double"),
+        RollupSpec(keys=("g",), measures={}, extrema=("x",)),
+        epath,
+    )
+    with pytest.raises(ValueError, match="extrema"):
+        streaming_rollup_ingest(stream(), epath, str(tmp_path / "ckpt3"), op_col="op")
