@@ -532,18 +532,46 @@ def streaming_rollup_ingest(
     )
 
 
-def read_rollup(spark: SparkSession, path: str, finalize: bool = True) -> DataFrame:
+def read_rollup(
+    spark: SparkSession,
+    path: str,
+    finalize: bool = True,
+    sids: "tuple[str, ...] | None" = None,
+) -> DataFrame:
     """Serve the rollup: union every COMMITTED state slice, merge the
     monoid states, and (by default) finalize — ``{m}_sum`` as the
     descaled double, ``{m}_avg`` via the exact-sum/count division of
     functions/rounding.davg, extrema and ``n_rows`` as-is. Uncommitted
     (crashed) folds are invisible: the read assembles from the
-    manifest, never from a directory listing."""
-    recs = manifest.committed_slices(path)
-    if not recs:
-        raise ValueError(f"no committed rollup base at {path} — run build_rollup first")
+    manifest, never from a directory listing.
+
+    ``sids`` (round 13) pins the read to a snapshot_slices pin,
+    bypassing the live manifest — read_hist's time-travel contract
+    for the summary kind (valid until vacuum_rollup deletes the
+    pinned slices; compact_rollup ``gc=False`` is the retention
+    window)."""
     spec = rollup_spec(path)
-    frames = [spark.read.parquet(_states_dir(path, r["sid"])) for r in recs]
+    if sids is None:
+        recs = manifest.committed_slices(path)
+        if not recs:
+            raise ValueError(
+                f"no committed rollup base at {path} — run build_rollup first"
+            )
+        dirs = [_states_dir(path, r["sid"]) for r in recs]
+    else:
+        if not sids:
+            raise ValueError("empty snapshot: pass sids from snapshot_slices")
+        dirs = []
+        for s in sids:
+            d = _states_dir(path, s)
+            if not os.path.isdir(d):
+                raise ValueError(
+                    f"snapshot slice {s!r} no longer exists at {path} — "
+                    "vacuumed after its compaction? Pinned reads need the "
+                    "retention window (compact_rollup gc=False) to outlive them"
+                )
+            dirs.append(d)
+    frames = [spark.read.parquet(d) for d in dirs]
     states = frames[0]
     for f in frames[1:]:
         states = states.unionByName(f)
@@ -813,20 +841,26 @@ def validate_hist(spark: SparkSession, path: str) -> DataFrame:
     return _merge_hist(states, spec, drop_zero=False).filter(F.col("cnt") < 0)
 
 
-def hist_snapshot(path: str) -> tuple[str, ...]:
+def snapshot_slices(path: str) -> tuple[str, ...]:
     """Pin the CURRENT committed slice set — the time-travel handle
-    (round 13). The returned sid tuple is a complete, immutable
-    description of what a read at this moment serves: later folds,
-    retractions, and compactions add/replace OTHER sids, never mutate
-    these slices' contents (folds rewrite only their own sid; a
-    replay of a pinned sid rewrites it with identical bytes). Feed it
-    to read_hist/quantiles_from_hist ``sids=`` for an as-of serve —
-    the audit read a correction pipeline needs: 'what did the
+    (round 13), kind-generic (manifest-level; no state files opened).
+    The returned sid tuple is a complete, immutable description of
+    what a read at this moment serves: later folds, retractions, and
+    compactions add/replace OTHER sids, never mutate these slices'
+    contents (folds rewrite only their own sid; a replay of a pinned
+    sid rewrites it with identical bytes). Feed it to
+    read_hist/quantiles_from_hist/read_rollup ``sids=`` for an as-of
+    serve — the audit read a correction pipeline needs: 'what did the
     dashboard say before the correction landed?'"""
     recs = manifest.committed_slices(path)
     if not recs:
-        raise ValueError(f"no committed histogram rollup at {path} — run build_hist_rollup")
+        raise ValueError(f"no committed rollup at {path} — build it first")
     return tuple(r["sid"] for r in recs)
+
+
+def hist_snapshot(path: str) -> tuple[str, ...]:
+    """snapshot_slices under the histogram family's naming."""
+    return snapshot_slices(path)
 
 
 def read_hist(

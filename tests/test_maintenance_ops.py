@@ -791,3 +791,45 @@ def test_rollup_retraction_inverse_refusal_and_validation(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="not invertible"):
         retract_rollup(mk(0, 10), epath, sid="c1")
+
+
+def test_rollup_snapshot_time_travel_summary_kind(spark, tmp_path):
+    """snapshot_slices + read_rollup(sids=...) — the q176 time-travel
+    contract on the SUMMARY kind: the pin serves the pre-correction
+    sums across later folds/retractions and a gc=False compaction;
+    vacuum ends the retention window loudly."""
+    from morphl_community_edition_spark.operators.incremental_agg import (
+        RollupSpec,
+        append_rollup,
+        build_rollup,
+        compact_rollup,
+        read_rollup,
+        retract_rollup,
+        snapshot_slices,
+        vacuum_rollup,
+    )
+
+    def mk(lo, hi):
+        return spark.createDataFrame(
+            [(i % 3, float((i * 7) % 50)) for i in range(lo, hi)], "g int, x double"
+        )
+
+    spec = RollupSpec(keys=("g",), measures={"x": 2}, extrema=())
+    path = str(tmp_path / "ttr")
+    serve = lambda sids=None: sorted(
+        tuple(r) for r in read_rollup(spark, path, sids=sids).collect()
+    )
+    build_rollup(mk(0, 300), spec, path)
+    append_rollup(mk(300, 400), path, sid="b1")
+    snap = snapshot_slices(path)
+    at_pin = serve()
+    retract_rollup(mk(0, 50), path, sid="corr")
+    assert serve() != at_pin
+    live = serve()
+    assert compact_rollup(spark, path, gc=False) == 3
+    assert serve(snap) == at_pin
+    assert serve() == live
+    assert vacuum_rollup(path) == 3
+    with pytest.raises(ValueError, match="no longer exists"):
+        serve(snap)
+    assert serve() == live
