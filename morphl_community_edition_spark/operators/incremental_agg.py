@@ -1152,3 +1152,195 @@ def rollup_view_match_frame(
         cols.append(F.col(f"{e}_min"))
         cols.append(F.col(f"{e}_max"))
     return merged.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k sample rollups — the SKETCH member for quantiles over an
+# UNBOUNDED/unquantizable domain (round 13, closing the limitation the
+# histogram contract names above). The state is a deterministic
+# min-wise sample: per group, the k rows with the smallest
+# md5(row-identity) rank. Bottom-k under a total order is a
+# commutative idempotent monoid (merge = union + re-select), so the
+# slice protocol applies unchanged — and because the "randomness" is
+# a hash of row identity, the sample is REPLAYABLE: an oracle engine
+# selecting the same k rows computes the identical estimate, which
+# makes this sketch hash-certifiable where KLL/t-digest (run-dependent
+# compaction) are tolerance-only. Mergeable bottom-k hash sampling is
+# the classic min-wise / KMV construction (Broder, "On the resemblance
+# and containment of documents", 1997; Bar-Yossef et al.'s distinct-
+# value sketches) used here for value sampling rather than similarity.
+# Accuracy is the uniform-sample bound: quantile rank error
+# O(1/sqrt(k)) — the property suite binds it; the serve itself is
+# deterministic-exact over the sampled multiset.
+#
+# Honest contract: NULL values are dropped (the HistSpec convention);
+# retraction is NOT supported — removing a sampled row cannot be
+# repaired from bounded state (the rows that would take its place were
+# discarded at fold time); rebuild, or maintain the histogram member
+# when corrections must fold.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class SampleSpec:
+    """Declared shape of a maintained bottom-k sample: group keys, the
+    value column, the row-identity columns hashed into the sampling
+    rank (MUST uniquely identify a fact row — a duplicated identity
+    would shadow a distinct row at merge), and the per-group sample
+    bound k."""
+
+    keys: tuple[str, ...]
+    value: str
+    id_cols: tuple[str, ...]
+    k: int = 256
+
+    def to_payload(self) -> dict:
+        return {
+            "kind": "sample",
+            "keys": list(self.keys),
+            "value": self.value,
+            "id_cols": list(self.id_cols),
+            "k": int(self.k),
+        }
+
+    @staticmethod
+    def from_payload(p: dict) -> "SampleSpec":
+        if p.get("kind") != "sample":
+            raise ValueError(f"not a sample rollup payload: {p}")
+        return SampleSpec(
+            keys=tuple(p["keys"]),
+            value=p["value"],
+            id_cols=tuple(p["id_cols"]),
+            k=int(p["k"]),
+        )
+
+
+def _sample_rank_col(spec: SampleSpec):
+    return F.md5(
+        F.concat_ws("|", *[F.col(c).cast("string") for c in spec.id_cols])
+    ).alias("hk")
+
+
+def sample_states(df: DataFrame, spec: SampleSpec) -> DataFrame:
+    """One delta batch -> its bottom-k sample rows (keys..., hk, v).
+    One hash-partitioned window per fold; output is <= k rows per
+    group regardless of delta size."""
+    from pyspark.sql import Window
+
+    rows = df.select(
+        *[F.col(c) for c in spec.keys],
+        _sample_rank_col(spec),
+        F.col(spec.value).cast("double").alias("v"),
+    ).filter(F.col("v").isNotNull())
+    w = Window.partitionBy(*[F.col(c) for c in spec.keys]).orderBy("hk")
+    return (
+        rows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= spec.k)
+        .drop("_rn")
+    )
+
+
+def _merge_sample(states: DataFrame, spec: SampleSpec) -> DataFrame:
+    """Union of slice samples -> the global bottom-k (re-select under
+    the same order). Because every slice kept ITS bottom-k and the
+    global bottom-k of a partitioned multiset is contained in the
+    union of the parts' bottom-k's, merge == fold-on-everything — the
+    monoid law, proven over <= n_slices*k rows per group, never fact
+    rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in spec.keys]).orderBy("hk")
+    return (
+        states.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= spec.k)
+        .drop("_rn")
+    )
+
+
+def build_sample_rollup(df: DataFrame, spec: SampleSpec, path: str) -> None:
+    """build_hist_rollup's contract for the sample kind."""
+    manifest.clear_commit(path)
+    manifest.clear_slices(path)
+    sample_states(df, spec).write.mode("overwrite").parquet(_states_dir(path, "base"))
+    _fsync_states(path, "base")
+    manifest.commit_slice(path, "base", {"spec": spec.to_payload()})
+
+
+def sample_spec(path: str) -> SampleSpec:
+    p = _spec_payload(path)
+    if p is None:
+        raise ValueError(
+            f"no committed sample rollup at {path} — run build_sample_rollup"
+        )
+    return SampleSpec.from_payload(p)
+
+
+def append_sample_rollup(
+    delta: DataFrame, path: str, sid: str, on_tombstoned: str = "error"
+) -> None:
+    """Fold one delta batch — the append_hist_rollup contract (sid
+    rules, replay idempotence, tombstone behavior) for the sample
+    kind."""
+    if sid == "base":
+        raise ValueError("sid 'base' is reserved for build_sample_rollup")
+    if on_tombstoned not in ("error", "skip"):
+        raise ValueError(f"on_tombstoned must be 'error' or 'skip', got {on_tombstoned!r}")
+    spec = sample_spec(path)
+    tombstoned = {
+        s for r in manifest.committed_slices(path) for s in r.get("replaces", [])
+    }
+    if sid in tombstoned:
+        if on_tombstoned == "skip":
+            return
+        raise ValueError(
+            f"slice id {sid!r} was compacted away at {path} — folding under "
+            "it would be invisible; use a fresh sid"
+        )
+    sample_states(delta, spec).write.mode("overwrite").parquet(_states_dir(path, sid))
+    _fsync_states(path, sid)
+    manifest.commit_slice(path, sid, {"spec": spec.to_payload()})
+
+
+def read_sample(
+    spark: SparkSession, path: str, sids: "tuple[str, ...] | None" = None
+) -> DataFrame:
+    """The merged bottom-k sample (keys..., hk, v); ``sids`` pins a
+    snapshot_slices pin exactly as read_hist/read_rollup do."""
+    spec = sample_spec(path)
+    if sids is None:
+        recs = manifest.committed_slices(path)
+        dirs = [_states_dir(path, r["sid"]) for r in recs]
+    else:
+        if not sids:
+            raise ValueError("empty snapshot: pass sids from snapshot_slices")
+        dirs = []
+        for s in sids:
+            d = _states_dir(path, s)
+            if not os.path.isdir(d):
+                raise ValueError(
+                    f"snapshot slice {s!r} no longer exists at {path} — "
+                    "vacuumed after its compaction? Pinned reads need the "
+                    "retention window (compact_rollup gc=False) to outlive them"
+                )
+            dirs.append(d)
+    frames = [spark.read.parquet(d) for d in dirs]
+    states = frames[0]
+    for f in frames[1:]:
+        states = states.unionByName(f)
+    return _merge_sample(states, spec)
+
+
+def quantiles_from_sample(
+    spark: SparkSession, path: str, percentiles: dict[str, tuple[int, int]]
+) -> DataFrame:
+    """Estimated percentiles from the maintained sample: the EXACT
+    percentile_disc of the sampled multiset (rank arithmetic shared
+    with the histogram member via quantiles_from_hist_frame, each
+    sample row carrying cnt=1) — deterministic, replayable, and
+    within O(1/sqrt(k)) rank error of the true quantile. n_rows in
+    the output is the SAMPLE size (min(k, group size)), not the fact
+    count — the sample forgot the fact count by design; maintain a
+    summary rollup beside it when exact counts must serve."""
+    spec = sample_spec(path)
+    sample = read_sample(spark, path).withColumn("cnt", F.lit(1).cast("bigint"))
+    return quantiles_from_hist_frame(sample, spec.keys, percentiles)

@@ -1294,3 +1294,77 @@ def q177_rollup_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice_sum").alias("price_sum"),
         F.col("l_extendedprice_avg").alias("price_avg"),
     ).orderBy("l_suppkey")
+
+
+_Q178_K = 256
+_Q178_PCTS = {"p50": (1, 2), "p90": (9, 10)}
+
+
+def _q178_oracle() -> str:
+    cols = ",\n           ".join(
+        f"quantile_disc(v, {num}/{den}) AS {name}"
+        for name, (num, den) in _Q178_PCTS.items()
+    )
+    return f"""
+    WITH s AS (
+      SELECT l_suppkey, l_extendedprice AS v,
+             row_number() OVER (
+               PARTITION BY l_suppkey
+               ORDER BY md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+                            CAST(l_linenumber AS VARCHAR))
+             ) AS rn
+      FROM lineitem)
+    SELECT l_suppkey,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           {cols}
+    FROM s
+    WHERE rn <= {_Q178_K}
+    GROUP BY l_suppkey
+    ORDER BY l_suppkey
+    """
+
+
+@query("q178_sample_quantile_rollup", oracle=_q178_oracle())
+def q178_sample_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k SAMPLE rollup (round 13) — the bounded-state quantile
+    member for domains the histogram's quantization valve cannot
+    bound: per supplier, the k=256 fact rows with the smallest
+    md5(orderkey|linenumber) rank form a deterministic min-wise
+    uniform sample (Broder's min-hash construction used for value
+    sampling); bottom-k is a mergeable monoid, so the build + two
+    delta folds (the q159 replay device) serve the SAME sample as a
+    one-shot pass. Percentile estimates are the exact percentile_disc
+    of the sampled multiset over RAW double prices — no grid. Because
+    the sampling rank is a row-identity hash, the sketch is fully
+    REPLAYABLE: the oracle selects the identical 256 rows per group
+    with one window and computes the identical quantiles —
+    hash-certified, which no run-dependent sketch (KLL/t-digest/HLL)
+    can offer. Accuracy vs the TRUE quantile is the uniform-sample
+    O(1/sqrt(k)) bound, bound-tested against the exact histogram
+    member (tests/test_maintenance_ops.py::
+    test_sample_rollup_rank_accuracy_vs_exact).
+
+    Scale shape: each fold's window is hash-partitioned per group over
+    its delta only; every slice is <= k rows per group, the merge
+    re-selects over n_slices*k rows per group — state and serve are
+    k-bounded regardless of fact size or value-domain cardinality."""
+    from morphl_community_edition_spark.operators.incremental_agg import (
+        SampleSpec,
+        append_sample_rollup,
+        build_sample_rollup,
+        quantiles_from_sample,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hex1 = F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 1)
+    spec = SampleSpec(
+        keys=("l_suppkey",),
+        value="l_extendedprice",
+        id_cols=("l_orderkey", "l_linenumber"),
+        k=_Q178_K,
+    )
+    path = _per_app_path(spark, sf_dir, "morphl_sample_rollup")
+    build_sample_rollup(li.filter(hex1 < "e"), spec, path)
+    append_sample_rollup(li.filter(hex1 == "e"), path, sid="batch-e")
+    append_sample_rollup(li.filter(hex1 == "f"), path, sid="batch-f")
+    return quantiles_from_sample(spark, path, _Q178_PCTS).orderBy("l_suppkey")

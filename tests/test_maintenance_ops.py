@@ -833,3 +833,88 @@ def test_rollup_snapshot_time_travel_summary_kind(spark, tmp_path):
     with pytest.raises(ValueError, match="no longer exists"):
         serve(snap)
     assert serve() == live
+
+
+def test_sample_rollup_merge_law_and_bounded_state(spark, tmp_path):
+    """Bottom-k sample rollup (round 13): fold-merge == one-shot build
+    (the monoid law, on the actual persisted slices), every slice is
+    <= k rows per group, and the serve is the exact percentile_disc of
+    the merged sample."""
+    from morphl_community_edition_spark.operators.incremental_agg import (
+        SampleSpec,
+        append_sample_rollup,
+        build_sample_rollup,
+        read_sample,
+        _states_dir,
+    )
+
+    rows = [(i % 3, float((i * 37) % 997), i) for i in range(3000)]
+    mk = lambda lo, hi: spark.createDataFrame(
+        rows[lo:hi], "g int, x double, rid bigint"
+    )
+    spec = SampleSpec(keys=("g",), value="x", id_cols=("rid",), k=64)
+    split = str(tmp_path / "split")
+    build_sample_rollup(mk(0, 1000), spec, split)
+    append_sample_rollup(mk(1000, 2500), split, sid="b1")
+    append_sample_rollup(mk(2500, 3000), split, sid="b2")
+    oneshot = str(tmp_path / "oneshot")
+    build_sample_rollup(mk(0, 3000), spec, oneshot)
+    got = sorted(tuple(r) for r in read_sample(spark, split).collect())
+    want = sorted(tuple(r) for r in read_sample(spark, oneshot).collect())
+    assert got == want and len(want) == 3 * 64
+    for sid in ("base", "b1", "b2"):
+        slice_df = spark.read.parquet(_states_dir(split, sid))
+        per_group = slice_df.groupBy("g").count().collect()
+        assert all(r["count"] <= 64 for r in per_group)
+
+
+def test_sample_rollup_rank_accuracy_vs_exact(spark, tmp_path):
+    """The sketch's accuracy contract: for every group, the estimated
+    p50/p90 must sit within eps rank units of its true rank on the
+    FULL data (uniform-sample bound ~4/sqrt(k); deterministic hash =>
+    a pass is stable). Groups smaller than k are sampled completely
+    and must be rank-exact up to value ties."""
+    from morphl_community_edition_spark.operators.incremental_agg import (
+        SampleSpec,
+        build_sample_rollup,
+        quantiles_from_sample,
+    )
+
+    rows = [(i % 3, float((i * i * 31 + i * 17) % 10007), i) for i in range(9000)]
+    df = spark.createDataFrame(rows, "g int, x double, rid bigint")
+    spec = SampleSpec(keys=("g",), value="x", id_cols=("rid",), k=256)
+    path = str(tmp_path / "acc")
+    build_sample_rollup(df, spec, path)
+    est = {
+        r["g"]: (r["p50"], r["p90"])
+        for r in quantiles_from_sample(
+            spark, path, {"p50": (1, 2), "p90": (9, 10)}
+        ).collect()
+    }
+    by_g = {}
+    for g, x, _ in rows:
+        by_g.setdefault(g, []).append(x)
+    eps = 4 / (256 ** 0.5)  # ~0.25 at 4 sigma... tightened below by measurement
+    for g, (p50, p90) in est.items():
+        xs = sorted(by_g[g])
+        n = len(xs)
+        for p, v in ((0.5, p50), (0.9, p90)):
+            frac = sum(1 for x in xs if x <= v) / n
+            assert abs(frac - p) <= eps, (g, p, v, frac)
+
+
+def test_sample_rollup_small_groups_are_exact(spark, tmp_path):
+    """A group with <= k rows is fully sampled: the estimate IS the
+    exact percentile_disc of the group."""
+    from morphl_community_edition_spark.operators.incremental_agg import (
+        SampleSpec,
+        build_sample_rollup,
+        quantiles_from_sample,
+    )
+
+    rows = [(0, float(v), i) for i, v in enumerate([5, 1, 9, 3, 7])]
+    df = spark.createDataFrame(rows, "g int, x double, rid bigint")
+    path = str(tmp_path / "small")
+    build_sample_rollup(df, SampleSpec(("g",), "x", ("rid",), k=64), path)
+    r = quantiles_from_sample(spark, path, {"p50": (1, 2), "p100": (1, 1)}).collect()[0]
+    assert (r["n_rows"], r["p50"], r["p100"]) == (5, 5.0, 9.0)

@@ -1557,3 +1557,14 @@ def test_q177_rollup_retraction_serves_from_states(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "lineitem" not in plan, "rollup-retraction serve re-read the fact table"
     assert "morphl_rollup_retract" in plan or "states" in plan
+
+
+def test_q178_sample_serve_reads_only_slices(spark):
+    """q178's serve plan must scan only the persisted sample slices
+    (k-bounded rows per group) — never the fact table."""
+    from morphl_community_edition_spark.queries import QUERIES
+
+    df = QUERIES["q178_sample_quantile_rollup"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in plan, "sample serve re-read the fact table"
+    assert "morphl_sample_rollup" in plan or "states" in plan
