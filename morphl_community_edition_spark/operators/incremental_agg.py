@@ -138,16 +138,22 @@ def _merge_states(
     default: an emptied group must vanish from the serve, exactly as
     it would from a recompute on the corrected fact. ``drop_zero=
     False`` is the validation path (validate_rollup must see negative
-    nets)."""
+    nets). A group is "zero" only when EVERY summed field nets to 0 —
+    not n_rows alone: a group at n_rows 0 with a nonzero measure
+    sum/count is a multiset violation (e.g. null-measure rows appended,
+    valued rows retracted), and dropping it would let a compaction
+    destroy the very evidence validate_rollup flags."""
     aggs = [F.sum("n_rows").cast("bigint").alias("n_rows")]
+    zero = F.col("n_rows") == 0
     for m in spec.measures:
         aggs.append(F.sum(f"{m}_sum").cast("bigint").alias(f"{m}_sum"))
         aggs.append(F.sum(f"{m}_cnt").cast("bigint").alias(f"{m}_cnt"))
+        zero = zero & (F.col(f"{m}_sum") == 0) & (F.col(f"{m}_cnt") == 0)
     for e in spec.extrema:
         aggs.append(F.min(f"{e}_min").alias(f"{e}_min"))
         aggs.append(F.max(f"{e}_max").alias(f"{e}_max"))
     merged = states.groupBy(*[F.col(c) for c in spec.keys]).agg(*aggs)
-    return merged.filter(F.col("n_rows") != 0) if drop_zero else merged
+    return merged.filter(~zero) if drop_zero else merged
 
 
 def build_rollup(df: DataFrame, spec: RollupSpec, path: str) -> None:
@@ -170,9 +176,12 @@ def rollup_spec(path: str) -> RollupSpec:
     p = _spec_payload(path)
     if p is None:
         raise ValueError(f"no committed rollup base at {path} — run build_rollup first")
-    if p.get("kind") == "hist":
+    kind = p.get("kind")
+    if kind is not None:
+        label = {"hist": "HISTOGRAM", "sample": "SAMPLE"}.get(kind, kind.upper())
+        reader = {"hist": "hist_spec", "sample": "sample_spec"}.get(kind, "its own")
         raise ValueError(
-            f"{path} is a HISTOGRAM rollup — use hist_spec / the histogram readers"
+            f"{path} is a {label} rollup — use {reader} / that kind's readers"
         )
     return RollupSpec.from_payload(p)
 
@@ -219,27 +228,7 @@ def append_rollup(
 
 
 def _guard_rollup_sid(path: str, sid: str, on_tombstoned: str) -> "RollupSpec | None":
-    """Shared fold-entry protocol (the _guard_hist_sid shape for the
-    summary kind): sid rules + tombstone behavior. Returns the spec,
-    or None when the fold must no-op (tombstoned sid with
-    on_tombstoned='skip'). Replays of a LIVE sid remain allowed
-    (idempotence)."""
-    if sid == "base":
-        raise ValueError("sid 'base' is reserved for build_rollup")
-    if on_tombstoned not in ("error", "skip"):
-        raise ValueError(f"on_tombstoned must be 'error' or 'skip', got {on_tombstoned!r}")
-    spec = rollup_spec(path)
-    tombstoned = {
-        s for r in manifest.committed_slices(path) for s in r.get("replaces", [])
-    }
-    if sid in tombstoned:
-        if on_tombstoned == "skip":
-            return None
-        raise ValueError(
-            f"slice id {sid!r} was compacted away at {path} — folding under "
-            "it would be invisible; use a fresh sid"
-        )
-    return spec
+    return _guard_fold_sid(path, sid, on_tombstoned, rollup_spec, "build_rollup")
 
 
 def retract_rollup(
@@ -289,18 +278,17 @@ def validate_rollup(spark: SparkSession, path: str) -> DataFrame:
     zero) — retracting the wrong VALUES in the right quantity is
     invisible here, while validate_hist catches it per value, one
     more reason the histogram is the stronger correction substrate."""
-    recs = manifest.committed_slices(path)
-    if not recs:
-        raise ValueError(f"no committed rollup base at {path} — run build_rollup first")
-    spec = rollup_spec(path)
-    frames = [spark.read.parquet(_states_dir(path, r["sid"])) for r in recs]
-    states = frames[0]
-    for f in frames[1:]:
-        states = states.unionByName(f)
-    merged = _merge_states(states, spec, drop_zero=False)
+    spec = rollup_spec(path)  # raises when the rollup was never built
+    merged = _merge_states(_read_state_union(spark, path, None), spec, drop_zero=False)
     bad = F.col("n_rows") < 0
     for m in spec.measures:
         bad = bad | (F.col(f"{m}_cnt") < 0)
+        # a group with NO rows but leftover measure mass is provably
+        # inconsistent too (counts balanced, values not)
+        bad = bad | (
+            (F.col("n_rows") == 0)
+            & ((F.col(f"{m}_sum") != 0) | (F.col(f"{m}_cnt") != 0))
+        )
     return merged.filter(bad)
 
 
@@ -351,9 +339,16 @@ def compact_rollup(spark: SparkSession, path: str, gc: bool = True) -> int:
     if len(recs) <= 1:
         return 0
     payload = _spec_payload(path)
-    if payload is not None and payload.get("kind") == "hist":
+    kind = payload.get("kind") if payload is not None else None
+    if kind == "hist":
         hspec = HistSpec.from_payload(payload)
         spec, merge = hspec, (lambda s: _merge_hist(s, hspec))
+    elif kind == "sample":
+        # bottom-k re-selection IS the merge, so the compacted slice is
+        # the global sample — slice census returns to 1 and the
+        # n_slices*k read-side merge cost resets (round-13 review)
+        sspec = SampleSpec.from_payload(payload)
+        spec, merge = sspec, (lambda s: _merge_sample(s, sspec))
     else:
         rspec = rollup_spec(path)
         spec, merge = rspec, (lambda s: _merge_states(s, rspec))
@@ -493,7 +488,15 @@ def streaming_rollup_ingest(
     import hashlib
 
     tag = hashlib.md5(checkpoint_path.encode()).hexdigest()[:12]
-    rollup_spec(path)  # fails loudly if the rollup was never built
+    spec = rollup_spec(path)  # fails loudly if the rollup was never built
+    # refuse BEFORE any meta write: recording the checkpoint tag for a
+    # stream that then refuses to start would bind a never-fed rollup
+    # to the rejected checkpoint forever (review round-13 finding)
+    if op_col is not None and spec.extrema:
+        raise ValueError(
+            f"rollup at {path} maintains extrema — CDC mode (deletes) needs an "
+            "extrema-free spec or a histogram rollup"
+        )
     meta_path = os.path.join(path, "stream.json")
     rec = manifest.read_json_record(meta_path)
     if rec is not None and rec.get("ckpt_tag") != tag:
@@ -504,12 +507,6 @@ def streaming_rollup_ingest(
         )
     if rec is None:
         manifest.write_json_record(meta_path, {"ckpt_tag": tag}, root=path)
-
-    if op_col is not None and rollup_spec(path).extrema:
-        raise ValueError(
-            f"rollup at {path} maintains extrema — CDC mode (deletes) needs an "
-            "extrema-free spec or a histogram rollup"
-        )
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         # on_tombstoned="skip": batch-id-derived sids are replay-safe —
@@ -550,32 +547,8 @@ def read_rollup(
     for the summary kind (valid until vacuum_rollup deletes the
     pinned slices; compact_rollup ``gc=False`` is the retention
     window)."""
-    spec = rollup_spec(path)
-    if sids is None:
-        recs = manifest.committed_slices(path)
-        if not recs:
-            raise ValueError(
-                f"no committed rollup base at {path} — run build_rollup first"
-            )
-        dirs = [_states_dir(path, r["sid"]) for r in recs]
-    else:
-        if not sids:
-            raise ValueError("empty snapshot: pass sids from snapshot_slices")
-        dirs = []
-        for s in sids:
-            d = _states_dir(path, s)
-            if not os.path.isdir(d):
-                raise ValueError(
-                    f"snapshot slice {s!r} no longer exists at {path} — "
-                    "vacuumed after its compaction? Pinned reads need the "
-                    "retention window (compact_rollup gc=False) to outlive them"
-                )
-            dirs.append(d)
-    frames = [spark.read.parquet(d) for d in dirs]
-    states = frames[0]
-    for f in frames[1:]:
-        states = states.unionByName(f)
-    merged = _merge_states(states, spec)
+    spec = rollup_spec(path)  # raises when the rollup was never built
+    merged = _merge_states(_read_state_union(spark, path, sids), spec)
     if not finalize:
         return merged
     cols: list = [F.col(c) for c in spec.keys] + [F.col("n_rows")]
@@ -696,15 +669,17 @@ def hist_spec(path: str) -> HistSpec:
     raise ValueError(f"no committed histogram rollup at {path} — run build_hist_rollup")
 
 
-def _guard_hist_sid(path: str, sid: str, on_tombstoned: str) -> HistSpec | None:
-    """Shared fold-entry protocol: sid rules + tombstone behavior.
-    Returns the spec to fold under, or None when the fold must no-op
-    (tombstoned sid with on_tombstoned='skip')."""
+def _guard_fold_sid(path: str, sid: str, on_tombstoned: str, spec_reader, build_name: str):
+    """THE fold-entry protocol, kind-generic (round-13 review: one
+    copy, not one per kind): sid rules + tombstone behavior. Returns
+    the spec to fold under, or None when the fold must no-op
+    (tombstoned sid with on_tombstoned='skip'). Replays of a LIVE sid
+    remain allowed (idempotence)."""
     if sid == "base":
-        raise ValueError("sid 'base' is reserved for build_hist_rollup")
+        raise ValueError(f"sid 'base' is reserved for {build_name}")
     if on_tombstoned not in ("error", "skip"):
         raise ValueError(f"on_tombstoned must be 'error' or 'skip', got {on_tombstoned!r}")
-    spec = hist_spec(path)
+    spec = spec_reader(path)
     tombstoned = {
         s for r in manifest.committed_slices(path) for s in r.get("replaces", [])
     }
@@ -716,6 +691,42 @@ def _guard_hist_sid(path: str, sid: str, on_tombstoned: str) -> HistSpec | None:
             "it would be invisible; use a fresh sid"
         )
     return spec
+
+
+def _resolve_slice_dirs(path: str, sids: "tuple[str, ...] | None") -> list[str]:
+    """Slice dirs for a read: the live committed set, or an explicit
+    snapshot_slices pin (which bypasses the manifest — tombstoned
+    slices stay pinned-readable until vacuumed). One copy of the
+    retention-window error, shared by every kind's reader."""
+    if sids is None:
+        return [_states_dir(path, r["sid"]) for r in manifest.committed_slices(path)]
+    if not sids:
+        raise ValueError("empty snapshot: pass sids from snapshot_slices")
+    dirs = []
+    for s in sids:
+        d = _states_dir(path, s)
+        if not os.path.isdir(d):
+            raise ValueError(
+                f"snapshot slice {s!r} no longer exists at {path} — "
+                "vacuumed after its compaction? Pinned reads need the "
+                "retention window (compact_rollup gc=False) to outlive them"
+            )
+        dirs.append(d)
+    return dirs
+
+
+def _read_state_union(
+    spark: SparkSession, path: str, sids: "tuple[str, ...] | None"
+) -> DataFrame:
+    frames = [spark.read.parquet(d) for d in _resolve_slice_dirs(path, sids)]
+    states = frames[0]
+    for f in frames[1:]:
+        states = states.unionByName(f)
+    return states
+
+
+def _guard_hist_sid(path: str, sid: str, on_tombstoned: str) -> HistSpec | None:
+    return _guard_fold_sid(path, sid, on_tombstoned, hist_spec, "build_hist_rollup")
 
 
 def _commit_hist_slice(
@@ -830,14 +841,8 @@ def validate_hist(spark: SparkSession, path: str) -> DataFrame:
     A maintenance job runs this after a correction fold the same way
     it runs a row-count reconciliation; it is a full merge of the
     |grid×groups|-bounded state (never fact-sized), not a fact scan."""
-    recs = manifest.committed_slices(path)
-    if not recs:
-        raise ValueError(f"no committed histogram rollup at {path} — run build_hist_rollup")
-    spec = hist_spec(path)
-    frames = [spark.read.parquet(_states_dir(path, r["sid"])) for r in recs]
-    states = frames[0]
-    for f in frames[1:]:
-        states = states.unionByName(f)
+    spec = hist_spec(path)  # raises when the rollup was never built
+    states = _read_state_union(spark, path, None)
     return _merge_hist(states, spec, drop_zero=False).filter(F.col("cnt") < 0)
 
 
@@ -875,32 +880,8 @@ def read_hist(
     themselves survive (compact_rollup ``gc=False`` retains them;
     vacuum_rollup is the physical deletion, after which a pinned read
     fails loudly instead of serving a partial snapshot)."""
-    spec = hist_spec(path)
-    if sids is None:
-        recs = manifest.committed_slices(path)
-        if not recs:
-            raise ValueError(
-                f"no committed histogram rollup at {path} — run build_hist_rollup"
-            )
-        dirs = [_states_dir(path, r["sid"]) for r in recs]
-    else:
-        if not sids:
-            raise ValueError("empty snapshot: pass sids from hist_snapshot")
-        dirs = []
-        for s in sids:
-            d = _states_dir(path, s)
-            if not os.path.isdir(d):
-                raise ValueError(
-                    f"snapshot slice {s!r} no longer exists at {path} — "
-                    "vacuumed after its compaction? Pinned reads need the "
-                    "retention window (compact_rollup gc=False) to outlive them"
-                )
-            dirs.append(d)
-    frames = [spark.read.parquet(d) for d in dirs]
-    states = frames[0]
-    for f in frames[1:]:
-        states = states.unionByName(f)
-    return _merge_hist(states, spec)
+    spec = hist_spec(path)  # raises when the rollup was never built
+    return _merge_hist(_read_state_union(spark, path, sids), spec)
 
 
 def quantiles_from_hist(
@@ -1067,10 +1048,14 @@ def range_mass_from_hist(
     claim with an executed, oracle-checked reader): per group, the
     exact row count inside each half-open band [lo, hi) of QUANTIZED
     values, plus the group total. Band membership is decided on the
-    stored grid keys (BIGINT compares — no float boundary ambiguity;
-    a band over raw values quantizes its endpoints the same way the
-    fold quantized the data). ``bands`` maps output column name ->
-    (lo, hi) with either endpoint None for unbounded.
+    stored grid keys (BIGINT compares — no float boundary ambiguity).
+    ``bands`` maps output column name -> (lo, hi) with either endpoint
+    None for unbounded; endpoints are GRID KEYS (integers in the
+    quantized domain), not raw values — a non-integer endpoint is
+    rejected loudly rather than truncated (round-13 review: int()
+    would round toward zero, NOT the fold's half-up rule; quantize a
+    raw value yourself with floor(x*10^scale + 0.5) if you start from
+    the unquantized domain).
 
     Plan shape: one conditional-sum aggregate over histogram rows —
     |grid×groups|-bounded, never fact-sized, no window needed."""
@@ -1079,6 +1064,12 @@ def range_mass_from_hist(
     keys = [F.col(c) for c in spec.keys]
     aggs = [F.sum("cnt").cast("bigint").alias("n_rows")]
     for name, (lo, hi) in bands.items():
+        for end in (lo, hi):
+            if end is not None and int(end) != end:
+                raise ValueError(
+                    f"band {name!r} endpoint {end!r} is not a grid key — "
+                    f"quantize it first (floor(x*10^{spec.scale} + 0.5))"
+                )
         cond = F.lit(True)
         if lo is not None:
             cond = cond & (F.col("v") >= F.lit(int(lo)))
@@ -1216,9 +1207,18 @@ class SampleSpec:
 
 
 def _sample_rank_col(spec: SampleSpec):
-    return F.md5(
-        F.concat_ws("|", *[F.col(c).cast("string") for c in spec.id_cols])
-    ).alias("hk")
+    """Collision-safe row-identity rank: each id column is hashed to a
+    FIXED-WIDTH 32-hex block (NULL → the literal 'null', which cannot
+    collide with hex) before the outer md5 — a separator-joined concat
+    would let ('a|b', 'c') and ('a', 'b|c') or NULL-dropping collide,
+    silently breaking the merge law and the oracle replay (round-13
+    review finding). The same expression is replayable in ANSI SQL:
+    md5(coalesce(md5(CAST(c1 AS VARCHAR)),'null') || ...)."""
+    blocks = [
+        F.coalesce(F.md5(F.col(c).cast("string")), F.lit("null"))
+        for c in spec.id_cols
+    ]
+    return F.md5(F.concat(*blocks)).alias("hk")
 
 
 def sample_states(df: DataFrame, spec: SampleSpec) -> DataFrame:
@@ -1281,21 +1281,11 @@ def append_sample_rollup(
     """Fold one delta batch — the append_hist_rollup contract (sid
     rules, replay idempotence, tombstone behavior) for the sample
     kind."""
-    if sid == "base":
-        raise ValueError("sid 'base' is reserved for build_sample_rollup")
-    if on_tombstoned not in ("error", "skip"):
-        raise ValueError(f"on_tombstoned must be 'error' or 'skip', got {on_tombstoned!r}")
-    spec = sample_spec(path)
-    tombstoned = {
-        s for r in manifest.committed_slices(path) for s in r.get("replaces", [])
-    }
-    if sid in tombstoned:
-        if on_tombstoned == "skip":
-            return
-        raise ValueError(
-            f"slice id {sid!r} was compacted away at {path} — folding under "
-            "it would be invisible; use a fresh sid"
-        )
+    spec = _guard_fold_sid(
+        path, sid, on_tombstoned, sample_spec, "build_sample_rollup"
+    )
+    if spec is None:
+        return
     sample_states(delta, spec).write.mode("overwrite").parquet(_states_dir(path, sid))
     _fsync_states(path, sid)
     manifest.commit_slice(path, sid, {"spec": spec.to_payload()})
@@ -1306,28 +1296,8 @@ def read_sample(
 ) -> DataFrame:
     """The merged bottom-k sample (keys..., hk, v); ``sids`` pins a
     snapshot_slices pin exactly as read_hist/read_rollup do."""
-    spec = sample_spec(path)
-    if sids is None:
-        recs = manifest.committed_slices(path)
-        dirs = [_states_dir(path, r["sid"]) for r in recs]
-    else:
-        if not sids:
-            raise ValueError("empty snapshot: pass sids from snapshot_slices")
-        dirs = []
-        for s in sids:
-            d = _states_dir(path, s)
-            if not os.path.isdir(d):
-                raise ValueError(
-                    f"snapshot slice {s!r} no longer exists at {path} — "
-                    "vacuumed after its compaction? Pinned reads need the "
-                    "retention window (compact_rollup gc=False) to outlive them"
-                )
-            dirs.append(d)
-    frames = [spark.read.parquet(d) for d in dirs]
-    states = frames[0]
-    for f in frames[1:]:
-        states = states.unionByName(f)
-    return _merge_sample(states, spec)
+    spec = sample_spec(path)  # raises when the rollup was never built
+    return _merge_sample(_read_state_union(spark, path, sids), spec)
 
 
 def quantiles_from_sample(

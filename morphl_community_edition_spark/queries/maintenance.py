@@ -1310,8 +1310,8 @@ def _q178_oracle() -> str:
       SELECT l_suppkey, l_extendedprice AS v,
              row_number() OVER (
                PARTITION BY l_suppkey
-               ORDER BY md5(CAST(l_orderkey AS VARCHAR) || '|' ||
-                            CAST(l_linenumber AS VARCHAR))
+               ORDER BY md5(coalesce(md5(CAST(l_orderkey AS VARCHAR)), 'null') ||
+                            coalesce(md5(CAST(l_linenumber AS VARCHAR)), 'null'))
              ) AS rn
       FROM lineitem)
     SELECT l_suppkey,

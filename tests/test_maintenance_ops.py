@@ -918,3 +918,158 @@ def test_sample_rollup_small_groups_are_exact(spark, tmp_path):
     build_sample_rollup(df, SampleSpec(("g",), "x", ("rid",), k=64), path)
     r = quantiles_from_sample(spark, path, {"p50": (1, 2), "p100": (1, 1)}).collect()[0]
     assert (r["n_rows"], r["p50"], r["p100"]) == (5, 5.0, 9.0)
+
+
+def test_merge_drop_zero_preserves_overretraction_evidence(spark, tmp_path):
+    """Round-13 review #1: a group whose n_rows nets to 0 but still
+    carries nonzero measure mass (null-measure rows appended, valued
+    rows retracted) is a multiset violation — compaction must NOT
+    garbage-collect it, and validate_rollup must flag it before AND
+    after the compaction."""
+    from morphl_community_edition_spark.operators.incremental_agg import (
+        RollupSpec,
+        build_rollup,
+        compact_rollup,
+        read_rollup,
+        retract_rollup,
+        validate_rollup,
+    )
+
+    spec = RollupSpec(keys=("g",), measures={"x": 2}, extrema=())
+    path = str(tmp_path / "ev")
+    build_rollup(
+        spark.createDataFrame([(0, None), (0, None), (1, 5.0)], "g int, x double"),
+        spec,
+        path,
+    )
+    # retract 2 VALUED rows from group 0 (which only ever had nulls)
+    retract_rollup(
+        spark.createDataFrame([(0, 5.0), (0, 5.0)], "g int, x double"),
+        path,
+        sid="bad",
+    )
+    assert validate_rollup(spark, path).count() == 1  # x_cnt < 0 at g=0
+    assert compact_rollup(spark, path) == 2
+    bad = validate_rollup(spark, path).collect()  # evidence survived
+    assert [(r["g"], r["n_rows"], r["x_cnt"]) for r in bad] == [(0, 0, -2)]
+    # the corrupt group SURFACES in the serve (n_rows 0 with leftover
+    # mass is visible corruption, not silently hidden); only a healthy
+    # all-zero group vanishes
+    assert sorted(r["g"] for r in read_rollup(spark, path).collect()) == [0, 1]
+
+
+def test_compact_dispatches_sample_kind_and_rollup_spec_errors(spark, tmp_path):
+    """Round-13 review #3: the sample kind compacts (census -> 1,
+    merged sample unchanged) and rollup_spec on a sample path raises
+    the curated kind error, not a KeyError."""
+    from morphl_community_edition_spark.operators import manifest
+    from morphl_community_edition_spark.operators.incremental_agg import (
+        SampleSpec,
+        append_sample_rollup,
+        build_sample_rollup,
+        compact_rollup,
+        read_sample,
+        rollup_spec,
+    )
+
+    rows = [(i % 2, float(i), i) for i in range(500)]
+    mk = lambda lo, hi: spark.createDataFrame(rows[lo:hi], "g int, x double, rid bigint")
+    spec = SampleSpec(keys=("g",), value="x", id_cols=("rid",), k=32)
+    path = str(tmp_path / "sc")
+    build_sample_rollup(mk(0, 200), spec, path)
+    append_sample_rollup(mk(200, 500), path, sid="b1")
+    before = sorted(tuple(r) for r in read_sample(spark, path).collect())
+    with pytest.raises(ValueError, match="SAMPLE"):
+        rollup_spec(path)
+    assert compact_rollup(spark, path) == 2
+    assert len(manifest.committed_slices(path)) == 1
+    assert sorted(tuple(r) for r in read_sample(spark, path).collect()) == before
+
+
+def test_cdc_extrema_refusal_does_not_bind_checkpoint(spark, tmp_path):
+    """Round-13 review #2: a refused CDC start must leave NO
+    stream.json behind — the rollup stays startable with a correct
+    (non-CDC) invocation on a fresh checkpoint."""
+    import os
+
+    from morphl_community_edition_spark.operators.incremental_agg import (
+        RollupSpec,
+        build_rollup,
+        read_rollup,
+        streaming_rollup_ingest,
+    )
+
+    rows = [(i % 2, float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "g int, x double")
+    staged = str(tmp_path / "in")
+    df.withColumn("op", F.lit("I")).coalesce(1).write.parquet(staged)
+    path = str(tmp_path / "er")
+    build_rollup(df.limit(0), RollupSpec(keys=("g",), measures={}, extrema=("x",)), path)
+
+    def stream():
+        return (
+            spark.readStream.schema("g int, x double, op string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged)
+        )
+
+    with pytest.raises(ValueError, match="extrema"):
+        streaming_rollup_ingest(stream(), path, str(tmp_path / "ckptA"), op_col="op")
+    assert not os.path.exists(os.path.join(path, "stream.json"))
+    # correct restart on a DIFFERENT checkpoint succeeds (no stale tag)
+    plain = (
+        spark.readStream.schema("g int, x double, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .drop("op")
+    )
+    q = streaming_rollup_ingest(plain, path, str(tmp_path / "ckptB"))
+    q.awaitTermination(600)
+    assert q.exception() is None
+    assert read_rollup(spark, path).count() == 2
+
+
+def test_sample_identity_hash_is_collision_safe(spark, tmp_path):
+    """Round-13 review #4: separator-bearing strings and NULLs in the
+    id columns must produce DISTINCT ranks — ('a|b','c') vs
+    ('a','b|c') and (NULL,'x') vs ('x',NULL) all stay distinct rows
+    of the sample."""
+    from morphl_community_edition_spark.operators.incremental_agg import (
+        SampleSpec,
+        build_sample_rollup,
+        read_sample,
+    )
+
+    rows = [
+        (0, 1.0, "a|b", "c"),
+        (0, 2.0, "a", "b|c"),
+        (0, 3.0, None, "x"),
+        (0, 4.0, "x", None),
+    ]
+    df = spark.createDataFrame(rows, "g int, v double, a string, b string")
+    path = str(tmp_path / "coll")
+    build_sample_rollup(
+        df, SampleSpec(keys=("g",), value="v", id_cols=("a", "b"), k=64), path
+    )
+    sample = read_sample(spark, path).collect()
+    assert len(sample) == 4
+    assert len({r["hk"] for r in sample}) == 4
+
+
+def test_range_mass_rejects_non_grid_endpoints(spark, tmp_path):
+    """Round-13 review #5: a non-integer band endpoint (a raw value
+    the caller forgot to quantize) is rejected loudly instead of
+    silently truncated toward zero."""
+    from morphl_community_edition_spark.operators.incremental_agg import (
+        HistSpec,
+        build_hist_rollup,
+        range_mass_from_hist,
+    )
+
+    df = spark.createDataFrame([(0, 199.7), (0, 210.0)], "g int, x double")
+    path = str(tmp_path / "rm")
+    build_hist_rollup(df, HistSpec(keys=("g",), value="x", scale=-2), path)
+    with pytest.raises(ValueError, match="not a grid key"):
+        range_mass_from_hist(spark, path, {"cheap": (None, 199.7)}).collect()
+    ok = range_mass_from_hist(spark, path, {"cheap": (None, 2)}).collect()[0]
+    assert (ok["n_rows"], ok["cheap"]) == (2, 0)  # both quantize to grid key 2
