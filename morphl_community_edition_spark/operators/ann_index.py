@@ -122,6 +122,14 @@ def ann_index_topk(
     """Serve a probe batch from the persisted index: same output
     contract as ivf_quantized_topk — (q_vec, n_vec, sim, rnk)."""
     manifest.require_commit(path, "ANN index")
+    # pin the probe batch once (round 13, guide §7.2): it is
+    # referenced by the router, the int8 quantizer and the float
+    # re-rank branch, and as a lazy plan each reference re-scanned the
+    # probe SOURCE — q157's serve plan carried 10 scans of
+    # embeddings.parquet, all probe re-derivations. A probe batch is
+    # small by contract, so one RDD materialization serves all
+    # branches.
+    queries = queries.localCheckpoint(eager=False)
     vectors = spark.read.parquet(os.path.join(path, "vectors"))
     centroid_df = spark.read.parquet(os.path.join(path, "centroids"))
     probe_cells = route_probes_to_cells(

@@ -718,7 +718,22 @@ def _resolve_slice_dirs(path: str, sids: "tuple[str, ...] | None") -> list[str]:
 def _read_state_union(
     spark: SparkSession, path: str, sids: "tuple[str, ...] | None"
 ) -> DataFrame:
-    frames = [spark.read.parquet(d) for d in _resolve_slice_dirs(path, sids)]
+    """One multi-path scan over all live slice dirs (round 13, guide
+    §6): every slice is written by the same spec-guarded state
+    builder, so schemas are identical by construction and a single
+    ``read.parquet(*dirs)`` replaces N separate scans + an N-deep
+    union — one file index, one scan node, and the downstream merge
+    agg coalesces instead of unioning. Falls back to per-slice reads
+    + unionByName if the combined read ever refuses (it would refuse
+    loudly, not misalign: slice schemas only come from this module's
+    writers)."""
+    dirs = _resolve_slice_dirs(path, sids)
+    if len(dirs) > 1:
+        try:
+            return spark.read.parquet(*dirs)
+        except Exception:
+            pass
+    frames = [spark.read.parquet(d) for d in dirs]
     states = frames[0]
     for f in frames[1:]:
         states = states.unionByName(f)
@@ -940,7 +955,13 @@ def quantiles_from_hist_frame(
 
     keys = [F.col(c) for c in key_names]
     w = Window.partitionBy(*keys).orderBy("v")
-    tot = Window.partitionBy(*keys)
+    # group total as a FULL-frame window over the SAME (partition,
+    # order) spec as the cumulative sum (round 13): Spark merges
+    # window expressions that share partitioning+ordering into one
+    # WindowExec, so this costs zero extra passes; the old unordered
+    # Window.partitionBy(*keys) spec planned a second WindowExec over
+    # the same exchange. Full-frame sum == group total, exactly.
+    tot = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     cum = hist.select(
         *keys,
         "v",

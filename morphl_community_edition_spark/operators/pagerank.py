@@ -79,16 +79,25 @@ def pagerank_step(ed: DataFrame, ranks: DataFrame, nn: DataFrame) -> DataFrame:
     (tests/test_plans.py) can assert the iteration shape directly:
     the persisted src-partitioned edge side joins exchange-free, the
     contribution agg keeps map-side combine, and no FileScan (corpus
-    re-read) appears anywhere in the loop body."""
-    s = (
-        ed.join(ranks, ed["src"] == ranks["node"])
-        .select(F.col("dst"), F.expr("CAST(r DIV outdeg AS BIGINT)").alias("c"))
+    re-read) appears anywhere in the loop body.
+
+    Round 13 (guide §2.4 — remove shuffles outright): nodes that
+    receive no contribution used to be re-attached by a node-keyed
+    LEFT JOIN after the sum (one more exchange + two sorts per
+    iteration). Instead every node now contributes an explicit 0 row
+    into the SAME dst-keyed aggregation (the LPA self-vote device):
+    sum(+0) is exact in BIGINT, every node appears exactly once, and
+    _damped_update's coalesce sees 0 instead of NULL — identical
+    ranks, one aggregation and zero joins of node frames per
+    iteration."""
+    contrib = ed.join(ranks, ed["src"] == ranks["node"]).select(
+        F.col("dst"), F.expr("CAST(r DIV outdeg AS BIGINT)").alias("c")
+    )
+    zero = ranks.select(F.col("node").alias("dst"), F.lit(0).cast("bigint").alias("c"))
+    return (
+        contrib.unionAll(zero)
         .groupBy(F.col("dst").alias("node"))
         .agg(F.sum("c").cast("bigint").alias("s"))
-    )
-    return (
-        ranks.select("node")
-        .join(s, "node", "left")
         .crossJoin(nn)
         .select("node", _damped_update().alias("r"))
     )

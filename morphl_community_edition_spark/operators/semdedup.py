@@ -113,20 +113,28 @@ def assign_cells(
         F.col(id_col).alias("n_vec"),
         F.col(vec_col).cast("array<double>").alias("n_emb"),
     )
-    qz = quantize_embeddings_int8(base, "n_emb", out_q="__q", out_scale="__s")
-    coded = qz.select(
-        "n_vec",
-        "n_emb",
-        F.col("__q").cast("array<double>").alias("code"),
-    ).withColumn("n2", dot(F.col("code"), F.col("code")))
+
+    def _code(df: DataFrame) -> DataFrame:
+        qz = quantize_embeddings_int8(df, "n_emb", out_q="__q", out_scale="__s")
+        return qz.withColumn(
+            "code", F.col("__q").cast("array<double>")
+        ).withColumn("n2", dot(F.col("code"), F.col("code")))
+
     if n_cells <= 1:
-        return coded.select("n_vec", "code", "n2", F.lit(0).alias("cell"))
+        return _code(base).select("n_vec", "code", "n2", F.lit(0).alias("cell"))
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feat = coded.withColumn("features", array_to_vector(F.col("n_emb")))
+    # Round 13 (guide §1.2 per-task work): the fit consumes ONLY
+    # ``features``, but the old lineage computed the int8 code + norm²
+    # below it, so the ML-internal input cache materialized (and held)
+    # the quantization for all fit iterations. Cluster first on the
+    # raw vectors, quantize ONCE on the transformed output — same
+    # rows, order and features reach the seeded fit, so the model and
+    # every cell id are unchanged.
+    feat = base.withColumn("features", array_to_vector(F.col("n_emb")))
     km = KMeans(k=n_cells, seed=42, featuresCol="features", predictionCol="cell").fit(feat)
-    return km.transform(feat).select("n_vec", "code", "n2", "cell")
+    return _code(km.transform(feat)).select("n_vec", "code", "n2", "cell")
 
 
 def _quantized_sims(dot_int, na2, nb2):

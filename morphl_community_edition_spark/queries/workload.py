@@ -535,13 +535,27 @@ def trade_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # Round 13 (guide §2.3/§7.2): distinct on the raw BIGINT key pair,
+    # concat to the 'c…'/'s…' node names only on the distinct result —
+    # the corpus-scale exchange carries 16 B of ints per row instead
+    # of two small strings, and the agg compares ints. Then
+    # localCheckpoint the distinct pair set ONCE: symmetrize_edges
+    # references it twice (forward + reversed), and the pagerank/LPA
+    # setups reference the symmetrized frame from both their degree
+    # agg and their edge-frame lineage — lazily that re-ran the
+    # orders⋈lineitem join + distinct up to 4× per query (measured in
+    # the round-13 plan capture; only some copies got ReusedExchange).
+    # Same pair set, same downstream results; eager so the plan gates
+    # inspect the served iteration shape.
     pairs = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
             F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
         )
-        .distinct()
+        .localCheckpoint(eager=True)
     )
     return symmetrize_edges(pairs)
 
