@@ -231,6 +231,29 @@ def _guard_rollup_sid(path: str, sid: str, on_tombstoned: str) -> "RollupSpec | 
     return _guard_fold_sid(path, sid, on_tombstoned, rollup_spec, "build_rollup")
 
 
+def fold_concurrently(*folds) -> None:
+    """Run INDEPENDENT delta folds as overlapping Spark jobs (round
+    13, guide §2.6 — overlap independent jobs): Spark happily runs
+    several jobs at once inside one application; folds are only
+    sequential when the driver calls them sequentially. Two folds
+    with distinct sids touch disjoint slice dirs and distinct
+    manifest files (committed by per-sid atomic rename), so their
+    only shared resource is executor capacity — the second fold's
+    scan tasks back-fill the first fold's stage tails instead of
+    idling the cluster between folds. FIFO scheduling (the default)
+    gives exactly the back-fill behavior. Each argument is a no-arg
+    callable performing one fold; exceptions propagate after all
+    submitted folds settle. NOT for folds with ordering dependencies
+    (build-then-append: the append's spec guard needs the build's
+    manifest commit)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(folds)) as pool:
+        futures = [pool.submit(f) for f in folds]
+        for fut in futures:
+            fut.result()
+
+
 def retract_rollup(
     delta: DataFrame, path: str, sid: str, on_tombstoned: str = "error"
 ) -> None:

@@ -149,9 +149,21 @@ def bm25_topk_inline(
     reference the persisted serve path is equality-tested against on
     ARBITRARY term sets, and the implementation q141 itself runs.
     Scoring chain documented at q141 (queries/llm.py); moved here
-    verbatim in round 8 so live and persisted paths share one home."""
+    verbatim in round 8 so live and persisted paths share one home.
+
+    Round 13 (guide §7.2 duplicated subtrees, §8 lightweight proxy):
+    ``dl`` and ``tfq`` are each referenced twice downstream (st agg +
+    length join; df derivation + contribution join), so the un-pinned
+    plan re-derived each corpus-scan subtree — 4-5 scans of the raw
+    text per query. Both are pinned with an eager localCheckpoint:
+    dl is the 16-byte-per-doc length proxy (never the text), tfq is
+    |hits|-sized after the term filter. Interleaved A/B at sf0.1:
+    2.70 → 2.01 s best-of-4 (−26%), results identical (q141/q155/
+    q156 oracle hash-green after)."""
     ws = F.split(F.col("text"), " ")
-    dl = docs.select("doc_id", F.size(ws).cast("bigint").alias("dl"))
+    dl = docs.select(
+        "doc_id", F.size(ws).cast("bigint").alias("dl")
+    ).localCheckpoint()
     st = dl.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("sumdl"),
@@ -161,6 +173,7 @@ def bm25_topk_inline(
         .filter(F.col("term").isin(*terms))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint()
     )
     return _bm25_score(tfq, dl, st, k=k, k1=k1, b=b)
 

@@ -79,6 +79,7 @@ def q159_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         RollupSpec,
         append_rollup,
         build_rollup,
+        fold_concurrently,
         read_rollup,
     )
 
@@ -91,8 +92,13 @@ def q159_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = _per_app_path(spark, sf_dir, "morphl_rollup")
     build_rollup(li.filter(hex1 < "e"), spec, path)
-    append_rollup(li.filter(hex1 == "e"), path, sid="batch-e")
-    append_rollup(li.filter(hex1 == "f"), path, sid="batch-f")
+    # the two delta folds are independent (distinct sids, disjoint
+    # slice dirs) — overlap them so the second fold's scan back-fills
+    # the first's stage tail (guide §2.6; round 13)
+    fold_concurrently(
+        lambda: append_rollup(li.filter(hex1 == "e"), path, sid="batch-e"),
+        lambda: append_rollup(li.filter(hex1 == "f"), path, sid="batch-f"),
+    )
     served = read_rollup(spark, path)
     return served.select(
         "l_suppkey",
@@ -351,6 +357,7 @@ def q165_compacted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_rollup,
         build_rollup,
         compact_rollup,
+        fold_concurrently,
         read_rollup,
     )
 
@@ -363,8 +370,12 @@ def q165_compacted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = _per_app_path(spark, sf_dir, "morphl_rollup_compact")
     build_rollup(li.filter(hex1 < "d"), spec, path)
-    append_rollup(li.filter(hex1 == "d"), path, sid="batch-d")
-    append_rollup(li.filter(hex1 == "e"), path, sid="batch-e")
+    # independent delta folds overlapped (guide §2.6; round 13); the
+    # compaction waits for both commits
+    fold_concurrently(
+        lambda: append_rollup(li.filter(hex1 == "d"), path, sid="batch-d"),
+        lambda: append_rollup(li.filter(hex1 == "e"), path, sid="batch-e"),
+    )
     compact_rollup(spark, path)
     append_rollup(li.filter(hex1 == "f"), path, sid="batch-f")
     served = read_rollup(spark, path)
@@ -606,6 +617,7 @@ def q168_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         HistSpec,
         append_hist_rollup,
         build_hist_rollup,
+        fold_concurrently,
         quantiles_from_hist,
     )
 
@@ -614,8 +626,11 @@ def q168_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = HistSpec(keys=("l_suppkey",), value="l_extendedprice", scale=_Q168_SCALE)
     path = _per_app_path(spark, sf_dir, "morphl_hist_rollup")
     build_hist_rollup(li.filter(hex1 < "e"), spec, path)
-    append_hist_rollup(li.filter(hex1 == "e"), path, sid="batch-e")
-    append_hist_rollup(li.filter(hex1 == "f"), path, sid="batch-f")
+    # independent delta folds overlapped (guide §2.6; round 13)
+    fold_concurrently(
+        lambda: append_hist_rollup(li.filter(hex1 == "e"), path, sid="batch-e"),
+        lambda: append_hist_rollup(li.filter(hex1 == "f"), path, sid="batch-f"),
+    )
     return quantiles_from_hist(spark, path, _Q168_PCTS).orderBy("l_suppkey")
 
 
@@ -659,6 +674,7 @@ def q169_hist_topk_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         HistSpec,
         append_hist_rollup,
         build_hist_rollup,
+        fold_concurrently,
         topk_values_from_hist,
     )
 
@@ -668,8 +684,10 @@ def q169_hist_topk_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _per_app_path(spark, sf_dir, "morphl_hist_rollup")
     if not _os.path.isdir(path):
         build_hist_rollup(li.filter(hex1 < "e"), spec, path)
-        append_hist_rollup(li.filter(hex1 == "e"), path, sid="batch-e")
-        append_hist_rollup(li.filter(hex1 == "f"), path, sid="batch-f")
+        fold_concurrently(
+            lambda: append_hist_rollup(li.filter(hex1 == "e"), path, sid="batch-e"),
+            lambda: append_hist_rollup(li.filter(hex1 == "f"), path, sid="batch-f"),
+        )
     return topk_values_from_hist(spark, path, _Q169_K).orderBy("l_suppkey", "rk")
 
 
@@ -712,6 +730,7 @@ def q170_rollup_view_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         RollupSpec,
         append_rollup,
         build_rollup,
+        fold_concurrently,
         read_rollup,
         rollup_spec,
         rollup_view_match_frame,
@@ -732,8 +751,11 @@ def q170_rollup_view_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _per_app_path(spark, sf_dir, "morphl_vm_rollup")
     if not _os.path.isdir(path):
         build_rollup(li.filter(hex1 < "e"), spec, path)
-        append_rollup(li.filter(hex1 == "e"), path, sid="batch-e")
-        append_rollup(li.filter(hex1 == "f"), path, sid="batch-f")
+        # independent delta folds overlapped (guide §2.6; round 13)
+        fold_concurrently(
+            lambda: append_rollup(li.filter(hex1 == "e"), path, sid="batch-e"),
+            lambda: append_rollup(li.filter(hex1 == "f"), path, sid="batch-f"),
+        )
     states = read_rollup(spark, path, finalize=False)
     supp = load_table(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
@@ -798,6 +820,7 @@ def q171_rollup_grain_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
         RollupSpec,
         append_rollup,
         build_rollup,
+        fold_concurrently,
         rollup_view_match,
     )
 
@@ -813,8 +836,11 @@ def q171_rollup_grain_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _per_app_path(spark, sf_dir, "morphl_grain_rollup")
     if not _os.path.isdir(path):
         build_rollup(li.filter(hex1 < "e"), spec, path)
-        append_rollup(li.filter(hex1 == "e"), path, sid="batch-e")
-        append_rollup(li.filter(hex1 == "f"), path, sid="batch-f")
+        # independent delta folds overlapped (guide §2.6; round 13)
+        fold_concurrently(
+            lambda: append_rollup(li.filter(hex1 == "e"), path, sid="batch-e"),
+            lambda: append_rollup(li.filter(hex1 == "f"), path, sid="batch-f"),
+        )
     out = rollup_view_match(
         spark,
         path,
@@ -874,6 +900,7 @@ def q172_rollup_lattice_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         RollupSpec,
         append_rollup,
         build_rollup,
+        fold_concurrently,
         read_rollup,
         rollup_spec,
         rollup_view_match_frame,
@@ -896,8 +923,11 @@ def q172_rollup_lattice_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _per_app_path(spark, sf_dir, "morphl_grain_rollup")  # shared with q171
     if not _os.path.isdir(path):
         build_rollup(li.filter(hex1 < "e"), spec, path)
-        append_rollup(li.filter(hex1 == "e"), path, sid="batch-e")
-        append_rollup(li.filter(hex1 == "f"), path, sid="batch-f")
+        # independent delta folds overlapped (guide §2.6; round 13)
+        fold_concurrently(
+            lambda: append_rollup(li.filter(hex1 == "e"), path, sid="batch-e"),
+            lambda: append_rollup(li.filter(hex1 == "f"), path, sid="batch-f"),
+        )
     states = read_rollup(spark, path, finalize=False)
     supp = load_table(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
@@ -975,6 +1005,7 @@ def q173_hist_view_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         HistSpec,
         append_hist_rollup,
         build_hist_rollup,
+        fold_concurrently,
         hist_view_match,
         quantiles_from_hist_frame,
         read_hist,
@@ -991,8 +1022,10 @@ def q173_hist_view_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _per_app_path(spark, sf_dir, "morphl_hist_rollup")  # shared with q168/q169
     if not _os.path.isdir(path):
         build_hist_rollup(li.filter(hex1 < "e"), spec, path)
-        append_hist_rollup(li.filter(hex1 == "e"), path, sid="batch-e")
-        append_hist_rollup(li.filter(hex1 == "f"), path, sid="batch-f")
+        fold_concurrently(
+            lambda: append_hist_rollup(li.filter(hex1 == "e"), path, sid="batch-e"),
+            lambda: append_hist_rollup(li.filter(hex1 == "f"), path, sid="batch-f"),
+        )
     states = read_hist(spark, path)
     supp = load_table(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
@@ -1063,6 +1096,7 @@ def q174_hist_range_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         HistSpec,
         append_hist_rollup,
         build_hist_rollup,
+        fold_concurrently,
         range_mass_from_hist,
     )
 
@@ -1072,8 +1106,10 @@ def q174_hist_range_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _per_app_path(spark, sf_dir, "morphl_hist_rollup")  # shared with q168/q169/q173
     if not _os.path.isdir(path):
         build_hist_rollup(li.filter(hex1 < "e"), spec, path)
-        append_hist_rollup(li.filter(hex1 == "e"), path, sid="batch-e")
-        append_hist_rollup(li.filter(hex1 == "f"), path, sid="batch-f")
+        fold_concurrently(
+            lambda: append_hist_rollup(li.filter(hex1 == "e"), path, sid="batch-e"),
+            lambda: append_hist_rollup(li.filter(hex1 == "f"), path, sid="batch-f"),
+        )
     return range_mass_from_hist(spark, path, _Q174_BANDS).orderBy("l_suppkey")
 
 
@@ -1124,6 +1160,7 @@ def q175_hist_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         HistSpec,
         append_hist_rollup,
         build_hist_rollup,
+        fold_concurrently,
         compact_rollup,
         quantiles_from_hist,
         retract_hist_rollup,
@@ -1135,8 +1172,13 @@ def q175_hist_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = HistSpec(keys=("l_suppkey",), value="l_extendedprice", scale=_Q168_SCALE)
     path = _per_app_path(spark, sf_dir, "morphl_hist_retract")
     build_hist_rollup(li.filter(hex1 < "e"), spec, path)
-    append_hist_rollup(li.filter(hex1 == "e"), path, sid="batch-e")
-    append_hist_rollup(li.filter(hex1 == "f"), path, sid="batch-f")
+    # independent delta folds overlapped (guide §2.6; round 13); the
+    # retraction waits for both — fold_concurrently returns only after
+    # both sids' manifests are committed
+    fold_concurrently(
+        lambda: append_hist_rollup(li.filter(hex1 == "e"), path, sid="batch-e"),
+        lambda: append_hist_rollup(li.filter(hex1 == "f"), path, sid="batch-f"),
+    )
     retract_hist_rollup(li.filter(hex2 == "0"), path, sid="correction-0")
     compact_rollup(spark, path)
     return quantiles_from_hist(spark, path, _Q168_PCTS).orderBy("l_suppkey")
@@ -1204,6 +1246,7 @@ def q176_hist_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         HistSpec,
         append_hist_rollup,
         build_hist_rollup,
+        fold_concurrently,
         compact_rollup,
         hist_snapshot,
         quantiles_from_hist,
@@ -1216,8 +1259,12 @@ def q176_hist_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = HistSpec(keys=("l_suppkey",), value="l_extendedprice", scale=_Q168_SCALE)
     path = _per_app_path(spark, sf_dir, "morphl_hist_timetravel")
     build_hist_rollup(li.filter(hex1 < "e"), spec, path)
-    append_hist_rollup(li.filter(hex1 == "e"), path, sid="batch-e")
-    append_hist_rollup(li.filter(hex1 == "f"), path, sid="batch-f")
+    # independent delta folds overlapped (guide §2.6; round 13); the
+    # snapshot pin waits for both commits
+    fold_concurrently(
+        lambda: append_hist_rollup(li.filter(hex1 == "e"), path, sid="batch-e"),
+        lambda: append_hist_rollup(li.filter(hex1 == "f"), path, sid="batch-f"),
+    )
     snap = hist_snapshot(path)  # pin BEFORE the correction lands
     retract_hist_rollup(li.filter(hex2 == "0"), path, sid="correction-0")
     compact_rollup(spark, path, gc=False)  # retain the pinned slices
@@ -1267,6 +1314,7 @@ def q177_rollup_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_rollup,
         build_rollup,
         compact_rollup,
+        fold_concurrently,
         read_rollup,
         retract_rollup,
     )
@@ -1281,8 +1329,12 @@ def q177_rollup_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = _per_app_path(spark, sf_dir, "morphl_rollup_retract")
     build_rollup(li.filter(hex1 < "e"), spec, path)
-    append_rollup(li.filter(hex1 == "e"), path, sid="batch-e")
-    append_rollup(li.filter(hex1 == "f"), path, sid="batch-f")
+    # independent delta folds overlapped (guide §2.6; round 13); the
+    # retraction waits for both commits
+    fold_concurrently(
+        lambda: append_rollup(li.filter(hex1 == "e"), path, sid="batch-e"),
+        lambda: append_rollup(li.filter(hex1 == "f"), path, sid="batch-f"),
+    )
     retract_rollup(li.filter(hex2 == "0"), path, sid="correction-0")
     compact_rollup(spark, path)
     served = read_rollup(spark, path)

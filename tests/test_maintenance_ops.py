@@ -89,6 +89,51 @@ def test_rollup_uncommitted_fold_is_invisible_and_replay_idempotent(spark, tmp_p
     assert _served(spark, path) == _oracle(spark, 0, 1000)
 
 
+def test_rollup_concurrent_folds_equal_sequential(spark, tmp_path):
+    """Round-13 optimization: independent delta folds overlapped via
+    fold_concurrently (guide §2.6) must serve byte-identical states to
+    the sequential order — distinct sids write disjoint slice dirs and
+    commit per-sid manifests, and the merge is a commutative monoid,
+    so completion order cannot matter."""
+    from morphl_community_edition_spark.operators.incremental_agg import (
+        fold_concurrently,
+    )
+
+    seq = str(tmp_path / "ru_seq")
+    build_rollup(_facts(spark, 0, 500), _SPEC, seq)
+    append_rollup(_facts(spark, 500, 800), seq, sid="b1")
+    append_rollup(_facts(spark, 800, 1000), seq, sid="b2")
+
+    par = str(tmp_path / "ru_par")
+    build_rollup(_facts(spark, 0, 500), _SPEC, par)
+    fold_concurrently(
+        lambda: append_rollup(_facts(spark, 500, 800), par, sid="b1"),
+        lambda: append_rollup(_facts(spark, 800, 1000), par, sid="b2"),
+    )
+    assert _served(spark, par) == _served(spark, seq) == _oracle(spark, 0, 1000)
+
+
+def test_fold_concurrently_propagates_exceptions(spark, tmp_path):
+    """A failing fold must raise after all submitted folds settle, and
+    the successful sibling's commit must still be visible."""
+    from morphl_community_edition_spark.operators.incremental_agg import (
+        fold_concurrently,
+    )
+
+    path = str(tmp_path / "ru_err")
+    build_rollup(_facts(spark, 0, 500), _SPEC, path)
+
+    def boom():
+        raise RuntimeError("fold failed")
+
+    with pytest.raises(RuntimeError, match="fold failed"):
+        fold_concurrently(
+            lambda: append_rollup(_facts(spark, 500, 1000), path, sid="ok"),
+            boom,
+        )
+    assert _served(spark, path) == _oracle(spark, 0, 1000)
+
+
 def test_rollup_guards(spark, tmp_path):
     path = str(tmp_path / "ru")
     with pytest.raises(ValueError, match="no committed rollup base"):
