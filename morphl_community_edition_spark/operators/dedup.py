@@ -774,8 +774,19 @@ def simhash_hamming_pairs(
     volume is sum-of-C(bucket,2), bounded by block width (production
     indexes widen blocks / add permuted tables to keep buckets small).
     Candidates are distinct-ed on the pair key before the bit_count
-    filter, all JVM-side codegen."""
+    filter, all JVM-side codegen.
+
+    Round 13 (guide §7.2 duplicated subtrees, §8 lightweight proxy):
+    the band self-join references ``bands`` — and therefore the whole
+    signature lineage (word explode × ``bits`` bit-votes × two aggs
+    when fed from simhash_signatures) — on BOTH sides; the q121
+    before-plan carried 4 scans of the corpus. The signature frame is
+    the 16-byte-per-doc proxy, so it is pinned once with an eager
+    localCheckpoint and both join sides read the pin. Interleaved A/B
+    (tools/ab_simhash.py, sf0.1): best 1.171 → 1.077 s, B under A in
+    all 4 rounds; results identical in-run."""
     assert max_hamming < n_bands, "pigeonhole guarantee needs max_hamming < n_bands"
+    sig = sig.localCheckpoint()
     width = bits // n_bands
     mask = (1 << width) - 1
     bands = sig.select(

@@ -126,6 +126,13 @@ def bm25_topk(
         # literal partition filter — STATIC pruning, plan-gated
         .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(*terms))
         .select("doc_id", "term", "tf")
+        # NOT pinned (round 13): _bm25_score references tfq twice →
+        # 2 pruned postings scans, and tools/ab_bm25_serve.py measured
+        # a pin at −16% locally — but a localCheckpoint would hide the
+        # term_bucket static PartitionFilter behind a checkpoint RDD,
+        # erasing the plan-gated serving contract (test_plans
+        # q151/hybrid gates). Pruning evidence > the duplicated small
+        # read; see OPTIMIZATION_r13.md.
     )
     dl = spark.read.parquet(os.path.join(path, "doc_stats"))
     # corpus stats re-enter as a 1-row frame of the stored BIGINTs, so
