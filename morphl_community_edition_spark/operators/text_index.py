@@ -159,18 +159,19 @@ def bm25_topk_inline(
     verbatim in round 8 so live and persisted paths share one home.
 
     Round 13 (guide §7.2 duplicated subtrees, §8 lightweight proxy):
-    ``dl`` and ``tfq`` are each referenced twice downstream (st agg +
-    length join; df derivation + contribution join), so the un-pinned
-    plan re-derived each corpus-scan subtree — 4-5 scans of the raw
-    text per query. Both are pinned with an eager localCheckpoint:
-    dl is the 16-byte-per-doc length proxy (never the text), tfq is
-    |hits|-sized after the term filter. Interleaved A/B at sf0.1:
-    2.70 → 2.01 s best-of-4 (−26%), results identical (q141/q155/
-    q156 oracle hash-green after)."""
+    ``tfq`` is referenced twice downstream (df derivation +
+    contribution join), so the un-pinned plan re-derived the
+    explode/filter/agg corpus subtree twice; it is pinned with an
+    eager localCheckpoint — |hits|-sized after the term filter.
+    ``dl`` is also referenced twice (st agg + length join) but is NOT
+    pinned: the three-variant interleaved A/B (tools/ab_bm25.py)
+    ordered pin-tfq-only < pin-both < unpinned in every round (best
+    1.30 / 1.97 / 2.64 s) — materializing per-doc lengths costs a
+    full corpus job while recomputing them shares the scan AQE
+    already reuses. Results identical in-run; q141/q151/q155/q157
+    oracle hash-green after."""
     ws = F.split(F.col("text"), " ")
-    dl = docs.select(
-        "doc_id", F.size(ws).cast("bigint").alias("dl")
-    ).localCheckpoint()
+    dl = docs.select("doc_id", F.size(ws).cast("bigint").alias("dl"))
     st = dl.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("sumdl"),
