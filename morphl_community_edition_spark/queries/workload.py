@@ -10,7 +10,7 @@ counts, days-since-last-activity, and a threshold churn label.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from morphl_community_edition_spark.catalog import load_table
@@ -525,35 +525,105 @@ def q142_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PR_ITERS = 4
 
+# ---------------------------------------------------------------------------
+# Round 14 (verdict r13 #1, guide §2.3 — narrower shuffle types): the
+# LPA/PageRank iteration shuffles used to carry 'c<custkey>'/
+# 's<suppkey>' STRING node ids — every per-iteration join and agg
+# hashed and compared variable-length strings (UnsafeRow: 8 B
+# offset+len word + padded bytes, vs 8 B flat for a long). The ids
+# are now dictionary-encoded into ONE BIGINT per node by a pure
+# projection (no sort job, no mapping table), iterated on as ints,
+# and decoded analytically on the node-sized results.
+#
+# The encoding must preserve the names' ASCII order exactly: LPA's
+# min(struct(-cnt, label)) tie-break and both queries' final ORDER BY
+# are over the names. 'c…' < 's…' always, and within a tag the names
+# compare as decimal digit strings (no leading zeros) under
+# lexicographic order, which maps monotonically to a fractional
+# base-11 code — Horner over the digits with each digit d mapped to
+# d+1, right-padded with 0 (the pad loses to every real digit, which
+# is exactly the "prefix sorts first" rule):
+#
+#     enc(tag, key) = tag·11¹⁷ + Σ (dᵢ+1)·11^(17-i)      tag: c=0, s=1
+#
+# 17 digit positions cover keys < 10¹⁷ (validated with a loud
+# raise_error; TPC-H custkey at sf100k is 1.5·10¹⁰) and the max code
+# 2·11¹⁷−1 ≈ 1.01·10¹⁸ sits far inside BIGINT. Strict monotonicity ⇒
+# injective ⇒ the decoded results are identical tuple-for-tuple
+# (tests/test_node_encoding.py pins the property; the DuckDB oracles
+# replay the STRING iterations unchanged and both queries stay
+# hash-green, which is the end-to-end proof of order preservation).
+# ---------------------------------------------------------------------------
+
+NODE_ENC_OFFSET = 11**17  # the 's' block starts above every 'c' code
+# element_at is 1-based: _NODE_ENC_MULTS[n] = 11^(17-n), the right-pad
+# multiplier for an n-digit key
+_NODE_ENC_MULTS = "array({})".format(
+    ",".join(f"{11 ** (17 - n)}L" for n in range(1, 18))
+)
+
+
+def node_enc(tag: int, key: str) -> Column:
+    """Order-preserving BIGINT code of the node name
+    concat('c' if tag==0 else 's', key) — see the block comment."""
+    return F.expr(
+        f"CASE WHEN {key} >= 0 AND {key} < 100000000000000000 THEN "
+        f"{tag}L * {NODE_ENC_OFFSET}L + aggregate("
+        f"  transform(split(CAST({key} AS STRING), ''),"
+        f"            c -> CAST(ascii(c) - 47 AS BIGINT)),"
+        f"  struct(CAST(0 AS BIGINT) AS a, 0 AS n),"
+        f"  (s, d) -> struct(s.a * 11 + d AS a, s.n + 1 AS n),"
+        f"  s -> s.a * element_at({_NODE_ENC_MULTS}, s.n))"
+        f" ELSE raise_error(concat('node key out of encodable range "
+        f"[0, 10^17): ', CAST({key} AS STRING))) END"
+    )
+
+
+def node_dec(enc) -> Column:
+    """Invert node_enc analytically (tag char + decimal key rebuilt
+    from the base-11 positions) — a pure projection over the
+    node-sized result frames, no mapping-table join."""
+    if not isinstance(enc, str):
+        raise TypeError("node_dec takes the column NAME of the encoded id")
+    e = enc
+    return F.expr(
+        f"concat(CASE WHEN {e} >= {NODE_ENC_OFFSET}L THEN 's' ELSE 'c' END, "
+        f"CAST(aggregate(sequence(1, 17), CAST(0 AS BIGINT), "
+        f"(k, i) -> CASE WHEN ({e} % {NODE_ENC_OFFSET}L) DIV element_at({_NODE_ENC_MULTS}, i) % 11 > 0 "
+        f"THEN k * 10 + ({e} % {NODE_ENC_OFFSET}L) DIV element_at({_NODE_ENC_MULTS}, i) % 11 - 1 "
+        f"ELSE k END) AS STRING))"
+    )
+
 
 def trade_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q143's graph: distinct (customer, supplier) trade pairs from
-    orders⋈lineitem, symmetrized so outdeg ≥ 1 everywhere. Shared
-    with the iteration plan gate (tests/test_plans.py) so the gate
-    inspects the exact frames the query runs."""
+    orders⋈lineitem, symmetrized so outdeg ≥ 1 everywhere, node ids
+    dictionary-encoded to BIGINT (round 14 — decode at the very end
+    with node_dec). Shared with the iteration plan gate
+    (tests/test_plans.py) so the gate inspects the exact frames the
+    query runs."""
     from morphl_community_edition_spark.operators.pagerank import symmetrize_edges
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    # Round 13 (guide §2.3/§7.2): distinct on the raw BIGINT key pair,
-    # concat to the 'c…'/'s…' node names only on the distinct result —
-    # the corpus-scale exchange carries 16 B of ints per row instead
-    # of two small strings, and the agg compares ints. Then
-    # localCheckpoint the distinct pair set ONCE: symmetrize_edges
-    # references it twice (forward + reversed), and the pagerank/LPA
-    # setups reference the symmetrized frame from both their degree
-    # agg and their edge-frame lineage — lazily that re-ran the
-    # orders⋈lineitem join + distinct up to 4× per query (measured in
-    # the round-13 plan capture; only some copies got ReusedExchange).
-    # Same pair set, same downstream results; eager so the plan gates
-    # inspect the served iteration shape.
+    # Round 13 (guide §2.3/§7.2): distinct on the raw BIGINT key pair —
+    # the corpus-scale exchange carries 16 B of ints per row and the
+    # agg compares ints; round 14 keeps the iteration ids BIGINT too
+    # (node_enc above). Then localCheckpoint the distinct pair set
+    # ONCE: symmetrize_edges references it twice (forward + reversed),
+    # and the pagerank/LPA setups reference the symmetrized frame from
+    # both their degree agg and their edge-frame lineage — lazily that
+    # re-ran the orders⋈lineitem join + distinct up to 4× per query
+    # (measured in the round-13 plan capture; only some copies got
+    # ReusedExchange). Same pair set, same downstream results; eager
+    # so the plan gates inspect the served iteration shape.
     pairs = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select("o_custkey", "l_suppkey")
         .distinct()
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            node_enc(0, "o_custkey").alias("src"),
+            node_enc(1, "l_suppkey").alias("dst"),
         )
         .localCheckpoint(eager=True)
     )
@@ -634,8 +704,12 @@ def q143_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from morphl_community_edition_spark.operators.pagerank import pagerank
 
     ranks = pagerank(trade_graph_edges(spark, sf_dir), iters=PR_ITERS)
+    # decode AFTER the loop (round 14): the iterations ran on BIGINT
+    # ids; the node-sized result projects back to the names, and the
+    # ORDER BY sees the identical strings (order-preservation proof
+    # in node_enc's block comment)
     return (
-        ranks.select("node", F.col("r").alias("rank_scaled"))
+        ranks.select(node_dec("node").alias("node"), F.col("r").alias("rank_scaled"))
         .orderBy(F.col("rank_scaled").desc(), "node")
         .limit(30)
     )
@@ -717,9 +791,16 @@ def q145_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("community_size")
     )
+    # sizes aggregate and the flag join run on the BIGINT ids (same
+    # counts — the encoding is injective); decode is the final
+    # node-sized projection (round 14)
     return (
         labels.join(sizes, "label")
-        .select("node", F.col("label").alias("community"), "community_size")
+        .select(
+            node_dec("node").alias("node"),
+            node_dec("label").alias("community"),
+            "community_size",
+        )
         .orderBy("node")
     )
 
