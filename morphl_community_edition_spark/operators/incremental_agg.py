@@ -243,15 +243,32 @@ def fold_concurrently(*folds) -> None:
     idling the cluster between folds. FIFO scheduling (the default)
     gives exactly the back-fill behavior. Each argument is a no-arg
     callable performing one fold; exceptions propagate after all
-    submitted folds settle. NOT for folds with ordering dependencies
+    submitted folds settle — the FIRST failure (submission order) is
+    raised, with every other failure logged to stderr first, so a
+    concurrent second failure is not silently discarded
+    (advice r13). NOT for folds with ordering dependencies
     (build-then-append: the append's spec guard needs the build's
     manifest commit)."""
+    import sys
     from concurrent.futures import ThreadPoolExecutor
 
+    if not folds:
+        return
     with ThreadPoolExecutor(max_workers=len(folds)) as pool:
         futures = [pool.submit(f) for f in folds]
+        errors = []
         for fut in futures:
-            fut.result()
+            try:
+                fut.result()
+            except Exception as e:  # noqa: BLE001 - re-raised below
+                errors.append(e)
+    if errors:
+        for extra in errors[1:]:
+            print(
+                f"# fold_concurrently: additional concurrent failure: {extra!r}",
+                file=sys.stderr,
+            )
+        raise errors[0]
 
 
 def retract_rollup(
@@ -746,21 +763,32 @@ def _read_state_union(
     builder, so schemas are identical by construction and a single
     ``read.parquet(*dirs)`` replaces N separate scans + an N-deep
     union — one file index, one scan node, and the downstream merge
-    agg coalesces instead of unioning. Falls back to per-slice reads
-    + unionByName if the combined read ever refuses (it would refuse
-    loudly, not misalign: slice schemas only come from this module's
-    writers)."""
+    agg coalesces instead of unioning.
+
+    Round 14 (verdict r13 #7 / advice r13): the multi-path read
+    resolves its schema from ONE footer and silently NULL-fills (or
+    drops) columns of a slice whose schema drifted — the opposite of
+    the loud refusal this reader promises. So the slice schemas are
+    compared explicitly first (one driver-side footer read per slice
+    — metadata only, the plan still carries a single scan node) and
+    drift raises instead of misaligning. The old silent
+    per-slice-union fallback is gone: with schemas proven identical
+    the combined read cannot misalign, and any other failure should
+    propagate, not be retried differently."""
     dirs = _resolve_slice_dirs(path, sids)
-    if len(dirs) > 1:
-        try:
-            return spark.read.parquet(*dirs)
-        except Exception:
-            pass
-    frames = [spark.read.parquet(d) for d in dirs]
-    states = frames[0]
-    for f in frames[1:]:
-        states = states.unionByName(f)
-    return states
+    if len(dirs) == 1:
+        return spark.read.parquet(dirs[0])
+    first = spark.read.parquet(dirs[0]).schema
+    for d in dirs[1:]:
+        got = spark.read.parquet(d).schema
+        if got != first:
+            raise ValueError(
+                f"slice schema drift under {path}: {d} has "
+                f"{got.simpleString()} but {dirs[0]} has "
+                f"{first.simpleString()} — refusing the multi-path read "
+                "(a combined scan would silently NULL-fill by name)"
+            )
+    return spark.read.parquet(*dirs)
 
 
 def _guard_hist_sid(path: str, sid: str, on_tombstoned: str) -> HistSpec | None:

@@ -134,6 +134,52 @@ def test_fold_concurrently_propagates_exceptions(spark, tmp_path):
     assert _served(spark, path) == _oracle(spark, 0, 1000)
 
 
+def test_fold_concurrently_raises_first_failure_and_accepts_empty(spark, capsys):
+    """Round 14 (advice r13): multiple concurrent failures raise the
+    FIRST (submission order) after logging the rest; zero folds is a
+    no-op instead of ThreadPoolExecutor(max_workers=0)'s ValueError."""
+    from morphl_community_edition_spark.operators.incremental_agg import (
+        fold_concurrently,
+    )
+
+    fold_concurrently()  # must not raise
+
+    def boom_a():
+        raise RuntimeError("first failure")
+
+    def boom_b():
+        raise ValueError("second failure")
+
+    with pytest.raises(RuntimeError, match="first failure"):
+        fold_concurrently(boom_a, boom_b)
+    assert "second failure" in capsys.readouterr().err
+
+
+def test_read_state_union_schema_drift_raises(spark, tmp_path):
+    """Round 14 (verdict r13 #7): a slice whose on-disk schema drifted
+    must make the multi-path state read refuse loudly — a combined
+    spark.read.parquet(*dirs) would silently NULL-fill the missing
+    column by name."""
+    from morphl_community_edition_spark.operators.incremental_agg import (
+        _read_state_union,
+        _states_dir,
+    )
+
+    path = str(tmp_path / "ru_drift")
+    build_rollup(_facts(spark, 0, 500), _SPEC, path)
+    append_rollup(_facts(spark, 500, 800), path, sid="b1")
+    # simulate external corruption: rewrite slice b1 minus a column
+    d = _states_dir(path, "b1")
+    drifted = spark.read.parquet(d).drop("v_sum")
+    drifted.write.mode("overwrite").parquet(str(tmp_path / "tmp_drift"))
+    import shutil
+
+    shutil.rmtree(d)
+    shutil.move(str(tmp_path / "tmp_drift"), d)
+    with pytest.raises(ValueError, match="slice schema drift"):
+        _read_state_union(spark, path, None).collect()
+
+
 def test_rollup_guards(spark, tmp_path):
     path = str(tmp_path / "ru")
     with pytest.raises(ValueError, match="no committed rollup base"):
