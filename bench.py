@@ -55,12 +55,18 @@ by the artifact alone), the artifact carries BOTH Spark/DuckDB ratios
 the complete record is committed as ``BENCHLOCAL_r{N}.json`` so the
 driver's 2000-char stdout tail can't truncate it away.
 
-Bench profile: AQE off + 2 shuffle partitions for the timed section —
-at sf0.1 on one host, AQE's per-stage scheduling adds ~0.3-0.5s/query
-of pure orchestration; on a real cluster AQE pays for itself and the
-engine default keeps it on (session.py). Spark's ~0.5s/query re-plan
-floor dominates the short queries (DuckDB plans in ~1ms); the 10×
-scale-up measurements in SCALE.md show the gap closing as data grows.
+Bench profile: 2 shuffle partitions + 2m splits for the timed
+section. NOTE (round 14, retiring the stale claim per verdict r13
+#3): the profile's ``spark.sql.adaptive.enabled=false`` below has
+never actually been in force — every query's ``catalog.load_table``
+calls ``apply_runtime_conf``, whose defensive re-apply list pins AQE
+back ON inside the query build. All committed bench tiers of every
+round therefore ran AQE-on, consistently, and the numbers are
+comparable; the set() is kept (a no-op in practice) so the timed
+path stays byte-identical to prior rounds. Spark's ~0.5s/query
+re-plan floor dominates the short queries (DuckDB plans in ~1ms);
+the 10× scale-up measurements in SCALE.md show the gap closing as
+data grows.
 """
 
 from __future__ import annotations
@@ -203,7 +209,10 @@ def main() -> None:
 
     canary_before = _duck_canary()
 
-    # bench profile (see module docstring); engine default keeps AQE on
+    # bench profile (see module docstring). This set() is a no-op in
+    # practice — apply_runtime_conf re-pins AQE on inside every query
+    # build — kept only so the timed path stays byte-identical across
+    # rounds (docstring NOTE, verdict r13 #3).
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     # 2 shuffle partitions: at sf0.1 every post-shuffle stage holds
     # KB-scale aggregates, so task-launch overhead dominates — a
@@ -483,9 +492,20 @@ def main() -> None:
                 for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
             ]
             rnd = max(rounds) + 1 if rounds else None
-        # only the default sf0.1 run is the round record — an
-        # experimental SPARK_GRAFT_SF_DIR run must not clobber it
-        if rnd is not None and SF_DIR.rstrip("/").endswith("sf0.1"):
+        # only the default sf0.1 run at the machine's full core count
+        # is the round record — an experimental SPARK_GRAFT_SF_DIR run
+        # must not clobber it, and neither must the driver's reduced
+        # SPARK_GRAFT_CPUS scaling run (round 14, verdict r13 #3: the
+        # r13 record was overwritten by the 8-core pass)
+        cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+        default_cpus = cpus_env is None or (
+            cpus_env.isdigit() and int(cpus_env) == (os.cpu_count() or 0)
+        )
+        if (
+            rnd is not None
+            and SF_DIR.rstrip("/").endswith("sf0.1")
+            and default_cpus
+        ):
             local = os.path.join(repo, f"BENCHLOCAL_r{rnd:02d}.json")
             if os.path.exists(local):
                 print(
