@@ -120,7 +120,17 @@ def ann_index_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Serve a probe batch from the persisted index: same output
-    contract as ivf_quantized_topk — (q_vec, n_vec, sim, rnk)."""
+    contract as ivf_quantized_topk — (q_vec, n_vec, sim, rnk).
+
+    Probe-batch size contract (advice r13): ``queries`` is pinned via
+    localCheckpoint below, which materializes it to executor storage —
+    callers must pass a SERVE-SIZED probe batch (a handful to a few
+    thousand rows), never a corpus-scale frame; for corpus×corpus
+    similarity use the self-join operators in operators/similarity.py
+    instead. The pin is also executor-local (non-durable): on a
+    cluster an executor loss during the serve fails the query instead
+    of self-healing — acceptable for interactive serve calls, which
+    simply re-run."""
     manifest.require_commit(path, "ANN index")
     # pin the probe batch once (round 13, guide §7.2): it is
     # referenced by the router, the int8 quantizer and the float

@@ -89,7 +89,14 @@ def pagerank_step(ed: DataFrame, ranks: DataFrame, nn: DataFrame) -> DataFrame:
     sum(+0) is exact in BIGINT, every node appears exactly once, and
     _damped_update's coalesce sees 0 instead of NULL — identical
     ranks, one aggregation and zero joins of node frames per
-    iteration."""
+    iteration.
+
+    Precondition (advice r13): every dst in ``ed`` must appear in
+    ``ranks.node`` — the output node set is ranks ∪ dst(edges), so an
+    edge whose dst is absent from ranks would ADD a rank row the old
+    left-join shape dropped. symmetrize_edges guarantees this (every
+    node occurs as src and dst, and ranks0 = all srcs); callers
+    feeding a hand-built edge frame must symmetrize first."""
     contrib = ed.join(ranks, ed["src"] == ranks["node"]).select(
         F.col("dst"), F.expr("CAST(r DIV outdeg AS BIGINT)").alias("c")
     )

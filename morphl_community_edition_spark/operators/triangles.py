@@ -82,7 +82,20 @@ def triangles(und: DataFrame, broadcast_closure: bool = False) -> DataFrame:
     not persist: CacheManager keys persisted plans canonically, so a
     persist would let a REPEATED invocation of the same query serve
     from the previous run's cache — exactly the cross-run reuse the
-    honest-warm bench (and the no-precomputation rule) forbids."""
+    honest-warm bench (and the no-precomputation rule) forbids.
+
+    Cluster-durability caveat (advice r13, shared by every eager
+    dedup-subtree pin: here, the SimHash signature pin, BM25's tfq
+    pin, the trade-graph pair-set pin): localCheckpoint truncates
+    lineage into EXECUTOR-LOCAL storage, so on a cluster with executor
+    loss or dynamic allocation the query FAILS and re-runs instead of
+    self-healing — the pins trade lineage durability for the measured
+    duplicated-subtree elimination within one ad-hoc query invocation.
+    Iterative loops that must survive mid-flight executor loss use
+    operators/checkpointing.loop_checkpoint(reliable=True) instead;
+    these single-shot query pins deliberately do not grow a flag until
+    a deployment needs it (re-running an ad-hoc query is the normal
+    recovery)."""
     und = und.localCheckpoint(eager=True)
     o = orient_edges(und).localCheckpoint(eager=True)
     e1 = o.select(
