@@ -130,6 +130,50 @@ _FANOUT_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[tuple, bool]]" = (
 )
 
 
+# Measurement escape for tools/ab_pinsort.py ONLY: False reproduces
+# the exact pre-round-14 plain-orderBy plan so the interleaved A/B
+# compares the shipped code path against its true predecessor. Never
+# set in production code.
+PIN_UNBOUNDED_SORT = True
+
+
+def pinned_order(df, *cols):
+    """Presentation-sort a group-BOUNDED serve result without paying
+    global-sort boundary sampling (round 14 — the unbounded-tail
+    sibling of ``capped_order``).
+
+    ``df.orderBy(...)`` plans Sort + RangeExchange, and the range
+    partitioner's boundary sampling RE-EXECUTES the child subtree.
+    ``capped_order`` fixes that for provably row-bounded results via
+    TakeOrderedAndProject, but a rollup serve's row count is
+    group-bounded (one row per group — sf-dependent), so no cap
+    exists. Here the child is pinned with ``localCheckpoint`` (lazy:
+    the sampling pass is the first action and materializes the
+    checkpoint; the final pass and the sort then read the pinned
+    rows) — the serve subtree executes exactly once. Measured on
+    q168's histogram serve (window over ~600k histogram rows between
+    the last exchange and the sort): plain 4.23 s vs lazy-pinned
+    1.80 s in the same session.
+
+    Contract: use ONLY where ``df`` is group/grid-bounded by
+    construction (rollup serves, never fact-sized frames) — the pin
+    materializes every row to executor storage. Cluster-durability
+    caveat shared with the round-13 serve pins (see
+    operators/triangles.py): checkpoint blocks are executor-local,
+    so an executor loss fails the query instead of self-healing —
+    re-run, or swap for reliable checkpointing on long-lived jobs.
+
+    The pre-pin child rides on the result as ``_morphl_pre_pin`` so
+    plan gates can keep asserting scan-level evidence (states-only
+    serves, broadcast joins) that the checkpoint's ExistingRDD scan
+    would otherwise hide."""
+    if not PIN_UNBOUNDED_SORT:  # A/B measurement escape, see above
+        return df.orderBy(*cols)
+    out = df.localCheckpoint(eager=False).orderBy(*cols)
+    out._morphl_pre_pin = df
+    return out
+
+
 def capped_order(df, *cols, cap: int):
     """Presentation-sort a provably row-BOUNDED frame without paying
     global-sort boundary sampling (round 13, the q150 grown-decade

@@ -100,6 +100,10 @@ def q159_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: append_rollup(li.filter(hex1 == "f"), path, sid="batch-f"),
     )
     served = read_rollup(spark, path)
+    # pinned_order A/B'd here and NOT kept: the summary serve's
+    # post-shuffle segment is one |groups|-sized final agg, so the
+    # sampling re-execution the pin removes is already cheap —
+    # measured wash/loss both runs (tools/ab_pinsort.py, round 14)
     return served.select(
         "l_suppkey",
         "n_rows",
@@ -250,6 +254,9 @@ def q162_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pb = (F.col("cnt_b") + 1) / F.col("tb").cast("double")
     slp = F.floor(F.log(pa / pb) * F.lit(1e6) + F.lit(0.5)).cast("bigint")
     contrib = (pa - pb) * slp / F.lit(1e6)
+    # pinned_order A/B'd here and NOT kept: the |bins|-sized tail
+    # above the sort is one broadcast-join projection — measured
+    # wash/loss in the clean run (tools/ab_pinsort.py, round 14)
     return (
         t.crossJoin(F.broadcast(tot))
         .select(
@@ -320,6 +327,9 @@ def q164_zorder_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(65536),
     )
     z = z_value(x, y)
+    # pinned_order A/B'd here and NOT kept: the |buckets|-sized tail
+    # above the sort is one hash agg — contradictory small swings
+    # across two clean sessions = wash (tools/ab_pinsort.py, round 14)
     return (
         o.select(
             zbucket(z, 14).alias("zbucket"),
@@ -379,6 +389,11 @@ def q165_compacted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     compact_rollup(spark, path)
     append_rollup(li.filter(hex1 == "f"), path, sid="batch-f")
     served = read_rollup(spark, path)
+    # pinned_order A/B'd here and NOT kept: repeat in-session
+    # invocations of the build+compact+append pipeline are too
+    # unstable to measure the tail (3-43 s swings), and the summary
+    # serve's post-shuffle segment is one |groups|-sized final agg
+    # anyway (same reason as q159; tools/ab_pinsort.py, round 14)
     return served.select(
         "l_suppkey",
         "n_rows",
@@ -631,7 +646,12 @@ def q168_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: append_hist_rollup(li.filter(hex1 == "e"), path, sid="batch-e"),
         lambda: append_hist_rollup(li.filter(hex1 == "f"), path, sid="batch-f"),
     )
-    return quantiles_from_hist(spark, path, _Q168_PCTS).orderBy("l_suppkey")
+    from morphl_community_edition_spark.plans.hints import pinned_order
+
+    # group-bounded serve result; pin before the presentation sort so
+    # range-boundary sampling does not re-execute the histogram merge
+    # + cumulative window (plans/hints.pinned_order, round 14)
+    return pinned_order(quantiles_from_hist(spark, path, _Q168_PCTS), "l_suppkey")
 
 
 _Q169_K = 3
@@ -688,6 +708,10 @@ def q169_hist_topk_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda: append_hist_rollup(li.filter(hex1 == "e"), path, sid="batch-e"),
             lambda: append_hist_rollup(li.filter(hex1 == "f"), path, sid="batch-f"),
         )
+    # pinned_order A/B'd here and NOT kept: unlike the quantile
+    # readers there is no agg after the rank window (the filter is
+    # free), so the re-executed segment is short — contradictory
+    # swings across clean sessions = wash (tools/ab_pinsort.py, r14)
     return topk_values_from_hist(spark, path, _Q169_K).orderBy("l_suppkey", "rk")
 
 
@@ -769,6 +793,9 @@ def q170_rollup_view_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = states.join(dim, "l_suppkey")
     out = rollup_view_match_frame(joined, rollup_spec(path), {"nation": F.col("nation")})
+    # pinned_order A/B'd here and NOT kept: the |nations|-sized tail
+    # above the sort is one regroup agg — measured dead wash (+0.2%,
+    # tools/ab_pinsort.py, round 14)
     return out.select(
         "nation",
         "n_rows",
@@ -1181,7 +1208,11 @@ def q175_hist_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     retract_hist_rollup(li.filter(hex2 == "0"), path, sid="correction-0")
     compact_rollup(spark, path)
-    return quantiles_from_hist(spark, path, _Q168_PCTS).orderBy("l_suppkey")
+    from morphl_community_edition_spark.plans.hints import pinned_order
+
+    # group-bounded serve result; pin before the presentation sort
+    # (plans/hints.pinned_order, round 14)
+    return pinned_order(quantiles_from_hist(spark, path, _Q168_PCTS), "l_suppkey")
 
 
 _Q176_ASOF = {"p50_asof": (1, 2), "p90_asof": (9, 10)}
@@ -1419,4 +1450,8 @@ def q178_sample_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_sample_rollup(li.filter(hex1 < "e"), spec, path)
     append_sample_rollup(li.filter(hex1 == "e"), path, sid="batch-e")
     append_sample_rollup(li.filter(hex1 == "f"), path, sid="batch-f")
-    return quantiles_from_sample(spark, path, _Q178_PCTS).orderBy("l_suppkey")
+    from morphl_community_edition_spark.plans.hints import pinned_order
+
+    # group-bounded serve result; pin before the presentation sort
+    # (plans/hints.pinned_order, round 14)
+    return pinned_order(quantiles_from_sample(spark, path, _Q178_PCTS), "l_suppkey")

@@ -29,6 +29,24 @@ def no_cached_fragments(spark):
     yield
 
 
+def _serve_plan(df) -> str:
+    """Executed-plan string carrying a serve's scan-level evidence.
+
+    A ``plans/hints.pinned_order`` tail (round 14) hides the serve
+    subtree behind a checkpoint-RDD scan, so the scan evidence lives
+    on the pre-pin child the hint attaches as ``_morphl_pre_pin``.
+    When present, assert the outer plan really is the pinned shape
+    (an RDD scan, no parquet re-read) and return the child's plan;
+    a plain tail returns its own plan unchanged."""
+    child = getattr(df, "_morphl_pre_pin", None)
+    if child is None:
+        return df._jdf.queryExecution().executedPlan().toString()
+    outer = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in outer, "pinned tail lost its checkpoint scan"
+    assert "FileScan" not in outer, "pinned tail re-read a table"
+    return child._jdf.queryExecution().executedPlan().toString()
+
+
 def test_q01_filter_pushdown_and_pruning(spark):
     df = QUERIES["q01_pricing_summary"](spark, SF_DIR)
     pushed = pushed_filters(df)
@@ -1424,7 +1442,7 @@ def test_q170_view_match_serves_from_states_only(spark):
     from morphl_community_edition_spark.queries import QUERIES
 
     df = QUERIES["q170_rollup_view_match"](spark, SF_DIR)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = _serve_plan(df)
     assert "lineitem" not in plan, "view-matched serve re-read the fact table"
     assert "morphl_vm_rollup" in plan or "states" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
@@ -1437,7 +1455,7 @@ def test_q169_topk_serves_from_histogram_only(spark):
     from morphl_community_edition_spark.queries import QUERIES
 
     df = QUERIES["q169_hist_topk_serve"](spark, SF_DIR)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = _serve_plan(df)
     assert "lineitem" not in plan, "histogram serve re-read the fact table"
     assert "morphl_hist_rollup" in plan or "states" in plan
 
@@ -1523,6 +1541,42 @@ def test_capped_order_plans_topk_and_preserves_result(spark):
     assert got == want and len(got) == 25
 
 
+def test_pinned_order_pins_child_and_preserves_result(spark):
+    """plans/hints.pinned_order (round 14): the group-bounded sibling
+    of capped_order must (a) plan the sort over a checkpoint-RDD scan
+    — the serve subtree executes once instead of being re-executed by
+    range-boundary sampling — (b) expose the pre-pin child for the
+    scan-evidence plan gates, and (c) return exactly the bare
+    orderBy's rows."""
+    from pyspark.sql import functions as F
+
+    from morphl_community_edition_spark.catalog import load_table
+    from morphl_community_edition_spark.plans import hints
+
+    df = (
+        load_table(spark, SF_DIR, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    pinned = hints.pinned_order(df, "l_suppkey")
+    assert pinned._morphl_pre_pin is df
+    plan = pinned._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan, plan[:800]
+    assert "FileScan" not in plan, "pinned tail re-read a table"
+    want = [tuple(r) for r in df.orderBy("l_suppkey").collect()]
+    got = [tuple(r) for r in pinned.collect()]
+    assert got == want
+    # the measurement escape must reproduce the plain plan exactly
+    hints.PIN_UNBOUNDED_SORT = False
+    try:
+        plain = hints.pinned_order(df, "l_suppkey")
+        assert getattr(plain, "_morphl_pre_pin", None) is None
+        pplan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" not in pplan
+    finally:
+        hints.PIN_UNBOUNDED_SORT = True
+
+
 def test_q175_retraction_serves_from_histogram(spark):
     """q175's serve plan must scan only the (compacted) persisted
     histogram — retraction and compaction happen at fold time; the
@@ -1530,7 +1584,7 @@ def test_q175_retraction_serves_from_histogram(spark):
     from morphl_community_edition_spark.queries import QUERIES
 
     df = QUERIES["q175_hist_retraction"](spark, SF_DIR)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = _serve_plan(df)
     assert "lineitem" not in plan, "retraction serve re-read the fact table"
     assert "morphl_hist_retract" in plan or "states" in plan
 
@@ -1565,6 +1619,6 @@ def test_q178_sample_serve_reads_only_slices(spark):
     from morphl_community_edition_spark.queries import QUERIES
 
     df = QUERIES["q178_sample_quantile_rollup"](spark, SF_DIR)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = _serve_plan(df)
     assert "lineitem" not in plan, "sample serve re-read the fact table"
     assert "morphl_sample_rollup" in plan or "states" in plan

@@ -68,6 +68,18 @@ def main() -> int:
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
+        # a pinned_order tail hides the serve subtree behind the
+        # checkpoint scan; append the pre-pin child so the dump still
+        # carries the scan-level evidence (round 14)
+        child = getattr(df, "_morphl_pre_pin", None)
+        if child is not None:
+            plan += (
+                "\n\n-- pre-pin child (the serve subtree the pin "
+                "executes once) --\n\n"
+            )
+            plan += child._sc._jvm.PythonSQLUtils.explainString(
+                child._jdf.queryExecution(), "formatted"
+            )
         with open(os.path.join(plans_dir, f"{name}_{tag}.txt"), "w") as f:
             f.write(plan)
         print(f"# {name}: {out[name]:.3f}s", file=sys.stderr, flush=True)
